@@ -1,0 +1,47 @@
+"""Load the driver's parquet tables and register temp views.
+
+All query callables take ``(spark, sf_dir)`` and read from
+``{sf_dir}/{table}.parquet`` (TESTDATA.md). Reads are plain
+``spark.read.parquet`` so Catalyst gets predicate pushdown + column
+pruning into the scan for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables: always broadcast-joinable at any scale factor.
+# region/nation are bounded by geography (25 nations, 5 regions at every SF).
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects. Read nanos as LONG and convert to a microsecond
+        # timestamp (the generated data is µs-precision, so this is lossless
+        # and matches DuckDB's TIMESTAMP_NS values instant-for-instant).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register temp views so corpus queries can run via ``spark.sql``."""
+    for name in tables or TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
