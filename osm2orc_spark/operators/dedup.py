@@ -1,1 +1,321 @@
-"""Deduplication operators over the documents table (round-1 stubs filled below)."""
+"""Deduplication operators over the ``documents`` table.
+
+Four families, each a first-class ``queries()`` entry with a DuckDB oracle:
+
+- exact (hash-groupBy)                      -> dedup_exact
+- n-gram Jaccard (brute-force verify)       -> dedup_ngram_jaccard
+- MinHash + LSH (band/bucket candidates)    -> dedup_minhash_lsh
+- SimHash signatures                        -> simhash_signature
+
+Cross-engine determinism: every hash is md5 over explicit UTF-8 strings
+(identical hex in Spark and DuckDB); MinHash "permutations" are
+min-over-md5(seed || shingle) so no engine-specific hash function is
+involved; Jaccard is a ratio of BIGINTs (exact in IEEE double).
+
+Scale notes (100 TB posture):
+- dedup_exact shuffles once on the content hash — the canonical
+  map-side-combine groupBy; skew-free because hashes are uniform.
+- The brute-force Jaccard join is quadratic in documents *per shared
+  shingle*; it is the correctness oracle. The scale path is
+  dedup_minhash_lsh: candidate generation is a self-join on (band,
+  band_value) buckets, which touches only near-duplicate groups. Hot
+  buckets (boilerplate shingles) are the skew risk — AQE skew-join
+  handles moderate cases; a doc-frequency cap on shingles is the
+  documented escape hatch for pathological corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm2orc_spark.registry import register
+from osm2orc_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Shared shingle helpers (word 3-shingles over whitespace tokens).
+# ---------------------------------------------------------------------------
+N_SHINGLE = 3
+MINHASH_SEEDS = 12
+LSH_BAND_ROWS = 3  # 4 bands x 3 rows
+JACCARD_THRESHOLD = 0.8
+
+
+def _norm_text():
+    return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs, word 3-shingles."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(_norm_text(), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (N_SHINGLE - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= N_SHINGLE)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+_DUCK_SHINGLES = """
+  toks AS (
+    SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+    FROM documents
+  ),
+  shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   for i in generate_series(1, len(t) - 2)]) AS shingle
+    FROM toks WHERE len(t) >= 3
+  )
+"""
+
+
+def _jaccard_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs from shingle sets."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized content.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup via hash-groupBy on normalized content. One shuffle "
+    "keyed by md5 (uniform, skew-free); keeper = min doc_id is an "
+    "order-independent choice so the result is stable at any parallelism.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.encode(_norm_text(), "utf-8")).alias("content_hash"), "doc_id"
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force n-gram Jaccard (the correctness oracle for near-dup).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Brute-force word-3-shingle Jaccard pairs >= 0.8. Quadratic per "
+    "shared shingle — kept as the verification baseline; the LSH variant "
+    "below is the 100 TB path.",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(cand, sh, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: the scale path for near-dup detection.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    seeds AS (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS seed),
+    minhash AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM shingles CROSS JOIN seeds
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // {LSH_BAND_ROWS} AS band,
+             md5(array_to_string(list_sort(list(lpad(CAST(seed AS VARCHAR), 2, '0') || '|' || mh)), ',')) AS band_val
+      FROM minhash
+      GROUP BY doc_id, seed // {LSH_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+    """,
+    doc="MinHash(12 seeds) + LSH(4 bands x 3 rows) candidate generation, "
+    "then exact-Jaccard verification of candidates only. MinHash values "
+    "are min(md5(seed||shingle)) — engine-independent. At scale the "
+    "band-bucket self-join replaces the quadratic shingle join: cost is "
+    "proportional to actual near-duplicate groups, not corpus size^2.",
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    seeds = spark.range(MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    minhash = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.encode(
+                    F.concat_ws("|", F.col("seed").cast("string"), "shingle"), "utf-8"
+                )
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        minhash.withColumn("band", (F.col("seed") / F.lit(LSH_BAND_ROWS)).cast("int"))
+        .withColumn(
+            "item", F.concat_ws("|", F.lpad(F.col("seed").cast("string"), 2, "0"), "mh")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.encode(F.concat_ws(",", F.array_sort(F.collect_list("item"))), "utf-8")
+            ).alias("band_val")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(cand, sh, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# SimHash 48-bit signatures.
+# ---------------------------------------------------------------------------
+@register(
+    "simhash_signature",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, tok,
+             CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS v
+      FROM toks
+    ),
+    bits AS (SELECT unnest(generate_series(0, 47)) AS b),
+    contrib AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed CROSS JOIN bits
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM contrib
+    GROUP BY doc_id
+    """,
+    doc="48-bit SimHash over distinct tokens (token hash = first 12 hex "
+    "chars of md5 — identical in both engines; 48 bits keeps the "
+    "power-of-two sum exact in IEEE double). Near-dup grouping = hamming "
+    "proximity on the signature; signatures shuffle once per (doc,bit) "
+    "partial aggregation.",
+    tags=("dedup",),
+)
+def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(_norm_text(), " ")).alias("tok")
+        ).distinct()
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.encode("tok", "utf-8")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("v"),
+    )
+    contrib = (
+        hashed.select("doc_id", "v", F.explode(F.sequence(F.lit(0), F.lit(47))).alias("b"))
+        .select(
+            "doc_id",
+            "b",
+            F.when(F.expr("(shiftright(v, b) & 1) = 1"), 1).otherwise(-1).alias("c"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("c").alias("s"))
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("b"))).otherwise(0.0))
+        .cast("bigint")
+        .alias("simhash")
+    )

@@ -1,1 +1,221 @@
-"""Text-analysis operators over the documents table (filled in below)."""
+"""Text-analysis operators over the ``documents`` table.
+
+- token counting (whitespace tokenization)        -> text_token_stats
+- quality scoring (length/stopword/diversity)     -> text_quality_scores
+- language ID (stopword-list heuristic)           -> lang_id_heuristic
+- document fingerprinting (sorted-vocab hash)     -> doc_fingerprint
+
+All metrics are derived from integer counts (exact) or integer ratios
+(deterministic IEEE division), so Spark and DuckDB agree bit-for-bit.
+Everything is built-in column expressions — no Python UDFs — so the whole
+pipeline stays inside whole-stage codegen and scales linearly with
+document count (narrow, per-row; zero shuffles except final aggs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm2orc_spark.registry import register
+from osm2orc_spark.tables import load
+
+
+def _toks():
+    return F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+
+# Per-language stopword lists for the n-gram/stopword language heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["de", "shi", "zai", "le", "wo"],
+}
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS n_token_chars,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio
+    FROM t
+    """,
+    doc="Whitespace+BPE-ish token counting via built-in array functions — "
+    "size / array_distinct / aggregate. Per-row narrow ops, no shuffle, "
+    "fully codegen'd.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        n_chars.alias("n_token_chars"),
+        (n_chars.cast("double") / F.size(toks)).alias("avg_token_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> list_contains({STOPWORDS!r}, x))) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_unique AS DOUBLE) / n_tokens AS diversity,
+           (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 0.4 ELSE 0.1 END
+            + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)
+            + 0.3 * (CAST(n_unique AS DOUBLE) / n_tokens)) AS quality_score
+    FROM m
+    """,
+    doc="Quality scoring from length / stopword-ratio / lexical diversity. "
+    "All terms are integer ratios or literals -> deterministic doubles. "
+    "The score mirrors heuristic pretraining-data filters (C4-style).",
+    tags=("text",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("bigint")
+    n_unique = F.size(F.array_distinct(toks)).cast("bigint")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    diversity = n_unique.cast("double") / n_tokens
+    length_term = (
+        F.when(F.col("n_chars").between(100, 400), F.lit(0.4)).otherwise(F.lit(0.1))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        diversity.alias("diversity"),
+        (length_term + F.lit(0.3) * stop_ratio + F.lit(0.3) * diversity).alias(
+            "quality_score"
+        ),
+    )
+
+
+def _lang_scores_sql() -> str:
+    cols = ",\n           ".join(
+        f"CAST(len(list_filter(toks, x -> list_contains({words!r}, x))) AS BIGINT) AS s_{lang}"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    pred = "CASE "
+    for lang in langs:
+        others = [f"s_{o}" for o in langs if o != lang]
+        pred += f"WHEN s_{lang} >= greatest({', '.join(others)}) THEN '{lang}' "
+    pred += "ELSE 'unknown' END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+           {cols}
+      FROM t
+    )
+    SELECT doc_id, lang, {pred} AS pred_lang,
+           (lang = ({pred})) AS correct
+    FROM scored
+    """
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=_lang_scores_sql(),
+    doc="Stopword-list language ID: per-language token-hit counts, argmax "
+    "with a fixed precedence order (en>es>fr>de>zh) so ties are "
+    "deterministic. Output includes agreement with the labeled lang.",
+    tags=("text",),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    def hit_count(words: list[str]):
+        word_arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(word_arr, x))).cast("bigint")
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[hit_count(words).alias(f"s_{lang}") for lang, words in LANG_STOPWORDS.items()],
+    )
+    langs = list(LANG_STOPWORDS)
+    pred = None
+    for lang in langs:
+        others = [F.col(f"s_{o}") for o in langs if o != lang]
+        cond = F.col(f"s_{lang}") >= F.greatest(*others)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"), (F.col("lang") == pred).alias("correct")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+    FROM t
+    """,
+    doc="Document fingerprint: md5 over the sorted distinct vocabulary — a "
+    "bag-of-words rolling-hash analog that is permutation-invariant, so "
+    "editorially reordered copies collide. Joinable with dedup_exact "
+    "output for two-level dedup.",
+    tags=("text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.encode(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))), "utf-8")
+        ).alias("fingerprint"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+    )
