@@ -46,23 +46,34 @@ def _norm_text():
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs, word 3-shingles."""
-    docs = load(spark, sf_dir, "documents")
-    toks = F.split(_norm_text(), " ")
+    """Distinct (doc_id, shingle) pairs, word 3-shingles.
+
+    The documents file is small relative to the fan-out it feeds (each doc
+    explodes to ~n_tokens shingle rows), so a single parquet split would
+    serialize the whole pipeline on one core. Repartition by doc_id BEFORE
+    exploding: tiny shuffle, full parallelism downstream. At 100 TB the
+    read is already many splits and this repartition is a no-op cost-wise.
+    """
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # Materialize the token array ONCE per row before the shingle lambda.
+    # Inlining the split(...) expression into each element_at re-evaluates
+    # the tokenization per shingle element (O(n_tokens^2) per doc) —
+    # measured 10x slower at sf0.1.
+    tokd = docs.select("doc_id", F.split(_norm_text(), " ").alias("t")).filter(
+        F.size("t") >= N_SHINGLE
+    )
     sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (N_SHINGLE - 1)),
+        F.sequence(F.lit(1), F.size("t") - (N_SHINGLE - 1)),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
+            F.element_at("t", i),
+            F.element_at("t", i + 1),
+            F.element_at("t", i + 2),
         ),
     )
-    return (
-        docs.filter(F.size(toks) >= N_SHINGLE)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return tokd.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 _DUCK_SHINGLES = """
@@ -157,7 +168,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    # The shingle set feeds candidate generation AND both sides of the
+    # verification join — persist it once instead of recomputing the
+    # read+explode+distinct subtree per consumer (same move a cluster
+    # job would make; at 100 TB this is a MEMORY_AND_DISK checkpoint).
+    sh = _shingles(spark, sf_dir).persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     cand = (
@@ -217,34 +232,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    seeds = spark.range(MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
-    minhash = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
+    # Columnar minhash: 12 md5 columns per shingle row, ONE groupBy(doc_id)
+    # with 12 min() aggregates. Compared to a (doc, seed) row explosion this
+    # shuffles 12x fewer rows and computes bands without a second shuffle.
+    # Band keys are internal (only verified pairs are output), so their
+    # encoding doesn't need to match the oracle's — the minhash VALUES do,
+    # and those are min(md5(seed||'|'||shingle)) in both engines.
+    # Persisted: consumed by minhash, sizes, and both verify-join sides.
+    sh = _shingles(spark, sf_dir).persist()
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.encode(F.concat_ws("|", F.lit(str(s)), "shingle"), "utf-8")).alias(
+                f"h{s}"
+            )
+            for s in range(MINHASH_SEEDS)
+        ],
+    )
+    minhash = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(MINHASH_SEEDS)]
+    )
+    n_bands = MINHASH_SEEDS // LSH_BAND_ROWS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.encode(
-                    F.concat_ws("|", F.col("seed").cast("string"), "shingle"), "utf-8"
+                    F.concat_ws(
+                        ",",
+                        *[
+                            f"mh{s}"
+                            for s in range(b * LSH_BAND_ROWS, (b + 1) * LSH_BAND_ROWS)
+                        ],
+                    ),
+                    "utf-8",
                 )
-            ).alias("h"),
+            ).alias("band_val"),
         )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    bands = (
-        minhash.withColumn("band", (F.col("seed") / F.lit(LSH_BAND_ROWS)).cast("int"))
-        .withColumn(
-            "item", F.concat_ws("|", F.lpad(F.col("seed").cast("string"), 2, "0"), "mh")
-        )
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.encode(F.concat_ws(",", F.array_sort(F.collect_list("item"))), "utf-8")
-            ).alias("band_val")
-        )
-    )
+        for b in range(n_bands)
+    ]
+    bands = minhash.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bv")
+    ).select("doc_id", "bv.band", "bv.band_val")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
     cand = (
@@ -292,7 +321,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # Repartition before the token x 48-bit fan-out (see _shingles note).
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = (
         docs.select(
             "doc_id", F.explode(F.split(_norm_text(), " ")).alias("tok")

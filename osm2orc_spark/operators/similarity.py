@@ -138,7 +138,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    # The left side fans out to n^2 rows; spread it across cores first
+    # (single small parquet split otherwise pins the cross join to 1 task).
+    a = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     qa, qb = _quant(F.col("ea")), _quant(F.col("eb"))
     return (

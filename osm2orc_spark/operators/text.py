@@ -59,20 +59,22 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     tags=("text",),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = _toks()
+    # Tokenize once into a materialized column — inlining the split
+    # expression into every metric re-runs the regex per metric.
+    docs = load(spark, sf_dir, "documents").select("doc_id", _toks().alias("t"))
+    t = F.col("t")
     n_chars = F.aggregate(
-        F.transform(toks, lambda x: F.length(x)),
+        F.transform(t, lambda x: F.length(x)),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
     return docs.select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_unique"),
         n_chars.alias("n_token_chars"),
-        (n_chars.cast("double") / F.size(toks)).alias("avg_token_len"),
-        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+        (n_chars.cast("double") / F.size(t)).alias("avg_token_len"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias(
             "type_token_ratio"
         ),
     )
@@ -107,8 +109,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = _toks()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", _toks().alias("t")
+    )
+    toks = F.col("t")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(toks).cast("bigint")
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("bigint")
@@ -167,8 +171,8 @@ def _lang_scores_sql() -> str:
     tags=("text",),
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = _toks()
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", _toks().alias("t"))
+    toks = F.col("t")
     def hit_count(words: list[str]):
         word_arr = F.array(*[F.lit(w) for w in words])
         return F.size(F.filter(toks, lambda x: F.array_contains(word_arr, x))).cast("bigint")
@@ -210,8 +214,8 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = _toks()
+    docs = load(spark, sf_dir, "documents").select("doc_id", _toks().alias("t"))
+    toks = F.col("t")
     return docs.select(
         "doc_id",
         F.md5(
