@@ -1,0 +1,74 @@
+"""ORC sink with the reference's writer options and user metadata.
+
+Reference behavior reproduced:
+- ORC output with block padding disabled (standalone/OsmPbf2Orc.java:85,
+  OsmChangesetXml2Orc.java:71) -> write option orc.block.padding=false.
+- Bloom filter on tags evaluated-but-disabled (OsmPbf2Orc.java:86,
+  osmosis/OrcWriter.java:251) -> exposed as an opt-in flag, off by
+  default like the reference shipped.
+- ORC user metadata 'osm.schema.version=0.6' (OsmPbf2Orc.java:90) and
+  'bounds' = "left, bottom, right, top" when the PBF header has a bbox
+  (OsmPbf2Orc.java:122-125). Spark's DataFrameWriter has no user-metadata
+  API and pyarrow.orc does not expose writer metadata either, so this
+  lands as a sidecar ``_osm_metadata.json`` in the output directory —
+  a documented divergence; ``read_metadata`` restores the mapping.
+
+Sorted layout: the reference left 'Sort.Type_then_ID' as commented-out
+intent (OsmPbf2Orc.java:93-94); sortWithinPartitions('type','id') is the
+cheap Spark realization — it tightens ORC stripe min/max stats so
+type/id predicates prune stripes at read time, with no global shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+OSM_SCHEMA_VERSION = "0.6"
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    bounds: tuple[float, float, float, float] | None = None,
+    sort_type_then_id: bool = True,
+    bloom_filter_tags: bool = False,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write an OSM DataFrame as ORC with reference-equivalent options."""
+    out = df
+    if sort_type_then_id and {"type", "id"} <= set(df.columns):
+        out = out.sortWithinPartitions("type", "id")
+    writer = (
+        out.write.mode(mode)
+        .format("orc")
+        .option("orc.block.padding", "false")
+        .option("compression", "zlib")  # orc-core default the reference used
+    )
+    if bloom_filter_tags:
+        writer = writer.option("orc.bloom.filter.columns", "tags")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)
+
+    metadata = {"osm.schema.version": OSM_SCHEMA_VERSION}
+    if bounds is not None:
+        metadata["bounds"] = ", ".join(str(v) for v in bounds)
+    with open(os.path.join(path, "_osm_metadata.json"), "w") as f:
+        json.dump(metadata, f, indent=2, sort_keys=True)
+
+
+def read_metadata(path: str) -> dict:
+    """Read back the sidecar user metadata written by write_orc."""
+    try:
+        with open(os.path.join(path, "_osm_metadata.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -1,0 +1,128 @@
+"""Changeset XML source: ``<osm><changeset ...><tag k v/>...</osm>`` files
+-> DataFrame with CHANGESET_SCHEMA.
+
+Reference behavior being reproduced (not ported): SAX push-parse with an
+element-processor stack (standalone/OsmChangesetXml2Orc.java:92-94,
+parser/ChangesetXmlHandler.java:42-82, parser/ChangesetElementProcessor
+.java:27-74). Spark-first design: one task per input file
+(``binaryFiles``), streaming ``iterparse`` inside the task, raw string
+attributes to a typed DataFrame via declarative casts so Catalyst owns
+every conversion.
+
+Cell semantics (SURVEY.md §2B):
+- bbox decimals parsed from STRING, never through double (B4)
+- created_at/closed_at -> NULL on absence or parse failure (B6)
+- uid/user nullable — anonymous changesets (B7)
+- open = string equality with 'true' (B12)
+- tags: possibly-empty map, never NULL (B11)
+- id/num_changes/comments_count are required attributes; like the
+  reference, a file missing them is malformed (Long.parseLong would
+  throw) — we surface None -> nullable column rather than crashing the
+  whole job, which is the distributed-friendly choice.
+
+Scale: files are the split unit (XML is not safely splittable);
+parallelism = number of input files. Planet-scale changeset dumps ship
+as one big .osm.bz2 — split upstream (bzcat | split) or accept one task;
+per-task memory is constant (iterparse + element.clear()).
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+from collections.abc import Iterator
+from xml.etree.ElementTree import iterparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm2orc_spark import transforms as X
+from osm2orc_spark.schemas import CHANGESET_RAW_SCHEMA
+
+
+class NotAChangesetFileError(ValueError):
+    """Root element is not <osm> (reference ChangesetXmlHandler.java:57)."""
+
+
+def _open_stream(name: str, data: bytes):
+    if name.endswith(".bz2") or data[:3] == b"BZh":
+        return io.BytesIO(bz2.decompress(data))
+    if name.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        return io.BytesIO(gzip.decompress(data))
+    return io.BytesIO(data)
+
+
+def _long(v: str | None) -> int | None:
+    try:
+        return int(v)  # type: ignore[arg-type]
+    except (TypeError, ValueError):
+        return None
+
+
+def parse_changeset_stream(name: str, data: bytes) -> Iterator[tuple]:
+    """Stream rows (CHANGESET_RAW_SCHEMA order) from one XML file."""
+    stream = _open_stream(name, data)
+    root_seen = False
+    cs_attrs: dict | None = None
+    tags: dict[str, str] = {}
+    for event, elem in iterparse(stream, events=("start", "end")):
+        tag = elem.tag.rsplit("}", 1)[-1]
+        if event == "start":
+            if not root_seen:
+                if tag != "osm":
+                    raise NotAChangesetFileError(
+                        f"{name}: root element <{tag}> is not <osm>"
+                    )
+                root_seen = True
+            elif tag == "changeset":
+                cs_attrs = dict(elem.attrib)
+                tags = {}
+        else:  # end
+            if tag == "tag" and cs_attrs is not None:
+                k, v = elem.get("k"), elem.get("v")
+                if k is not None:
+                    tags[k] = v if v is not None else ""
+            elif tag == "changeset" and cs_attrs is not None:
+                a = cs_attrs
+                yield (
+                    _long(a.get("id")),
+                    tags,
+                    a.get("created_at"),
+                    a.get("open"),
+                    a.get("closed_at"),
+                    _long(a.get("comments_count")),
+                    a.get("min_lat"),
+                    a.get("max_lat"),
+                    a.get("min_lon"),
+                    a.get("max_lon"),
+                    _long(a.get("num_changes")),
+                    _long(a.get("uid")),
+                    a.get("user"),
+                )
+                cs_attrs = None
+            elem.clear()
+
+
+def read_changesets(spark: SparkSession, path: str) -> DataFrame:
+    """Read changeset XML file(s) at ``path`` (glob ok; .xml/.gz/.bz2)."""
+    raw_rdd = (
+        spark.sparkContext.binaryFiles(path)
+        .flatMap(lambda kv: parse_changeset_stream(kv[0], bytes(kv[1])))
+    )
+    raw = spark.createDataFrame(raw_rdd, CHANGESET_RAW_SCHEMA)
+    return raw.select(
+        F.col("id"),
+        F.coalesce("tags", F.map_from_arrays(F.array(), F.array())).alias("tags"),
+        X.optional_timestamp(F.col("created_at")).alias("created_at"),
+        X.open_flag(F.col("open")).alias("open"),
+        X.optional_timestamp(F.col("closed_at")).alias("closed_at"),
+        F.col("comments_count"),
+        X.bbox_decimal_from_string(F.col("min_lat")).alias("min_lat"),
+        X.bbox_decimal_from_string(F.col("max_lat")).alias("max_lat"),
+        X.bbox_decimal_from_string(F.col("min_lon"), lon=True).alias("min_lon"),
+        X.bbox_decimal_from_string(F.col("max_lon"), lon=True).alias("max_lon"),
+        F.col("num_changes"),
+        F.col("uid"),
+        F.col("user"),
+    )

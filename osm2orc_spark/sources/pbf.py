@@ -1,0 +1,131 @@
+"""PBF -> DataFrame source (the reference's PBF->ORC pipeline, Spark-first).
+
+Reference behavior reproduced: standalone/OsmPbf2Orc.java:118-281 —
+iterate entities with metadata, emit one wide row per entity with the
+type discriminator and §2B cell semantics. Architecture is NOT the
+reference's single-thread stream (OsmPbf2Orc.java:119-120 deliberately
+disables parallelism): we index the file's blobs driver-side (headers
+only — a few hundred bytes per ~8 MB blob), then decode blobs in
+parallel tasks, because PBF blobs are independent by format design.
+
+Dataflow:
+  scan_blob_index(path)            driver, header-only seek scan
+  -> sc.parallelize(blob_refs)     one task per blob (capped slices)
+  -> flatMap(decode)               pure-Python decode, emits raw rows
+  -> createDataFrame(RAW schema)   lat/lon as exact decimal STRINGS
+  -> declarative casts             Catalyst owns decimal/timestamp conv
+
+At 100 TB: the blob index for a planet file (~70 GB, ~9k blobs) is a
+trivial driver structure; tasks do ranged reads (local fs here; swap
+open() for an fsspec/Hadoop ranged reader for s3a://hdfs://). Decode is
+the only Python-side hot loop in the engine — it is per-blob streaming
+with constant memory, and blobs are the natural split so a 1000-executor
+cluster saturates on any planet-scale file. (A C-accelerated decoder
+drops in behind the same BlobRef->rows contract.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osm2orc_spark.schemas import LAT_TYPE, LON_TYPE
+from osm2orc_spark.sources.pbf_codec import (
+    BlobRef,
+    decode_header_block,
+    decode_primitive_block,
+    read_blob,
+    scan_blob_index,
+)
+
+# Raw decode schema: exact-string coordinates, epoch-millis timestamps.
+PLANET_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("lat", T.StringType()),
+        T.StructField("lon", T.StringType()),
+        T.StructField("nds", T.ArrayType(T.LongType())),
+        T.StructField(
+            "members",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType()),
+                        T.StructField("ref", T.LongType()),
+                        T.StructField("role", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("changeset", T.LongType()),
+        T.StructField("timestamp_ms", T.LongType()),
+        T.StructField("uid", T.LongType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("visible", T.BooleanType()),
+    ]
+)
+
+
+def _decode_blob_rows(ref: BlobRef) -> Iterator[tuple]:
+    if ref.kind != "OSMData":
+        return
+    for e in decode_primitive_block(read_blob(ref)):
+        yield (
+            e["id"],
+            e["type"],
+            e["tags"],
+            e["lat"],
+            e["lon"],
+            e["nds"],
+            e["members"],
+            e["changeset"],
+            e["timestamp_ms"],
+            e["uid"],
+            e["user"],
+            e["version"],
+            e["visible"],
+        )
+
+
+def read_pbf_bounds(path: str) -> tuple[float, float, float, float] | None:
+    """File bbox from the OSMHeader blob as (left, bottom, right, top) —
+    the reference writes this as ORC user metadata 'bounds'
+    (OsmPbf2Orc.java:122-125)."""
+    for ref in scan_blob_index(path):
+        if ref.kind == "OSMHeader":
+            return decode_header_block(read_blob(ref)).get("bounds")
+    return None
+
+
+def read_pbf(spark: SparkSession, path: str) -> DataFrame:
+    """Read an OSM PBF file into a planet/planet_history DataFrame."""
+    refs = [r for r in scan_blob_index(path) if r.kind == "OSMData"]
+    slices = max(1, min(len(refs), spark.sparkContext.defaultParallelism * 2))
+    rdd = spark.sparkContext.parallelize(refs, numSlices=slices).flatMap(
+        _decode_blob_rows
+    )
+    raw = spark.createDataFrame(rdd, PLANET_RAW_SCHEMA)
+    return raw.select(
+        "id",
+        "type",  # B1: lowercase literals emitted by the decoder
+        F.coalesce("tags", F.map_from_arrays(F.array(), F.array())).alias("tags"),
+        # B2/B4: exact string -> decimal cast, never through a double;
+        # B3: decoder emits NULL for way/relation coords
+        F.col("lat").cast(LAT_TYPE).alias("lat"),
+        F.col("lon").cast(LON_TYPE).alias("lon"),
+        # B9: array-of-struct shape, order preserved from the file
+        F.transform("nds", lambda r: F.struct(r.alias("ref"))).alias("nds"),
+        "members",  # B10: ordered structs, lowercase type, role may be ''
+        "changeset",
+        F.timestamp_millis("timestamp_ms").alias("timestamp"),  # B5
+        "uid",
+        "user",
+        "version",
+        F.coalesce("visible", F.lit(True)).alias("visible"),  # B8
+    )

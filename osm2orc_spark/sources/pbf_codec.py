@@ -1,0 +1,670 @@
+"""Pure-Python OSM PBF codec: blob framing + osmformat decode/encode.
+
+Replaces the reference's osm4j-pbf dependency (reference build.gradle:27-28,
+used via PbfIterator in standalone/OsmPbf2Orc.java:118-120) with a
+self-contained implementation of the public OSM PBF spec
+(wiki.openstreetmap.org/wiki/PBF_Format):
+
+- file framing: [int4 BE header-len][BlobHeader][Blob], repeated
+- BlobHeader {1:type, 2:indexdata, 3:datasize}
+- Blob {1:raw, 2:raw_size, 3:zlib_data}
+- HeaderBlock {1:bbox{1:left,2:right,3:top,4:bottom sint64 nanodeg}}
+- PrimitiveBlock {1:stringtable{1:bytes*}, 2:group*, 17:granularity=100,
+  18:date_granularity=1000, 19:lat_offset, 20:lon_offset}
+- PrimitiveGroup {1:Node*, 2:DenseNodes, 3:Way*, 4:Relation*}
+- DenseNodes {1:id sint64 packed delta, 5:DenseInfo, 8:lat, 9:lon packed
+  delta, 10:keys_vals interleaved (0 terminates a node)}
+- DenseInfo {1:version, 2:timestamp delta, 3:changeset delta, 4:uid delta,
+  5:user_sid delta, 6:visible}
+- Way {1:id, 2:keys, 3:vals, 4:Info, 8:refs sint64 packed delta}
+- Relation {1:id, 2:keys, 3:vals, 4:Info, 8:roles_sid, 9:memids sint64
+  packed delta, 10:types enum(0=node,1=way,2=relation)}
+- Info {1:version, 2:timestamp, 3:changeset, 4:uid, 5:user_sid, 6:visible}
+
+The encoder exists for test fixtures (the reference has no writer either;
+its validation was manual runs on real extracts — SURVEY.md §5).
+
+Coordinates decode via INTEGER nanodegree arithmetic into decimal
+strings, so DECIMAL(9,7)/(10,7) casts downstream are exact and never
+route through a double (mirrors the cell-exactness rule of SURVEY §2B/B4;
+the reference's double path is reproduced bit-for-bit for 7-decimal
+values, which is everything the default granularity=100 can encode).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+NANO = 10**9
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _zigzag_decode(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _zigzag_encode(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _write_varint(out: bytearray, v: int) -> None:
+    if v < 0:
+        v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
+    """Yield (field_number, wire_type, value) over a message buffer."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        fieldno, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:
+            val = struct.unpack_from("<q", buf, pos)[0]
+            pos += 8
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:
+            val = struct.unpack_from("<i", buf, pos)[0]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield fieldno, wire, val
+
+
+def _packed_varints(buf: bytes) -> list[int]:
+    out = []
+    pos = 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _tag(out: bytearray, fieldno: int, wire: int) -> None:
+    _write_varint(out, (fieldno << 3) | wire)
+
+
+def _emit_bytes(out: bytearray, fieldno: int, data: bytes) -> None:
+    _tag(out, fieldno, 2)
+    _write_varint(out, len(data))
+    out.extend(data)
+
+
+def _emit_varint(out: bytearray, fieldno: int, v: int) -> None:
+    _tag(out, fieldno, 0)
+    _write_varint(out, v)
+
+
+def _emit_packed(out: bytearray, fieldno: int, vals: list[int], zigzag: bool = False) -> None:
+    body = bytearray()
+    for v in vals:
+        _write_varint(body, _zigzag_encode(v) if zigzag else v)
+    _emit_bytes(out, fieldno, bytes(body))
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BlobRef:
+    """Location of one data blob inside a PBF file (the parallel split unit)."""
+
+    path: str
+    offset: int  # file offset of the Blob message body
+    size: int
+    kind: str  # 'OSMHeader' | 'OSMData'
+
+
+def scan_blob_index(path: str) -> list[BlobRef]:
+    """Driver-side index scan: reads only the 4-byte lengths and
+    BlobHeaders (a few hundred bytes per ~8 MB blob), never blob payloads.
+    This is what makes PBF ingestion embarrassingly parallel: each BlobRef
+    becomes an independent task that seeks straight to its payload."""
+    refs: list[BlobRef] = []
+    with open(path, "rb") as f:
+        while True:
+            lenbuf = f.read(4)
+            if len(lenbuf) < 4:
+                break
+            header_len = struct.unpack(">i", lenbuf)[0]
+            header = f.read(header_len)
+            kind, datasize = "", 0
+            for fieldno, _, val in _fields(header):
+                if fieldno == 1:
+                    kind = bytes(val).decode("utf-8")
+                elif fieldno == 3:
+                    datasize = val
+            offset = f.tell()
+            refs.append(BlobRef(path, offset, datasize, kind))
+            f.seek(offset + datasize)
+    return refs
+
+
+def read_blob(ref: BlobRef) -> bytes:
+    """Fetch + decompress one blob's payload (ranged read)."""
+    with open(ref.path, "rb") as f:
+        f.seek(ref.offset)
+        blob = f.read(ref.size)
+    raw = None
+    for fieldno, _, val in _fields(blob):
+        if fieldno == 1:
+            raw = bytes(val)
+        elif fieldno == 3:
+            raw = zlib.decompress(bytes(val))
+        elif fieldno in (4, 5, 6, 7):
+            raise ValueError("unsupported PBF compression (only raw/zlib)")
+    if raw is None:
+        raise ValueError("empty Blob")
+    return raw
+
+
+def decode_header_block(data: bytes) -> dict:
+    """HeaderBlock -> {'bounds': (left, bottom, right, top) degrees} | {}.
+
+    The bounds tuple ordering matches the reference's ORC user-metadata
+    string "left, bottom, right, top" (OsmPbf2Orc.java:122-125)."""
+    out: dict = {}
+    for fieldno, _, val in _fields(data):
+        if fieldno == 1:
+            bbox = {}
+            for f2, _, v2 in _fields(bytes(val)):
+                bbox[f2] = _zigzag_decode(v2)
+            if bbox:
+                out["bounds"] = (
+                    bbox.get(1, 0) / NANO,
+                    bbox.get(4, 0) / NANO,
+                    bbox.get(2, 0) / NANO,
+                    bbox.get(3, 0) / NANO,
+                )
+    return out
+
+
+def _nano_to_decimal_str(nano: int) -> str:
+    """Exact nanodegrees -> decimal-degree string (no float involved)."""
+    sign = "-" if nano < 0 else ""
+    a = abs(nano)
+    return f"{sign}{a // NANO}.{a % NANO:09d}"
+
+
+def _decode_info(buf: bytes, strings: list[str]) -> dict:
+    info = {"version": -1, "timestamp": None, "changeset": None, "uid": None, "user": None, "visible": True}
+    for fieldno, _, val in _fields(buf):
+        if fieldno == 1:
+            info["version"] = val
+        elif fieldno == 2:
+            info["timestamp"] = val
+        elif fieldno == 3:
+            info["changeset"] = val
+        elif fieldno == 4:
+            info["uid"] = val
+        elif fieldno == 5:
+            info["user"] = strings[val]
+        elif fieldno == 6:
+            info["visible"] = bool(val)
+    return info
+
+
+def decode_primitive_block(data: bytes) -> Iterator[dict]:
+    """PrimitiveBlock -> entity dicts (uniform row shape for all 3 kinds).
+
+    Yields: {'id','type','tags','lat','lon','nds','members','changeset',
+    'timestamp_ms','uid','user','version','visible'} with lat/lon as exact
+    decimal strings (or None)."""
+    strings: list[str] = []
+    groups: list[bytes] = []
+    granularity, date_granularity = 100, 1000
+    lat_offset = lon_offset = 0
+    for fieldno, _, val in _fields(data):
+        if fieldno == 1:
+            strings = [
+                bytes(v).decode("utf-8")
+                for f2, _, v in _fields(bytes(val))
+                if f2 == 1
+            ]
+        elif fieldno == 2:
+            groups.append(bytes(val))
+        elif fieldno == 17:
+            granularity = val
+        elif fieldno == 18:
+            date_granularity = val
+        elif fieldno == 19:  # int64 (two's-complement varint, not zigzag)
+            lat_offset = val - (1 << 64) if val >= (1 << 63) else val
+        elif fieldno == 20:
+            lon_offset = val - (1 << 64) if val >= (1 << 63) else val
+
+    def coord(off: int, raw: int) -> str:
+        return _nano_to_decimal_str(off + granularity * raw)
+
+    def ts_ms(t: int | None) -> int | None:
+        return None if t is None else t * date_granularity
+
+    for group in groups:
+        for fieldno, _, val in _fields(group):
+            gbuf = bytes(val)
+            if fieldno == 1:  # plain Node
+                node = {"keys": [], "vals": [], "info": {}}
+                nid = lat = lon = None
+                for f2, _, v2 in _fields(gbuf):
+                    if f2 == 1:
+                        nid = _zigzag_decode(v2)
+                    elif f2 == 2:
+                        node["keys"] = _packed_varints(bytes(v2))
+                    elif f2 == 3:
+                        node["vals"] = _packed_varints(bytes(v2))
+                    elif f2 == 4:
+                        node["info"] = _decode_info(bytes(v2), strings)
+                    elif f2 == 8:
+                        lat = _zigzag_decode(v2)
+                    elif f2 == 9:
+                        lon = _zigzag_decode(v2)
+                info = node["info"] or _decode_info(b"", strings)
+                yield {
+                    "id": nid,
+                    "type": "node",
+                    "tags": {
+                        strings[k]: strings[v]
+                        for k, v in zip(node["keys"], node["vals"])
+                    },
+                    "lat": coord(lat_offset, lat),
+                    "lon": coord(lon_offset, lon),
+                    "nds": [],
+                    "members": [],
+                    "changeset": info.get("changeset"),
+                    "timestamp_ms": ts_ms(info.get("timestamp")),
+                    "uid": info.get("uid"),
+                    "user": info.get("user"),
+                    "version": info.get("version", -1),
+                    "visible": info.get("visible", True),
+                }
+            elif fieldno == 2:  # DenseNodes
+                ids: list[int] = []
+                lats: list[int] = []
+                lons: list[int] = []
+                keys_vals: list[int] = []
+                dense_info: dict[str, list[int]] = {}
+                for f2, _, v2 in _fields(gbuf):
+                    if f2 == 1:
+                        ids = [_zigzag_decode(x) for x in _packed_varints(bytes(v2))]
+                    elif f2 == 5:
+                        for f3, _, v3 in _fields(bytes(v2)):
+                            vals3 = _packed_varints(bytes(v3))
+                            if f3 == 1:
+                                dense_info["version"] = vals3
+                            elif f3 == 2:
+                                dense_info["timestamp"] = [
+                                    _zigzag_decode(x) for x in vals3
+                                ]
+                            elif f3 == 3:
+                                dense_info["changeset"] = [
+                                    _zigzag_decode(x) for x in vals3
+                                ]
+                            elif f3 == 4:
+                                dense_info["uid"] = [_zigzag_decode(x) for x in vals3]
+                            elif f3 == 5:
+                                dense_info["user_sid"] = [
+                                    _zigzag_decode(x) for x in vals3
+                                ]
+                            elif f3 == 6:
+                                dense_info["visible"] = vals3
+                    elif f2 == 8:
+                        lats = [_zigzag_decode(x) for x in _packed_varints(bytes(v2))]
+                    elif f2 == 9:
+                        lons = [_zigzag_decode(x) for x in _packed_varints(bytes(v2))]
+                    elif f2 == 10:
+                        keys_vals = _packed_varints(bytes(v2))
+                # un-delta
+                acc_id = acc_lat = acc_lon = acc_ts = acc_cs = acc_uid = acc_sid = 0
+                kv_pos = 0
+                for i in range(len(ids)):
+                    acc_id += ids[i]
+                    acc_lat += lats[i]
+                    acc_lon += lons[i]
+                    tags = {}
+                    while kv_pos < len(keys_vals) and keys_vals[kv_pos] != 0:
+                        k = keys_vals[kv_pos]
+                        v = keys_vals[kv_pos + 1]
+                        tags[strings[k]] = strings[v]
+                        kv_pos += 2
+                    kv_pos += 1  # skip 0 terminator
+                    info: dict = {}
+                    if dense_info:
+                        if "timestamp" in dense_info:
+                            acc_ts += dense_info["timestamp"][i]
+                            info["timestamp"] = acc_ts
+                        if "changeset" in dense_info:
+                            acc_cs += dense_info["changeset"][i]
+                            info["changeset"] = acc_cs
+                        if "uid" in dense_info:
+                            acc_uid += dense_info["uid"][i]
+                            info["uid"] = acc_uid
+                        if "user_sid" in dense_info:
+                            acc_sid += dense_info["user_sid"][i]
+                            info["user"] = strings[acc_sid]
+                        if "version" in dense_info:
+                            info["version"] = dense_info["version"][i]
+                        if "visible" in dense_info:
+                            info["visible"] = bool(dense_info["visible"][i])
+                    yield {
+                        "id": acc_id,
+                        "type": "node",
+                        "tags": tags,
+                        "lat": coord(lat_offset, acc_lat),
+                        "lon": coord(lon_offset, acc_lon),
+                        "nds": [],
+                        "members": [],
+                        "changeset": info.get("changeset"),
+                        "timestamp_ms": ts_ms(info.get("timestamp")),
+                        "uid": info.get("uid"),
+                        "user": info.get("user"),
+                        "version": info.get("version", -1),
+                        "visible": info.get("visible", True),
+                    }
+            elif fieldno in (3, 4):  # Way | Relation
+                eid = None
+                keys: list[int] = []
+                vals: list[int] = []
+                info = {}
+                refs: list[int] = []
+                roles: list[int] = []
+                memids: list[int] = []
+                types: list[int] = []
+                for f2, _, v2 in _fields(gbuf):
+                    if f2 == 1:
+                        eid = v2
+                    elif f2 == 2:
+                        keys = _packed_varints(bytes(v2))
+                    elif f2 == 3:
+                        vals = _packed_varints(bytes(v2))
+                    elif f2 == 4:
+                        info = _decode_info(bytes(v2), strings)
+                    elif f2 == 8 and fieldno == 3:
+                        refs = [_zigzag_decode(x) for x in _packed_varints(bytes(v2))]
+                    elif f2 == 8 and fieldno == 4:
+                        roles = _packed_varints(bytes(v2))
+                    elif f2 == 9:
+                        memids = [_zigzag_decode(x) for x in _packed_varints(bytes(v2))]
+                    elif f2 == 10:
+                        types = _packed_varints(bytes(v2))
+                tags = {strings[k]: strings[v] for k, v in zip(keys, vals)}
+                common = {
+                    "id": eid,
+                    "tags": tags,
+                    "lat": None,  # B3: NULL coords for ways/relations
+                    "lon": None,
+                    "changeset": info.get("changeset"),
+                    "timestamp_ms": ts_ms(info.get("timestamp")),
+                    "uid": info.get("uid"),
+                    "user": info.get("user"),
+                    "version": info.get("version", -1),
+                    "visible": info.get("visible", True),
+                }
+                if fieldno == 3:
+                    acc = 0
+                    nds = []
+                    for d in refs:
+                        acc += d
+                        nds.append(acc)
+                    yield {**common, "type": "way", "nds": nds, "members": []}
+                else:
+                    # member type enum 0/1/2 -> lowercase string
+                    # (reference lowercases osmosis enum, OsmPbf2Orc.java:253-269;
+                    # unknown member type is an error, :268)
+                    type_names = {0: "node", 1: "way", 2: "relation"}
+                    acc = 0
+                    members = []
+                    for i, d in enumerate(memids):
+                        acc += d
+                        if types[i] not in type_names:
+                            raise ValueError(f"unknown member type {types[i]}")
+                        members.append(
+                            (type_names[types[i]], acc, strings[roles[i]])
+                        )
+                    yield {**common, "type": "relation", "nds": [], "members": members}
+
+
+# ---------------------------------------------------------------------------
+# encode (fixture writer)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PbfWriter:
+    """Minimal PBF writer for building test fixtures.
+
+    Entities are dicts: {'id','type','tags','lat','lon' (degrees float or
+    str),'nds','members','changeset','timestamp_ms','uid','user','version',
+    'visible'}. Nodes are written as DenseNodes (exercising delta + string
+    table decode paths); ways/relations as their messages with Info."""
+
+    bounds: tuple[float, float, float, float] | None = None  # left,bottom,right,top
+    _entities: list[dict] = field(default_factory=list)
+
+    def add(self, **entity) -> None:
+        self._entities.append(entity)
+
+    # -- string table ------------------------------------------------------
+    def _build_strings(self) -> tuple[list[str], dict[str, int]]:
+        table = [""]  # index 0 reserved
+        index = {"": 0}
+
+        def intern(s: str) -> int:
+            if s not in index:
+                index[s] = len(table)
+                table.append(s)
+            return index[s]
+
+        for e in self._entities:
+            for k, v in (e.get("tags") or {}).items():
+                intern(k)
+                intern(v)
+            if e.get("user") is not None:
+                intern(e["user"])
+            for m in e.get("members") or []:
+                intern(m[2] if isinstance(m, tuple) else m["role"])
+        return table, index
+
+    def _encode_info(self, e: dict, index: dict[str, int]) -> bytes:
+        out = bytearray()
+        _emit_varint(out, 1, e.get("version", 1))
+        if e.get("timestamp_ms") is not None:
+            _emit_varint(out, 2, e["timestamp_ms"] // 1000)
+        if e.get("changeset") is not None:
+            _emit_varint(out, 3, e["changeset"])
+        if e.get("uid") is not None:
+            _emit_varint(out, 4, e["uid"])
+        if e.get("user") is not None:
+            _emit_varint(out, 5, index[e["user"]])
+        _emit_varint(out, 6, 1 if e.get("visible", True) else 0)
+        return bytes(out)
+
+    @staticmethod
+    def _deg_to_nano(v) -> int:
+        # exact: accept str ('12.3456789') or float; route via str to
+        # avoid binary-fraction drift in fixtures
+        s = str(v)
+        neg = s.startswith("-")
+        if neg:
+            s = s[1:]
+        whole, _, frac = s.partition(".")
+        nano = int(whole) * NANO + int((frac + "000000000")[:9] or 0)
+        return -nano if neg else nano
+
+    def _encode_dense(self, nodes: list[dict], index: dict[str, int]) -> bytes:
+        ids, lats, lons, kvs = [], [], [], []
+        versions, tss, css, uids, sids, viss = [], [], [], [], [], []
+        prev = {"id": 0, "lat": 0, "lon": 0, "ts": 0, "cs": 0, "uid": 0, "sid": 0}
+        for e in nodes:
+            ids.append(e["id"] - prev["id"])
+            prev["id"] = e["id"]
+            lat = self._deg_to_nano(e["lat"]) // 100
+            lon = self._deg_to_nano(e["lon"]) // 100
+            lats.append(lat - prev["lat"])
+            prev["lat"] = lat
+            lons.append(lon - prev["lon"])
+            prev["lon"] = lon
+            for k, v in (e.get("tags") or {}).items():
+                kvs.extend([index[k], index[v]])
+            kvs.append(0)
+            versions.append(e.get("version", 1))
+            ts = (e.get("timestamp_ms") or 0) // 1000
+            tss.append(ts - prev["ts"])
+            prev["ts"] = ts
+            cs = e.get("changeset") or 0
+            css.append(cs - prev["cs"])
+            prev["cs"] = cs
+            uid = e.get("uid") or 0
+            uids.append(uid - prev["uid"])
+            prev["uid"] = uid
+            sid = index.get(e.get("user") or "", 0)
+            sids.append(sid - prev["sid"])
+            prev["sid"] = sid
+            viss.append(1 if e.get("visible", True) else 0)
+        dinfo = bytearray()
+        _emit_packed(dinfo, 1, versions)
+        _emit_packed(dinfo, 2, tss, zigzag=True)
+        _emit_packed(dinfo, 3, css, zigzag=True)
+        _emit_packed(dinfo, 4, uids, zigzag=True)
+        _emit_packed(dinfo, 5, sids, zigzag=True)
+        _emit_packed(dinfo, 6, viss)
+        dense = bytearray()
+        _emit_packed(dense, 1, ids, zigzag=True)
+        _emit_bytes(dense, 5, bytes(dinfo))
+        _emit_packed(dense, 8, lats, zigzag=True)
+        _emit_packed(dense, 9, lons, zigzag=True)
+        _emit_packed(dense, 10, kvs)
+        group = bytearray()
+        _emit_bytes(group, 2, bytes(dense))
+        return bytes(group)
+
+    def _encode_way(self, e: dict, index: dict[str, int]) -> bytes:
+        out = bytearray()
+        _emit_varint(out, 1, e["id"])
+        tags = e.get("tags") or {}
+        _emit_packed(out, 2, [index[k] for k in tags])
+        _emit_packed(out, 3, [index[v] for v in tags.values()])
+        _emit_bytes(out, 4, self._encode_info(e, index))
+        deltas = []
+        prev = 0
+        for r in e.get("nds") or []:
+            deltas.append(r - prev)
+            prev = r
+        _emit_packed(out, 8, deltas, zigzag=True)
+        group = bytearray()
+        _emit_bytes(group, 3, bytes(out))
+        return bytes(group)
+
+    def _encode_relation(self, e: dict, index: dict[str, int]) -> bytes:
+        type_ids = {"node": 0, "way": 1, "relation": 2}
+        out = bytearray()
+        _emit_varint(out, 1, e["id"])
+        tags = e.get("tags") or {}
+        _emit_packed(out, 2, [index[k] for k in tags])
+        _emit_packed(out, 3, [index[v] for v in tags.values()])
+        _emit_bytes(out, 4, self._encode_info(e, index))
+        members = [
+            m if isinstance(m, tuple) else (m["type"], m["ref"], m["role"])
+            for m in e.get("members") or []
+        ]
+        _emit_packed(out, 8, [index[m[2]] for m in members])
+        deltas = []
+        prev = 0
+        for m in members:
+            deltas.append(m[1] - prev)
+            prev = m[1]
+        _emit_packed(out, 9, deltas, zigzag=True)
+        _emit_packed(out, 10, [type_ids[m[0]] for m in members])
+        group = bytearray()
+        _emit_bytes(group, 4, bytes(out))
+        return bytes(group)
+
+    def _blob(self, kind: str, payload: bytes, out: bytearray) -> None:
+        blob = bytearray()
+        compressed = zlib.compress(payload)
+        _emit_varint(blob, 2, len(payload))
+        _emit_bytes(blob, 3, compressed)
+        header = bytearray()
+        _emit_bytes(header, 1, kind.encode())
+        _emit_varint(header, 3, len(blob))
+        out.extend(struct.pack(">i", len(header)))
+        out.extend(header)
+        out.extend(blob)
+
+    def tobytes(self, nodes_per_block: int | None = None) -> bytes:
+        out = bytearray()
+        # header blob
+        hb = bytearray()
+        if self.bounds is not None:
+            left, bottom, right, top = self.bounds
+            bbox = bytearray()
+            _emit_varint(bbox, 1, _zigzag_encode(self._deg_to_nano(left)))
+            _emit_varint(bbox, 2, _zigzag_encode(self._deg_to_nano(right)))
+            _emit_varint(bbox, 3, _zigzag_encode(self._deg_to_nano(top)))
+            _emit_varint(bbox, 4, _zigzag_encode(self._deg_to_nano(bottom)))
+            _emit_bytes(hb, 1, bytes(bbox))
+        _emit_bytes(hb, 4, b"OsmSchema-V0.6")
+        _emit_bytes(hb, 4, b"DenseNodes")
+        self._blob("OSMHeader", bytes(hb), out)
+
+        strings, index = self._build_strings()
+
+        def primitive_block(groups: list[bytes]) -> bytes:
+            st = bytearray()
+            for s in strings:
+                _emit_bytes(st, 1, s.encode("utf-8"))
+            pb = bytearray()
+            _emit_bytes(pb, 1, bytes(st))
+            for g in groups:
+                _emit_bytes(pb, 2, g)
+            return bytes(pb)
+
+        nodes = [e for e in self._entities if e["type"] == "node"]
+        ways = [e for e in self._entities if e["type"] == "way"]
+        rels = [e for e in self._entities if e["type"] == "relation"]
+        chunk = nodes_per_block or len(nodes) or 1
+        for i in range(0, len(nodes), chunk):
+            batch = nodes[i : i + chunk]
+            if batch:
+                self._blob("OSMData", primitive_block([self._encode_dense(batch, index)]), out)
+        groups = [self._encode_way(w, index) for w in ways] + [
+            self._encode_relation(r, index) for r in rels
+        ]
+        if groups:
+            self._blob("OSMData", primitive_block(groups), out)
+        return bytes(out)
+
+    def write(self, path: str, nodes_per_block: int | None = None) -> None:
+        with open(path, "wb") as f:
+            f.write(self.tobytes(nodes_per_block))

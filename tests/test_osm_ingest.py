@@ -1,0 +1,193 @@
+"""Ingest golden tests (SURVEY.md §5.2): PBF and changeset-XML fixtures
+through the sources, asserting every §2B cell-semantics edge case."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from osm2orc_spark.fixtures import (
+    changeset_rows,
+    planet_history_entities,
+    write_pbf_fixture,
+    write_xml_fixture,
+)
+from osm2orc_spark.sinks.orc import read_metadata, write_orc
+from osm2orc_spark.sources.changeset_xml import (
+    NotAChangesetFileError,
+    parse_changeset_stream,
+    read_changesets,
+)
+from osm2orc_spark.sources.pbf import read_pbf, read_pbf_bounds
+
+
+@pytest.fixture(scope="module")
+def pbf_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("pbf") / "tiny.osm.pbf"
+    write_pbf_fixture(str(p))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def xml_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("xml") / "changesets.osm.xml"
+    write_xml_fixture(str(p))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def planet(spark, pbf_path):
+    df = read_pbf(spark, pbf_path)
+    df.cache()
+    df.count()
+    return df
+
+
+class TestPbf:
+    def test_row_count_matches_fixture(self, planet):
+        assert planet.count() == len(planet_history_entities())
+
+    def test_bounds_header(self, pbf_path):
+        left, bottom, right, top = read_pbf_bounds(pbf_path)
+        assert (left, bottom, right, top) == (-74.06, 40.68, -74.03, 40.70)
+
+    def test_types_lowercase(self, planet):
+        types = {r["type"] for r in planet.select("type").distinct().collect()}
+        assert types == {"node", "way", "relation"}
+
+    def test_node_coords_exact_decimal(self, planet):
+        # Liberty node has full 7-decimal coordinates (B2/B4 exactness)
+        row = planet.filter("id = 1202 and type = 'node'").first()
+        assert row["lat"] == Decimal("40.6892494")
+        assert row["lon"] == Decimal("-74.0445004")
+
+    def test_way_relation_null_coords(self, planet):
+        # B3: explicit NULL lat/lon for ways/relations
+        assert planet.filter("type != 'node' and (lat is not null or lon is not null)").count() == 0
+
+    def test_collections_never_null(self, planet):
+        # B11: tags/nds/members are empty, never NULL
+        assert planet.filter("tags is null or nds is null or members is null").count() == 0
+
+    def test_zero_nd_way_and_big_way(self, planet):
+        assert planet.filter("id = 10001 and type = 'way'").first()["nds"] == []
+        big = planet.filter("id = 10002 and type = 'way' and version = 1").first()
+        assert len(big["nds"]) == 2100  # batch-boundary stress (FIXTURES.md)
+
+    def test_nds_shape_and_order(self, planet):
+        # B9: array-of-struct, file order preserved
+        fixture = {
+            (e["id"], e["version"]): e
+            for e in planet_history_entities()
+            if e["type"] == "way"
+        }
+        row = planet.filter("id = 10003 and type = 'way' and version = 1").first()
+        expected = fixture[(10003, 1)]["nds"]
+        assert [nd["ref"] for nd in row["nds"]] == expected
+        assert expected[-1] == 999_999  # dangling ref survives
+
+    def test_members_shape(self, planet):
+        # B10: ordered structs, lowercase type, role may be ''
+        row = planet.filter("id = 20002 and type = 'relation'").first()
+        ms = [(m["type"], m["ref"], m["role"]) for m in row["members"]]
+        fixture = [
+            e for e in planet_history_entities() if e["id"] == 20002 and e["type"] == "relation"
+        ][0]["members"]
+        assert ms == fixture
+        assert any(r == "" for _, _, r in ms)
+
+    def test_zero_member_relation(self, planet):
+        assert planet.filter("id = 20001 and type = 'relation'").first()["members"] == []
+
+    def test_history_versions_and_deletes(self, planet):
+        hist = planet.filter("id = 10 and type = 'node'").orderBy("version").collect()
+        assert len(hist) > 1
+        assert hist[-1]["visible"] is False  # deleted last version
+        assert all(h["visible"] for h in hist[:-1])
+
+    def test_timestamp_utc_millis(self, planet):
+        # B5: epoch millis, UTC; fixture base is 2015-01-01 + offsets
+        e = [x for x in planet_history_entities() if x["id"] == 1 and x["version"] == 1][0]
+        row = planet.filter("id = 1 and type = 'node' and version = 1").first()
+        expected = dt.datetime.fromtimestamp(e["timestamp_ms"] / 1000, dt.timezone.utc)
+        assert row["timestamp"].replace(tzinfo=dt.timezone.utc) == expected
+
+    def test_tags_roundtrip(self, planet):
+        e = [x for x in planet_history_entities() if x["id"] == 33 and x["version"] == 1][0]
+        row = planet.filter("id = 33 and type = 'node' and version = 1").first()
+        assert dict(row["tags"]) == e["tags"]
+
+
+class TestChangesetXml:
+    @pytest.fixture(scope="class")
+    def cs(self, spark, xml_path):
+        df = read_changesets(spark, xml_path)
+        df.cache()
+        df.count()
+        return df
+
+    def test_count(self, cs):
+        assert cs.count() == len(changeset_rows())
+
+    def test_open_changeset_null_closed(self, cs):
+        # open=true -> closed_at NULL (B6/B12)
+        assert cs.filter("open = true and closed_at is not null").count() == 0
+        assert cs.filter("open = true").count() > 0
+
+    def test_anonymous(self, cs):
+        # B7: nullable uid/user
+        assert cs.filter("uid is null and user is null").count() > 0
+
+    def test_bbox_exact_decimal(self, cs):
+        rows = {r["id"]: r for r in changeset_rows()}
+        some = cs.filter("min_lat is not null").limit(20).collect()
+        assert some
+        for r in some:
+            exp = rows[r["id"]]
+            assert r["min_lat"] == Decimal(exp["min_lat"]), (r["id"], exp)
+            assert r["max_lon"] == Decimal(exp["max_lon"])
+
+    def test_bboxless(self, cs):
+        assert cs.filter(
+            "min_lat is null and max_lat is null and min_lon is null and max_lon is null"
+        ).count() > 0
+
+    def test_tags_empty_map_not_null(self, cs):
+        assert cs.filter("tags is null").count() == 0
+
+    def test_created_at_parsed(self, cs):
+        row = cs.filter("id = 1").first()
+        assert row["created_at"] == dt.datetime(2015, 1, 1, 1, 0, 0)
+
+    def test_malformed_root_raises(self):
+        bad = b'<?xml version="1.0"?><notosm><changeset id="1"/></notosm>'
+        with pytest.raises(NotAChangesetFileError):
+            list(parse_changeset_stream("bad.xml", bad))
+
+
+class TestOrcSink:
+    def test_roundtrip_with_metadata(self, spark, planet, tmp_path):
+        out = str(tmp_path / "planet.orc")
+        write_orc(planet, out, bounds=(-74.06, 40.68, -74.03, 40.70))
+        back = spark.read.orc(out)
+        assert back.count() == planet.count()
+        # ORC read-back marks everything nullable (incl. nested element
+        # nullability); names+types must match, nullability flags may not
+        assert back.schema.simpleString() == planet.schema.simpleString()
+        meta = read_metadata(out)
+        assert meta["osm.schema.version"] == "0.6"
+        assert meta["bounds"] == "-74.06, 40.68, -74.03, 40.7"
+
+    def test_block_padding_and_readable_by_pyarrow(self, spark, planet, tmp_path):
+        import glob
+
+        import pyarrow.orc as po
+
+        out = str(tmp_path / "p2.orc")
+        write_orc(planet.limit(10), out)
+        files = glob.glob(out + "/*.orc") or glob.glob(out + "/part-*")
+        assert files
+        table = po.ORCFile(files[0]).read()
+        assert table.num_rows > 0
