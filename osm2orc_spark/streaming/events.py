@@ -1,0 +1,109 @@
+"""Structured Streaming over the events table.
+
+The reference is bounded-files-only (SURVEY.md §2C: no streaming
+operators in its surface), so this module is part of the beyond-reference
+pipeline layer: the same hourly rollup and sessionization semantics as
+the batch queries (relational.py: tumbling_window_hourly /
+sessionize_events), expressed as streams with watermarked state.
+
+Design: readStream over a parquet directory stands in for the real
+source (kafka/kinesis) — the transformation graph is source-agnostic.
+Each streaming query has a batch twin in the registry whose oracle
+certifies the aggregation logic; the streaming tests then certify the
+incremental execution (memory sink + processAllAvailable).
+
+Scale posture: watermarks bound state (1h window + 30min late-data
+allowance => state per key is a handful of open windows); the windowed
+agg shuffles on (window, event_type) with partial aggregation upstream,
+identical to the batch plan. applyInPandasWithState would be the escape
+hatch for custom session state; the built-in session_window covers the
+gap-sessionization case without custom state code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (parquet TIMESTAMP(NANOS))
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """readStream over events parquet (nanos ts -> timestamp).
+
+    ``path`` may be a directory or a single file — the streaming file
+    source requires a directory, so a file path becomes parent-dir +
+    pathGlobFilter on the file name."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    )
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming twin of tumbling_window_hourly: watermarked 1h windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Streaming gap-sessionization via the built-in session_window —
+    the stateful twin of sessionize_events (same 30-minute gap rule)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming query to completion over the bounded input and
+    return the materialized result (complete output mode)."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,154 @@
+"""Property-based roundtrips for the PBF codec (SURVEY.md §5.4):
+random entities -> encode -> decode == input. Pure codec level (no Spark)
+so hypothesis can run hundreds of cases quickly."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm2orc_spark.sources.pbf_codec import (
+    PbfWriter,
+    decode_header_block,
+    decode_primitive_block,
+    read_blob,
+    scan_blob_index,
+)
+
+tag_text = st.text(
+    alphabet=st.characters(whitelist_categories=("L", "N", "P", "Zs")),
+    min_size=0,
+    max_size=30,
+)
+coord_lat = st.integers(min_value=-90 * 10**7, max_value=90 * 10**7).map(
+    lambda v: f"{'-' if v < 0 else ''}{abs(v) // 10**7}.{abs(v) % 10**7:07d}"
+)
+coord_lon = st.integers(min_value=-180 * 10**7, max_value=180 * 10**7).map(
+    lambda v: f"{'-' if v < 0 else ''}{abs(v) // 10**7}.{abs(v) % 10**7:07d}"
+)
+tags = st.dictionaries(st.text(min_size=1, max_size=10), tag_text, max_size=5)
+info = {
+    "changeset": st.integers(min_value=0, max_value=2**40),
+    "timestamp_ms": st.integers(min_value=0, max_value=2**41).map(lambda v: v - v % 1000),
+    "uid": st.integers(min_value=0, max_value=2**31 - 1),
+    "user": st.text(min_size=0, max_size=12),
+    "version": st.integers(min_value=1, max_value=100),
+    "visible": st.booleans(),
+}
+
+
+def nodes_strategy():
+    return st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.integers(min_value=0, max_value=2**45),
+                "lat": coord_lat,
+                "lon": coord_lon,
+                "tags": tags,
+                **info,
+            }
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda e: e["id"],
+    )
+
+
+def ways_strategy():
+    return st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.integers(min_value=0, max_value=2**45),
+                "nds": st.lists(st.integers(min_value=0, max_value=2**45), max_size=20),
+                "tags": tags,
+                **info,
+            }
+        ),
+        max_size=10,
+        unique_by=lambda e: e["id"],
+    )
+
+
+def relations_strategy():
+    member = st.tuples(
+        st.sampled_from(["node", "way", "relation"]),
+        st.integers(min_value=0, max_value=2**45),
+        st.text(max_size=8),
+    )
+    return st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.integers(min_value=0, max_value=2**45),
+                "members": st.lists(member, max_size=8),
+                "tags": tags,
+                **info,
+            }
+        ),
+        max_size=10,
+        unique_by=lambda e: e["id"],
+    )
+
+
+def _decode_all(data: bytes, tmp_path) -> list[dict]:
+    p = tmp_path / "t.pbf"
+    p.write_bytes(data)
+    out = []
+    for ref in scan_blob_index(str(p)):
+        if ref.kind == "OSMData":
+            out.extend(decode_primitive_block(read_blob(ref)))
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(nodes=nodes_strategy(), ways=ways_strategy(), rels=relations_strategy())
+def test_roundtrip(tmp_path_factory, nodes, ways, rels):
+    tmp = tmp_path_factory.mktemp("prop")
+    w = PbfWriter()
+    for e in nodes:
+        w.add(type="node", **e)
+    for e in ways:
+        w.add(type="way", **e)
+    for e in rels:
+        w.add(type="relation", **e)
+    decoded = _decode_all(w.tobytes(nodes_per_block=7), tmp)
+
+    by_key = {(d["type"], d["id"]): d for d in decoded}
+    assert len(decoded) == len(nodes) + len(ways) + len(rels)
+    for e in nodes:
+        d = by_key[("node", e["id"])]
+        # coordinates: writer quantizes to granularity=100 (7 decimals kept)
+        assert d["lat"].rstrip("0").rstrip(".") == (
+            f"{float(e['lat']):.7f}".rstrip("0").rstrip(".")
+        ) or d["lat"].startswith(e["lat"][: e["lat"].index(".") + 8])
+        assert d["tags"] == e["tags"]
+        assert d["version"] == e["version"]
+        assert d["visible"] == e["visible"]
+        assert d["timestamp_ms"] == e["timestamp_ms"]
+        assert d["changeset"] == e["changeset"]
+        assert d["uid"] == e["uid"]
+        assert d["user"] == e["user"]
+    for e in ways:
+        d = by_key[("way", e["id"])]
+        assert d["nds"] == e["nds"]  # order-preserving (B9)
+        assert d["tags"] == e["tags"]
+        assert d["lat"] is None and d["lon"] is None  # B3
+    for e in rels:
+        d = by_key[("relation", e["id"])]
+        assert d["members"] == e["members"]  # ordered, roles exact (B10)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    left=st.decimals(min_value=-180, max_value=179, places=4),
+    bottom=st.decimals(min_value=-90, max_value=89, places=4),
+)
+def test_bounds_roundtrip(tmp_path_factory, left, bottom):
+    tmp = tmp_path_factory.mktemp("bounds")
+    bounds = (float(left), float(bottom), float(left) + 1, float(bottom) + 1)
+    w = PbfWriter(bounds=bounds)
+    w.add(type="node", id=1, lat="1.0", lon="2.0", tags={}, version=1)
+    p = tmp / "b.pbf"
+    p.write_bytes(w.tobytes())
+    hdr = [r for r in scan_blob_index(str(p)) if r.kind == "OSMHeader"][0]
+    got = decode_header_block(read_blob(hdr))["bounds"]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, bounds))

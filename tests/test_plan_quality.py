@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 promises must
+actually appear in the executed plans (pushdown, broadcast, codegen,
+partial aggregation). These guard against regressions that stay correct
+but stop scaling."""
+
+from __future__ import annotations
+
+import pytest
+
+from osm2orc_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf, name: str, execute: bool = False) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name].fn(spark, sf)
+    if execute:
+        # AQE finalizes the physical plan (and picks codegen stages) only
+        # once the query runs; explain() before an action shows isFinalPlan=false.
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_correctness):
+    # q6's shipdate/discount/quantity predicates must reach the parquet scan
+    plan = plan_of(spark, sf_correctness, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l][0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_column_pruning(spark, sf_correctness):
+    # q1 reads 7 of 11 lineitem columns; ReadSchema must not include keys
+    plan = plan_of(spark, sf_correctness, "q1_pricing_summary")
+    read = [l for l in plan.splitlines() if "ReadSchema:" in l][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+
+
+def test_broadcast_join_for_dimensions(spark, sf_correctness):
+    plan = plan_of(spark, sf_correctness, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_join_strategies(spark, sf_correctness):
+    plan = plan_of(spark, sf_correctness, "anti_join_customers_without_orders")
+    assert "LeftAnti" in plan
+    plan = plan_of(spark, sf_correctness, "semi_join_customers_with_open_orders")
+    assert "LeftSemi" in plan
+
+
+def test_partial_aggregation(spark, sf_correctness):
+    # map-side partial + final HashAggregate pairs
+    plan = plan_of(spark, sf_correctness, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen(spark, sf_correctness):
+    plan = plan_of(spark, sf_correctness, "q1_pricing_summary", execute=True)
+    # formatted explain marks whole-stage-codegen nodes as "* Op [codegen id: N]"
+    assert "codegen id" in plan
+
+
+def test_no_cartesian_in_composite_join(spark, sf_correctness):
+    plan = plan_of(spark, sf_correctness, "composite_key_self_join")
+    assert "CartesianProduct" not in plan
+
+
+def test_osm_bbox_pushdown(spark, sf_correctness):
+    plan = plan_of(spark, sf_correctness, "osm_changesets_liberty_island")
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l][0]
+    assert "min_lon" in pushed
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_exact", "text_token_stats", "doc_fingerprint"]
+)
+def test_no_python_udf_in_builtin_operators(spark, sf_correctness, name):
+    # these stay entirely JVM-side (no BatchEvalPython / ArrowEvalPython)
+    plan = plan_of(spark, sf_correctness, name)
+    assert "EvalPython" not in plan
