@@ -40,6 +40,27 @@ MINHASH_SEEDS = 12
 LSH_BAND_ROWS = 3  # 4 bands x 3 rows
 JACCARD_THRESHOLD = 0.8
 
+# Universal-hash permutations for MinHash: mh_s = (a*v + b) mod P over the
+# 32-bit shingle hash v (first 8 hex chars of md5). ONE md5 per shingle
+# instead of one per (shingle, seed) — 12x less hashing, and the arithmetic
+# is exact in BIGINT in both Spark and DuckDB (a < 2^30, v < 2^32 =>
+# a*v + b < 2^63). P is the smallest prime > 2^32.
+MINHASH_P = 4294967311
+MINHASH_PERMS = [
+    (387420489, 12190087),
+    (595845933, 406080569),
+    (76650871, 873912389),
+    (142547559, 20871187),
+    (933416491, 573654101),
+    (658770419, 307744559),
+    (353814783, 84918749),
+    (481294441, 722091217),
+    (269419387, 950019309),
+    (827396429, 119205217),
+    (547211619, 461069711),
+    (194556247, 668345593),
+]
+
 
 def _norm_text():
     return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
@@ -191,18 +212,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_DUCK_SHINGLES},
-    seeds AS (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS seed),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS v
+      FROM shingles
+    ),
     minhash AS (
-      SELECT doc_id, seed,
-             MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
-      FROM shingles CROSS JOIN seeds
-      GROUP BY doc_id, seed
+      SELECT doc_id,
+             {', '.join(f'MIN(({a} * v + {b}) % {MINHASH_P}) AS mh{s}' for s, (a, b) in enumerate(MINHASH_PERMS))}
+      FROM hashed
+      GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, seed // {LSH_BAND_ROWS} AS band,
-             md5(array_to_string(list_sort(list(lpad(CAST(seed AS VARCHAR), 2, '0') || '|' || mh)), ',')) AS band_val
-      FROM minhash
-      GROUP BY doc_id, seed // {LSH_BAND_ROWS}
+      {' UNION ALL '.join(
+          "SELECT doc_id, %d AS band, concat_ws(',', %s) AS band_val FROM minhash"
+          % (bn, ', '.join(f'mh{s}' for s in range(bn * LSH_BAND_ROWS, (bn + 1) * LSH_BAND_ROWS)))
+          for bn in range(MINHASH_SEEDS // LSH_BAND_ROWS))}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -224,29 +249,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
     """,
-    doc="MinHash(12 seeds) + LSH(4 bands x 3 rows) candidate generation, "
-    "then exact-Jaccard verification of candidates only. MinHash values "
-    "are min(md5(seed||shingle)) — engine-independent. At scale the "
-    "band-bucket self-join replaces the quadratic shingle join: cost is "
-    "proportional to actual near-duplicate groups, not corpus size^2.",
+    doc="MinHash(12 universal-hash permutations over one 32-bit md5 prefix "
+    "per shingle) + LSH(4 bands x 3 rows) candidate generation, then "
+    "exact-Jaccard verification of candidates only. The permutation "
+    "arithmetic (a*v+b mod P) is exact BIGINT in both engines, so the "
+    "candidate sets — and therefore the verified output — are "
+    "engine-identical. At scale the band-bucket self-join replaces the "
+    "quadratic shingle join: cost is proportional to actual near-duplicate "
+    "groups, not corpus size^2.",
     tags=("dedup",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Columnar minhash: 12 md5 columns per shingle row, ONE groupBy(doc_id)
-    # with 12 min() aggregates. Compared to a (doc, seed) row explosion this
-    # shuffles 12x fewer rows and computes bands without a second shuffle.
-    # Band keys are internal (only verified pairs are output), so their
-    # encoding doesn't need to match the oracle's — the minhash VALUES do,
-    # and those are min(md5(seed||'|'||shingle)) in both engines.
+    # Columnar minhash: ONE md5 per shingle row -> 32-bit int v, then 12
+    # cheap (a*v+b)%P permutation columns and ONE groupBy(doc_id) with 12
+    # min() aggregates. Compared to a (doc, seed) row explosion this
+    # shuffles 12x fewer rows and computes bands without a second shuffle;
+    # compared to md5-per-seed it does 12x less hashing.
     # Persisted: consumed by minhash, sizes, and both verify-join sides.
     sh = _shingles(spark, sf_dir).persist()
-    hashed = sh.select(
+    v = (
+        F.conv(F.substring(F.md5(F.encode("shingle", "utf-8")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("v")
+    )
+    hashed = sh.select("doc_id", v).select(
         "doc_id",
         *[
-            F.md5(F.encode(F.concat_ws("|", F.lit(str(s)), "shingle"), "utf-8")).alias(
-                f"h{s}"
-            )
-            for s in range(MINHASH_SEEDS)
+            ((F.lit(a) * F.col("v") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{s}")
+            for s, (a, b) in enumerate(MINHASH_PERMS)
         ],
     )
     minhash = hashed.groupBy("doc_id").agg(
@@ -256,17 +286,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(
-                F.encode(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            f"mh{s}"
-                            for s in range(b * LSH_BAND_ROWS, (b + 1) * LSH_BAND_ROWS)
-                        ],
-                    ),
-                    "utf-8",
-                )
+            F.concat_ws(
+                ",",
+                *[
+                    f"mh{s}"
+                    for s in range(b * LSH_BAND_ROWS, (b + 1) * LSH_BAND_ROWS)
+                ],
             ).alias("band_val"),
         )
         for b in range(n_bands)
