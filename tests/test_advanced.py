@@ -1,0 +1,56 @@
+"""Checks for advanced operators that the oracle gate can't fully cover."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm2orc_spark.registry import all_queries
+from osm2orc_spark.tables import load
+
+QUERIES = all_queries()
+
+
+def test_approx_distinct_within_rsd_bound(spark, sf_correctness):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users_by_type"].fn(spark, sf_correctness).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_correctness, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        # rsd=0.05; allow 3 sigma
+        assert abs(approx[k] - n) <= max(1, 0.15 * n), (k, approx[k], n)
+
+
+def test_asof_join_no_range_blowup(spark, sf_correctness):
+    # The scalable plan must be union+window: a single shuffle on user_id,
+    # no join node at all in the physical plan.
+    import contextlib
+    import io
+
+    df = QUERIES["asof_join_last_purchase"].fn(spark, sf_correctness)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_broadcast(spark, sf_correctness):
+    import contextlib
+    import io
+
+    df = QUERIES["range_join_value_bands"].fn(spark, sf_correctness)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
