@@ -27,6 +27,7 @@ HEADLINE = [
     "tumbling_window_hourly",
     "array_agg_sorted_lines",
     "top3_items_per_supplier",
+    "asof_join_last_purchase",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",

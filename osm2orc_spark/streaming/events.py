@@ -93,11 +93,52 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (n_events, sum_value), one update row per user per micro-batch.
+
+    This is the escape hatch the built-in operators can't cover — state
+    that isn't a window: arbitrary per-key accumulators, ML feature
+    counters, fraud scores. State is a two-field struct per user_id, so
+    memory is O(distinct keys); at scale keys partition across executors
+    and the RocksDB state store keeps per-task state off-heap. Production
+    deployments add a ProcessingTimeTimeout to evict idle keys; the
+    bounded test input doesn't need one.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming query to completion over the bounded input and
-    return the materialized result (complete output mode)."""
+    return the materialized result ('complete' for windowed aggs;
+    'update' for applyInPandasWithState, whose update rows append to the
+    memory sink — the last row per key is the final state)."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()

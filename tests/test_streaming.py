@@ -8,6 +8,7 @@ from osm2orc_spark.streaming.events import (
     hourly_rollup_stream,
     read_events_stream,
     run_to_memory,
+    running_user_totals_stream,
     session_window_stream,
 )
 
@@ -30,3 +31,33 @@ def test_session_window_stream_counts(spark, sf_smoke):
     assert sum(r["n_events"] for r in rows) == 1000
     # session bounds are ordered and per-user
     assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_running_user_totals_stateful(spark, sf_smoke):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.tables import load
+
+    # several micro-batches would need several input files; with one file
+    # the operator still exercises init->update->emit of explicit state.
+    events = read_events_stream(spark, f"{sf_smoke}/events.parquet")
+    result = run_to_memory(
+        running_user_totals_stream(events), "totals_out", output_mode="update"
+    )
+    # last update row per user = final running total
+    final = {
+        r["user_id"]: r
+        for r in result.orderBy("n_events").collect()  # ascending: last wins
+    }
+    batch = {
+        r["user_id"]: r
+        for r in load(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        assert final[uid]["n_events"] == b["n"]
+        assert final[uid]["sum_value"] == pytest.approx(b["s"], rel=1e-9)
