@@ -311,12 +311,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash 48-bit signatures.
+# SimHash 48-bit signatures + hamming near-dup pairs.
 # ---------------------------------------------------------------------------
-@register(
-    "simhash_signature",
-    oracle="""
-    WITH toks AS (
+_DUCK_SIMHASH = """
+    toks AS (
       SELECT DISTINCT doc_id,
              unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
       FROM documents
@@ -332,20 +330,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
       FROM hashed CROSS JOIN bits
       GROUP BY doc_id, b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM contrib
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS simhash
-    FROM contrib
-    GROUP BY doc_id
-    """,
-    doc="48-bit SimHash over distinct tokens (token hash = first 12 hex "
-    "chars of md5 — identical in both engines; 48 bits keeps the "
-    "power-of-two sum exact in IEEE double). Near-dup grouping = hamming "
-    "proximity on the signature; signatures shuffle once per (doc,bit) "
-    "partial aggregation.",
-    tags=("dedup",),
-)
-def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per doc_id (shared by signature + near-dup queries)."""
     # Repartition before the token x 48-bit fan-out (see _shingles note).
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -375,4 +371,88 @@ def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("b"))).otherwise(0.0))
         .cast("bigint")
         .alias("simhash")
+    )
+
+
+@register(
+    "simhash_signature",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH}
+    SELECT doc_id, simhash FROM sigs
+    """,
+    doc="48-bit SimHash over distinct tokens (token hash = first 12 hex "
+    "chars of md5 — identical in both engines; 48 bits keeps the "
+    "power-of-two sum exact in IEEE double). Near-dup grouping = hamming "
+    "proximity on the signature; signatures shuffle once per (doc,bit) "
+    "partial aggregation.",
+    tags=("dedup",),
+)
+def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(spark, sf_dir)
+
+
+SIMHASH_CHUNKS = 4  # 4 x 12-bit chunks; pigeonhole covers hamming <= 3
+SIMHASH_HAMMING_MAX = 3
+
+
+@register(
+    "simhash_near_dup",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH},
+    chunks AS (
+      SELECT doc_id, simhash, c,
+             (simhash >> (12 * c)) & 4095 AS chunk_val
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAMMING_MAX}
+    """,
+    doc="SimHash near-dup pairs with hamming <= 3 over the 48-bit "
+    "signature. Pigeonhole banding: split the signature into 4 x 12-bit "
+    "chunks — any pair within hamming 3 must agree on at least one chunk, "
+    "so the candidate join is an equi-join on (chunk_idx, chunk_val) "
+    "buckets, never an all-pairs scan. Verification is bit_count(xor) on "
+    "the candidate pairs only. Same LSH shape as dedup_minhash_lsh but "
+    "with O(1) signature storage per doc and cheap integer verify — the "
+    "preferred plan when the near-dup notion is 'few differing tokens' "
+    "rather than a Jaccard threshold.",
+    tags=("dedup",),
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _simhash_df(spark, sf_dir).persist()
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("simhash"), 12 * c)
+            .bitwiseAND(F.lit(4095))
+            .alias("chunk_val"),
+        )
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    chunks = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("ch")
+    ).select("doc_id", "simhash", "ch.c", "ch.chunk_val")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "c", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "c", "chunk_val"
+    )
+    cand = (
+        a.join(b, ["c", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
