@@ -37,6 +37,24 @@ N_PROBE = 2
 TOP_K = 10
 NEAR_DUP_COS = 0.4
 
+# Random-hyperplane LSH: RP_BITS sign-bit projections. "Random" planes are
+# deterministic ±1 matrices derived from md5 parity of "j|i" (j = bit,
+# i = 1-based dimension subscript) so Spark and the DuckDB oracle build the
+# EXACT same matrix independently. 16 bits -> 4 x 4-bit chunks; pigeonhole
+# guarantees every pair within hamming 3 shares a chunk.
+RP_BITS = 16
+RP_DIM = 64
+RP_CHUNKS = 4
+
+
+def _rp_sign(j: int, i: int) -> int:
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+RP_SIGNS = [[_rp_sign(j, i) for i in range(1, RP_DIM + 1)] for j in range(RP_BITS)]
+
 
 def _quant(col) -> Column:
     return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT).cast("bigint"))
@@ -148,6 +166,106 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+    WITH {_DUCK_QE},
+    signs AS (
+      SELECT j, i,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(generate_series(0, {RP_BITS - 1})) AS j)
+      CROSS JOIN (SELECT unnest(generate_series(1, {RP_DIM})) AS i)
+    ),
+    sigbits AS (
+      SELECT q.vec_id, s.j,
+             CASE WHEN SUM(s.s * q.v) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM qe q JOIN signs s ON s.i = q.i
+      GROUP BY q.vec_id, s.j
+    ),
+    sigs AS (
+      SELECT vec_id, CAST(SUM(bit * power(2, j)) AS BIGINT) AS sig
+      FROM sigbits GROUP BY vec_id
+    ),
+    chunks AS (
+      SELECT vec_id, c, (sig >> (4 * c)) & 15 AS cv
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {RP_CHUNKS - 1})) AS c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.cv = b.cv AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT c.vec_a, c.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      FROM cand c
+      JOIN qe a ON a.vec_id = c.vec_a
+      JOIN qe b ON b.vec_id = c.vec_b AND b.i = a.i
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= {NEAR_DUP_COS}
+    """,
+    doc="Embedding near-dup via random-hyperplane LSH: 16 deterministic "
+    "sign-bit projections per vector, 4x4-bit chunk banding (pigeonhole "
+    "covers hamming <= 3 between signatures), exact-cosine verification "
+    "of same-chunk candidates only. This is the all-pairs scale path: "
+    "candidate cost tracks bucket collision counts, not corpus^2. Recall "
+    "vs the exhaustive embedding_near_dup_pairs is tunable with more "
+    "bits/chunks; the hyperplane matrix is md5-parity-derived so both "
+    "engines rebuild it bit-identically.",
+    tags=("similarity", "dedup"),
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    qv = _quant(F.col("embedding"))
+    # signature: bit j = sign of dot(quantized vec, ±1 plane j); exact
+    # BIGINT arithmetic, so the sign is engine-deterministic.
+    sig = None
+    for j in range(RP_BITS):
+        plane = F.array(*[F.lit(s) for s in RP_SIGNS[j]])
+        bit = (_dot(qv, plane) >= 0).cast("bigint") * F.lit(2**j)
+        sig = bit if sig is None else sig + bit
+    sigs = emb.select("vec_id", qv.alias("q"), sig.alias("sig")).persist()
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("sig"), 4 * c).bitwiseAND(F.lit(15)).alias("cv"),
+        )
+        for c in range(RP_CHUNKS)
+    ]
+    chunks = sigs.select("vec_id", F.explode(F.array(*chunk_structs)).alias("ch")).select(
+        "vec_id", "ch.c", "ch.cv"
+    )
+    a = chunks.select(F.col("vec_id").alias("vec_a"), "c", "cv")
+    b = chunks.select(F.col("vec_id").alias("vec_b"), "c", "cv")
+    cand = (
+        a.join(b, ["c", "cv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = sigs.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
+    eb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+    qa, qb = F.col("qa"), F.col("qb")
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
