@@ -213,6 +213,37 @@ def cube_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact percentiles (interpolated) — bit-identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "percentiles_value_by_type",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per event_type. Spark's "
+    "percentile() and DuckDB's quantile_cont use the same lower + "
+    "(upper-lower)*frac interpolation, verified bit-identical. Exact "
+    "percentile is a sort-based aggregate (per-group buffer of values); "
+    "the 100 TB path swaps in percentile_approx (mergeable t-digest-like "
+    "sketch, constant memory) when a bounded error is acceptable — same "
+    "query shape, one-token change.",
+    tags=("agg", "percentile"),
+)
+def percentiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # approx_count_distinct: sketch-based distinct (engine-specific values).
 # ---------------------------------------------------------------------------
 @register(
