@@ -85,32 +85,45 @@ def parse_changeset_stream(name: str, data: bytes) -> Iterator[tuple]:
                     tags[k] = v if v is not None else ""
             elif tag == "changeset" and cs_attrs is not None:
                 a = cs_attrs
-                yield (
-                    _long(a.get("id")),
-                    tags,
-                    a.get("created_at"),
-                    a.get("open"),
-                    a.get("closed_at"),
-                    _long(a.get("comments_count")),
-                    a.get("min_lat"),
-                    a.get("max_lat"),
-                    a.get("min_lon"),
-                    a.get("max_lon"),
-                    _long(a.get("num_changes")),
-                    _long(a.get("uid")),
-                    a.get("user"),
-                )
+                yield {
+                    "id": _long(a.get("id")),
+                    "tags": tags,
+                    "created_at": a.get("created_at"),
+                    "open": a.get("open"),
+                    "closed_at": a.get("closed_at"),
+                    "comments_count": _long(a.get("comments_count")),
+                    "min_lat": a.get("min_lat"),
+                    "max_lat": a.get("max_lat"),
+                    "min_lon": a.get("min_lon"),
+                    "max_lon": a.get("max_lon"),
+                    "num_changes": _long(a.get("num_changes")),
+                    "uid": _long(a.get("uid")),
+                    "user": a.get("user"),
+                }
                 cs_attrs = None
             elem.clear()
 
 
+def _parse_file_batches(batches) -> Iterator:
+    """mapInArrow worker over the binaryFile source: each (path, content)
+    row parses to one RecordBatch — whole columnar batches to the JVM,
+    no per-row pickling (same Arrow path as sources/pbf.py)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(CHANGESET_RAW_SCHEMA)
+    for batch in batches:
+        for r in batch.to_pylist():
+            rows = list(parse_changeset_stream(r["path"], r["content"]))
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+
 def read_changesets(spark: SparkSession, path: str) -> DataFrame:
     """Read changeset XML file(s) at ``path`` (glob ok; .xml/.gz/.bz2)."""
-    raw_rdd = (
-        spark.sparkContext.binaryFiles(path)
-        .flatMap(lambda kv: parse_changeset_stream(kv[0], bytes(kv[1])))
-    )
-    raw = spark.createDataFrame(raw_rdd, CHANGESET_RAW_SCHEMA)
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    raw = files.mapInArrow(_parse_file_batches, CHANGESET_RAW_SCHEMA)
     return raw.select(
         F.col("id"),
         F.coalesce("tags", F.map_from_arrays(F.array(), F.array())).alias("tags"),
