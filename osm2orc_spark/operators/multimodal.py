@@ -93,6 +93,63 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET = 256  # bytes in the synthetic "resized" representation
+
+
+def resize_image(blob: bytes) -> bytes:
+    """Real resize — requires PIL/opencv, absent here; the deterministic
+    stand-in truncates to RESIZE_TARGET bytes (a real thumbnailer returns
+    a new smaller encoded blob the same way: bytes in, fewer bytes out)."""
+    return blob[:RESIZE_TARGET]
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: blob in -> (smaller) blob out, 1:1 rows. The
+    output carries the REAL binary column so downstream stages (storage,
+    further decode) see production-shaped data."""
+    for pdf in batches:
+        resized = [resize_image(b) for b in pdf["blob"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "orig_len": [len(b) for b in pdf["blob"]],
+                "resized": resized,
+            }
+        )
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS orig_len,
+           CAST(LEAST(strlen(text), {RESIZE_TARGET}) AS BIGINT) AS resized_len,
+           md5(substr(text, 1, {RESIZE_TARGET})) AS resized_md5
+    FROM documents
+    """,
+    doc="Binary resize via mapInPandas: blob in, smaller blob out (stub "
+    "truncates to 256 bytes; a real thumbnailer is the same 1:1 bytes-to-"
+    "bytes shape). The result keeps a genuine BinaryType column through "
+    "the plan; the oracle compares its md5 + lengths since raw blob "
+    "representations differ across engine result surfaces. Documents are "
+    "ASCII so DuckDB's char-substr equals the byte-truncation.",
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    resized = docs.mapInPandas(
+        _resize_batch, schema="doc_id bigint, orig_len bigint, resized binary"
+    )
+    return resized.select(
+        "doc_id",
+        "orig_len",
+        F.length("resized").cast("bigint").alias("resized_len"),
+        F.md5("resized").alias("resized_md5"),
+    )
+
+
 def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel with multi-row output: sample frame offsets."""
     for pdf in batches:
