@@ -41,7 +41,7 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "text_token_stats",
     oracle="""
     WITH t AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
       FROM documents
     )
@@ -50,18 +50,22 @@ LANG_STOPWORDS: dict[str, list[str]] = {
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
            CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS n_token_chars,
            CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS avg_token_len,
-           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
     FROM t
     """,
-    doc="Whitespace+BPE-ish token counting via built-in array functions — "
-    "size / array_distinct / aggregate. Per-row narrow ops, no shuffle, "
-    "fully codegen'd.",
+    doc="Token counting: whitespace tokens via built-in array functions "
+    "(size / array_distinct / aggregate) plus a BPE-ish regex count "
+    "(letter runs | single digits | punctuation — the GPT-2 pre-tokenizer "
+    "shape). Per-row narrow ops, no shuffle, fully codegen'd.",
     tags=("text",),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize once into a materialized column — inlining the split
     # expression into every metric re-runs the regex per metric.
-    docs = load(spark, sf_dir, "documents").select("doc_id", _toks().alias("t"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", _toks().alias("t")
+    )
     t = F.col("t")
     n_chars = F.aggregate(
         F.transform(t, lambda x: F.length(x)),
@@ -77,6 +81,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias(
             "type_token_ratio"
         ),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]|[^a-z0-9 ]"), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
     )
 
 

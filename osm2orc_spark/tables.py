@@ -30,6 +30,11 @@ BROADCAST_TABLES = {"region", "nation"}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name in BROADCAST_TABLES:
+        # Explicit hint: these stay dimension-tiny at every SF, but size
+        # estimates can exceed autoBroadcastJoinThreshold on wide scans —
+        # the hint pins the single-shuffle-free plan at any scale.
+        return F.broadcast(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects. Read nanos as LONG and convert to a microsecond
