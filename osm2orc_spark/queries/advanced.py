@@ -213,6 +213,130 @@ def cube_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ranking-window suite: rank / dense_rank / percent_rank / cume_dist / ntile.
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="The full ranking-window family over per-customer order value. "
+    "One shuffle on the partition key, one sort within partitions — all "
+    "five functions share the same window frame so Catalyst evaluates "
+    "them in a single Window node (check: one Window, one Exchange). "
+    "Tie-break on o_orderkey gives every engine the same total order.",
+    tags=("window",),
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL.
+# ---------------------------------------------------------------------------
+@register(
+    "bag_setops_nations",
+    oracle="""
+    SELECT nationkey, 'intersect_all' AS op FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey < 200
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'except_all' AS op FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey < 200
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+    doc="INTERSECT ALL / EXCEPT ALL — multiplicity-preserving set ops "
+    "(each duplicate row survives min/difference of its counts). Catalyst "
+    "plans them with a count-aggregate + generate, one shuffle per side "
+    "on the full row as key.",
+    tags=("setop",),
+)
+def bag_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    ia = cust.intersectAll(supp).select(
+        "nationkey", F.lit("intersect_all").alias("op")
+    )
+    ea = cust.exceptAll(supp).select("nationkey", F.lit("except_all").alias("op"))
+    return ia.unionByName(ea)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function corpus: date/time + string kitchen-sink, engine-aligned.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_function_corpus",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+           CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+           upper(o_orderpriority) AS prio_upper,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
+           length(o_orderpriority) AS prio_len,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS DOUBLE) AS price_rounded,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DOUBLE) AS price_mod
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    doc="Scalar-function breadth: date extraction (year/month/day/quarter), "
+    "string ops (upper/substr/concat/lpad/length), decimal round and mod. "
+    "All evaluate inside whole-stage codegen on the scan projection — the "
+    "point is parity of per-cell semantics across engines, pinned by the "
+    "oracle (decimal round, not IEEE round, keeps half-up ties identical).",
+    tags=("scalar",),
+)
+def scalar_function_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    price_dec = F.col("o_totalprice").cast(DEC)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.round(price_dec, 0).cast("double").alias("price_rounded"),
+        (price_dec % 100).cast("double").alias("price_mod"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact percentiles (interpolated) — bit-identical across engines.
 # ---------------------------------------------------------------------------
 @register(
