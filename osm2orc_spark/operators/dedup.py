@@ -311,6 +311,84 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster formation: connected components over near-dup pairs.
+# ---------------------------------------------------------------------------
+_MINHASH_PAIRS_ORACLE_BODY = None  # filled after dedup_minhash_lsh registers
+
+
+@register(
+    "dedup_components",
+    # The oracle re-derives the SAME verified pair set (the dedup_minhash_lsh
+    # query) and then computes components with a recursive min-label walk.
+    # Assembled lazily below (needs the registered minhash oracle text).
+    oracle="__DEFERRED__",
+    doc="Duplicate-cluster assignment: every document labeled with the min "
+    "doc_id of its near-duplicate connected component (LSH-verified pairs "
+    "as edges; docs with no pair are their own component). Spark side is "
+    "iterative min-label propagation — each round is one join + one "
+    "groupBy-min on the label frame, persisted per round with lineage cut "
+    "by localCheckpoint, converging in O(component diameter) rounds "
+    "(near-dup clusters are shallow, 3-5 rounds in practice). This is the "
+    "standard distributed CC shape (GraphFrames/Pregel); only the "
+    "per-round convergence scalar touches the driver, never row data.",
+    tags=("dedup", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    und = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
+    prev_sum = None
+    while True:
+        neighbor = (
+            labels.join(und, labels.doc_id == und.doc_a)
+            .select(F.col("doc_b").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)  # cut lineage; materialize round
+        )
+        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    und.unpersist()
+    return labels
+
+
+def _assemble_components_oracle() -> None:
+    """The components oracle wraps the registered minhash-LSH oracle as its
+    edge list and resolves components with a recursive min-label walk —
+    the serial twin of the distributed label propagation above."""
+    from osm2orc_spark.registry import REGISTRY
+
+    pairs_sql = REGISTRY["dedup_minhash_lsh"].oracle
+    REGISTRY["dedup_components"].oracle = f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(n, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.b, w.lbl FROM walk w JOIN und u ON u.a = w.n WHERE w.lbl < u.b
+    )
+    SELECT n AS doc_id, MIN(lbl) AS component FROM walk GROUP BY n
+    """
+
+
+_assemble_components_oracle()
+
+
+# ---------------------------------------------------------------------------
 # SimHash 48-bit signatures + hamming near-dup pairs.
 # ---------------------------------------------------------------------------
 _DUCK_SIMHASH = """

@@ -93,6 +93,21 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark:
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup: first occurrence per (user_id, event_type, value)
+    key wins; duplicates arriving within the watermark window are dropped.
+
+    dropDuplicatesWithinWatermark keeps state only until the watermark
+    passes each key — bounded state at any stream length, the streaming
+    twin of the batch dedup_exact hash-groupBy. Keys here are the
+    natural-dup columns of the events table (event_id is unique by
+    construction so it can't be the key).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "value"]
+    )
+
+
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (n_events, sum_value), one update row per user per micro-batch.

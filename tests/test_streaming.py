@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from osm2orc_spark.queries.relational import tumbling_window_hourly
 from osm2orc_spark.streaming.events import (
+    dedup_events_stream,
     hourly_rollup_stream,
     read_events_stream,
     run_to_memory,
@@ -31,6 +32,23 @@ def test_session_window_stream_counts(spark, sf_smoke):
     assert sum(r["n_events"] for r in rows) == 1000
     # session bounds are ordered and per-user
     assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_dedup_stream_matches_batch_distinct(spark, sf_smoke):
+    from osm2orc_spark.tables import load
+
+    events = read_events_stream(spark, f"{sf_smoke}/events.parquet")
+    result = run_to_memory(
+        dedup_events_stream(events), "dedup_out", output_mode="append"
+    )
+    n_stream = result.count()
+    n_batch = (
+        load(spark, sf_smoke, "events")
+        .dropDuplicates(["user_id", "event_type", "value"])
+        .count()
+    )
+    # single bounded input => stream keeps exactly the batch-distinct keys
+    assert n_stream == n_batch
 
 
 def test_running_user_totals_stateful(spark, sf_smoke):
