@@ -368,6 +368,45 @@ def percentiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Salted two-stage aggregation: the skew escape hatch as real code.
+# ---------------------------------------------------------------------------
+@register(
+    "salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Two-stage salted aggregation over a low-cardinality hot key "
+    "(5 event_types -> at most 5 reducers without salting). Stage 1 "
+    "groups by (key, salt=pmod(event_id,16)) spreading each hot key over "
+    "16 reducers; stage 2 re-aggregates the 5x16 partials. DECIMAL sums "
+    "re-aggregate exactly, so salting is result-invariant — the oracle is "
+    "the plain single-stage GROUP BY. For algebraic aggregates map-side "
+    "combine often suffices; salting is the fix when combine can't help "
+    "(few keys, heavy reducer state, or AQE skew thresholds missed).",
+    tags=("agg", "skew"),
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    n_salt = 16
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salt)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast(DEC)).alias("psum"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # approx_count_distinct: sketch-based distinct (engine-specific values).
 # ---------------------------------------------------------------------------
 @register(

@@ -25,6 +25,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 OSM_SCHEMA_VERSION = "0.6"
 
@@ -59,6 +60,36 @@ def write_orc(
         metadata["bounds"] = ", ".join(str(v) for v in bounds)
     with open(os.path.join(path, "_osm_metadata.json"), "w") as f:
         json.dump(metadata, f, indent=2, sort_keys=True)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    fmt: str = "orc",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned layout: one directory per partition value, rows
+    sorted within files on ``sort_cols``.
+
+    The 100 TB layout recipe: partition on the coarse pruning key (date,
+    region), sort within partitions on the fine one (id, type) so scans
+    prune whole directories via PartitionFilters and then skip stripes
+    via min/max stats. ``repartition(partition_cols)`` before the write
+    keeps one task per partition directory -> no small-file explosion
+    (N_tasks x N_partitions files otherwise).
+    """
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    (
+        out.write.mode(mode)
+        .format(fmt)
+        .partitionBy(*partition_cols)
+        .option("orc.block.padding", "false")
+        .save(path)
+    )
 
 
 def read_metadata(path: str) -> dict:

@@ -43,6 +43,38 @@ def test_asof_join_no_range_blowup(spark, sf_correctness):
     assert "Window" in plan
 
 
+def test_partitioned_write_prunes(spark, sf_correctness, tmp_path):
+    from osm2orc_spark.sinks.orc import write_partitioned
+
+    ev = load(spark, sf_correctness, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_part")
+    write_partitioned(ev, out, ["event_date"], sort_cols=["user_id", "ts"])
+
+    back = spark.read.orc(out)
+    one_day = back.filter(F.col("event_date") == "2024-01-03")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    # the date predicate must prune partitions at planning time, not filter rows
+    assert "PartitionFilters" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "event_date" in pf
+    want = ev.filter(F.to_date("ts") == "2024-01-03").count()
+    assert one_day.count() == want
+    # layout: one directory per day, exactly one file inside each
+    import glob
+
+    days = glob.glob(f"{out}/event_date=*")
+    assert len(days) == 30
+    assert all(len(glob.glob(f"{d}/*.orc")) == 1 for d in days)
+
+
 def test_range_join_is_broadcast(spark, sf_correctness):
     import contextlib
     import io
