@@ -368,6 +368,85 @@ def percentiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Outer joins with null-extension semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "full_outer_nation_presence",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+               FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+          FROM supplier WHERE s_suppkey < 40 GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    doc="FULL OUTER join of per-nation customer vs (filtered) supplier "
+    "counts — null-extended rows on both sides, coalesced to zeros. "
+    "Aggregating BEFORE the join shrinks both sides to ~25 rows; the "
+    "same query joined-then-aggregated shuffles the full tables. At "
+    "scale that reorder is the difference between a broadcast of counts "
+    "and a multi-TB sort-merge.",
+    tags=("join", "outer"),
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 40)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (Catalyst decorrelates to an aggregate+join).
+# ---------------------------------------------------------------------------
+@register(
+    "correlated_min_price_parts",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (
+      SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    ORDER BY p_partkey
+    """,
+    doc="Correlated scalar subquery: parts priced at their brand's "
+    "minimum. Catalyst decorrelates this into groupBy(brand).min + an "
+    "equi-join — no per-row subquery execution exists in the physical "
+    "plan, which is what makes the form safe at any scale. Expressed via "
+    "spark.sql to exercise the SQL entry path end-to-end.",
+    tags=("join", "subquery"),
+)
+def correlated_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part p
+        WHERE p_retailprice = (
+          SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        ORDER BY p_partkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Salted two-stage aggregation: the skew escape hatch as real code.
 # ---------------------------------------------------------------------------
 @register(

@@ -75,6 +75,48 @@ def test_partitioned_write_prunes(spark, sf_correctness, tmp_path):
     assert all(len(glob.glob(f"{d}/*.orc")) == 1 for d in days)
 
 
+def test_bucketed_join_is_exchange_free(spark, sf_correctness, tmp_path):
+    """Bucketing both join sides on the key pre-shuffles the data at write
+    time; the join then runs with ZERO Exchange nodes — the co-located
+    join every 100 TB pipeline relies on for repeated fact-fact joins."""
+    import contextlib
+    import io
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = load(spark, sf_correctness, "orders")
+    li = load(spark, sf_correctness, "lineitem")
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_orders"))
+        .mode("overwrite").saveAsTable("b_orders")
+    )
+    (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_lineitem"))
+        .mode("overwrite").saveAsTable("b_lineitem")
+    )
+    # at sf0.01 the build side fits the broadcast threshold, which would
+    # bypass the bucketed path entirely; disable it to see the plan the
+    # same join gets at fact-fact scale.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_range_join_is_broadcast(spark, sf_correctness):
     import contextlib
     import io
