@@ -28,8 +28,12 @@ HEADLINE = [
     "array_agg_sorted_lines",
     "top3_items_per_supplier",
     "asof_join_last_purchase",
+    "window_rank_suite",
+    "salted_hot_key_agg",
+    "percentiles_value_by_type",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "simhash_near_dup",
     "ann_topk_bruteforce",
     "text_quality_scores",
 ]
