@@ -57,5 +57,6 @@ def all_queries() -> dict[str, Query]:
     from osm2orc_spark.queries import relational  # noqa: F401
     from osm2orc_spark.operators import dedup, similarity, text, multimodal  # noqa: F401
     from osm2orc_spark.queries import advanced, osm_corpus  # noqa: F401
+    from osm2orc_spark.streaming import events  # noqa: F401
 
     return REGISTRY

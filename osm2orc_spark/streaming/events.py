@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from osm2orc_spark.registry import register
+
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -163,3 +165,81 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+# ---------------------------------------------------------------------------
+# Registry entries: on bounded input an (unexpired-watermark, complete-mode)
+# streaming query materializes exactly its batch twin's result, so the
+# SAME DuckDB oracle certifies the incremental execution path end-to-end.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming twin of tumbling_window_hourly, driven to "
+    "completion over the bounded events file (readStream -> watermarked "
+    "1h windows -> memory sink). Same oracle as the batch query: for "
+    "bounded input the incremental plan must converge to the batch "
+    "answer — this entry puts that equivalence inside the oracle gate.",
+    tags=("streaming",),
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(hourly_rollup_stream(ev), "stream_hourly_rollup_mem")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM ordered
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM grp GROUP BY user_id, g
+    """,
+    doc="Streaming gap-sessionization (built-in session_window, 30 min "
+    "gap) driven over the bounded input; the oracle recomputes sessions "
+    "with the lag/cumsum islands technique — session_window's end bound "
+    "is last_event + gap, reproduced as MAX(ts) + INTERVAL.",
+    tags=("streaming",),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(session_window_stream(ev), "stream_session_windows_mem")
+
+
+@register(
+    "stream_user_totals",
+    oracle=None,  # float accumulation order inside the pandas state kernel
+    # is partition-dependent; tests/test_streaming.py checks the totals
+    # against the batch groupBy with a tolerance instead.
+    doc="applyInPandasWithState running totals driven over the bounded "
+    "input (update mode; last row per user = final state). Rows-only in "
+    "the oracle gate — see the streaming tests for the value check.",
+    tags=("streaming",),
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(
+        running_user_totals_stream(ev), "stream_user_totals_mem", output_mode="update"
+    )
