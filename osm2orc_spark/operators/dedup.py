@@ -419,8 +419,13 @@ _DUCK_SIMHASH = """
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """48-bit SimHash per doc_id (shared by signature + near-dup queries)."""
-    # Repartition before the token x 48-bit fan-out (see _shingles note).
+    """48-bit SimHash per doc_id (shared by signature + near-dup queries).
+
+    Columnar form: one conditional-sum aggregate per bit instead of a
+    (token x 48)-row explode — the fan-out version shuffles 48x more rows
+    for identical results (same trick as the MinHash columnar min-aggs).
+    """
+    # Repartition before the per-token fan-out (see _shingles note).
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -435,21 +440,20 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v"),
     )
-    contrib = (
-        hashed.select("doc_id", "v", F.explode(F.sequence(F.lit(0), F.lit(47))).alias("b"))
-        .select(
-            "doc_id",
-            "b",
-            F.when(F.expr("(shiftright(v, b) & 1) = 1"), 1).otherwise(-1).alias("c"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("c").alias("s"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(48)
+        ]
     )
-    return contrib.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("b"))).otherwise(0.0))
-        .cast("bigint")
-        .alias("simhash")
-    )
+    sig = None
+    for b in range(48):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc_id", sig.cast("bigint").alias("simhash"))
 
 
 @register(
