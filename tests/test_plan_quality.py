@@ -80,7 +80,21 @@ def test_osm_bbox_pushdown(spark, sf_correctness):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_exact", "text_token_stats", "doc_fingerprint"]
+    "name",
+    [
+        "dedup_exact",
+        "text_token_stats",
+        "doc_fingerprint",
+        "lang_id_heuristic",
+        "text_quality_scores",
+        "simhash_signature",
+        "dedup_minhash_lsh",
+        "embedding_near_dup_lsh",
+        "ann_topk_bruteforce",
+        "asof_join_last_purchase",
+        "salted_hot_key_agg",
+        "window_rank_suite",
+    ],
 )
 def test_no_python_udf_in_builtin_operators(spark, sf_correctness, name):
     # these stay entirely JVM-side (no BatchEvalPython / ArrowEvalPython)
