@@ -201,6 +201,96 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Characteristic character-trigram profiles per language. Tiny on purpose:
+# the oracle gate checks Spark==DuckDB cell equality; classification
+# accuracy scales with profile size, not with the plan shape. (Note: the
+# driver's synthetic documents draw the SAME vocabulary for every lang
+# label, so content-based accuracy is chance-level on this testdata by
+# construction — verified by per-lang trigram distributions being
+# indistinguishable. On real corpora the profiles do the work.)
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", "ing", "and", " th", "ion"],
+    "es": [" de", "que", "ión", " la", "los"],
+    "fr": [" le", "les", "ent", "que", " de"],
+    "de": ["der", "und", "sch", "ich", "ein"],
+    "zh": ["zh", "sh", "ng ", " sh", " zh"],
+}
+
+
+def _lang_ngram_oracle() -> str:
+    cols = ",\n           ".join(
+        f"CAST(len(list_filter(grams, x -> list_contains({tris!r}, x))) AS BIGINT) AS g_{lang}"
+        for lang, tris in LANG_TRIGRAMS.items()
+    )
+    langs = list(LANG_TRIGRAMS)
+    pred = "CASE "
+    for lang in langs:
+        others = [f"g_{o}" for o in langs if o != lang]
+        pred += f"WHEN g_{lang} >= greatest({', '.join(others)}) THEN '{lang}' "
+    pred += "ELSE 'unknown' END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             [substr(norm, i, 3) for i in generate_series(1, len(norm) - 2)] AS grams
+      FROM t WHERE len(norm) >= 3
+    ),
+    scored AS (SELECT doc_id, lang, {cols} FROM g)
+    SELECT doc_id, lang, {pred} AS pred_lang, (lang = ({pred})) AS correct
+    FROM scored
+    """
+
+
+@register(
+    "lang_id_char_ngrams",
+    oracle=_lang_ngram_oracle(),
+    doc="Character-trigram language ID (the n-gram heuristic proper): "
+    "slide a 3-char window over the normalized text, count hits against "
+    "per-language trigram profiles, argmax with fixed precedence. The "
+    "gram extraction is transform(sequence(...)) + substring — all "
+    "JVM-side higher-order functions, no explode: the grams array lives "
+    "inside one row, so the plan is scan + project with zero shuffles.",
+    tags=("text",),
+)
+def lang_id_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", norm.alias("norm"))
+        .filter(F.length("norm") >= 3)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("norm") - 2),
+        lambda i: F.substring(F.col("norm"), i, F.lit(3)),
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.filter(grams, lambda x: F.array_contains(F.array(*[F.lit(t) for t in tris]), x))
+            )
+            .cast("bigint")
+            .alias(f"g_{lang}")
+            for lang, tris in LANG_TRIGRAMS.items()
+        ],
+    )
+    langs = list(LANG_TRIGRAMS)
+    pred = None
+    for lang in langs:
+        others = [F.col(f"g_{o}") for o in langs if o != lang]
+        cond = F.col(f"g_{lang}") >= F.greatest(*others)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"), (F.col("lang") == pred).alias("correct")
+    )
+
+
 @register(
     "doc_fingerprint",
     oracle="""
