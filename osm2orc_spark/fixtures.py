@@ -196,7 +196,11 @@ def _iso(sec: int | None) -> str | None:
 
 def changesets_xml(rows: list[dict]) -> str:
     """Render rows as the reference's input XML shape
-    (ChangesetXmlHandler.java:42-62 structure)."""
+    (ChangesetXmlHandler.java:42-62 structure). Attribute values are
+    XML-escaped — user names and tag k/v legitimately contain &, <, "
+    in real OSM dumps."""
+    from xml.sax.saxutils import quoteattr
+
     out = ['<?xml version="1.0" encoding="UTF-8"?>']
     out.append('<osm license="ODbL" version="0.6">')
     for r in rows:
@@ -209,7 +213,7 @@ def changesets_xml(rows: list[dict]) -> str:
         if r["uid"] is not None:
             attrs.append(f'uid="{r["uid"]}"')
         if r["user"] is not None:
-            attrs.append(f'user="{r["user"]}"')
+            attrs.append(f"user={quoteattr(r['user'])}")
         for k in ("min_lat", "min_lon", "max_lat", "max_lon"):
             if r[k] is not None:
                 attrs.append(f'{k}="{r[k]}"')
@@ -218,7 +222,7 @@ def changesets_xml(rows: list[dict]) -> str:
         if r["tags"]:
             out.append(f'  <changeset {" ".join(attrs)}>')
             for k, v in r["tags"].items():
-                out.append(f'    <tag k="{k}" v="{v}"/>')
+                out.append(f"    <tag k={quoteattr(k)} v={quoteattr(v)}/>")
             out.append("  </changeset>")
         else:
             out.append(f'  <changeset {" ".join(attrs)}/>')
