@@ -486,6 +486,40 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (the general form cube/rollup specialize).
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS grp_status,
+           GROUPING(o_orderpriority) AS grp_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS — per-status totals, per-priority totals, "
+    "and the grand total in ONE pass, without the full cube's cross "
+    "products. Catalyst expands the three sets map-side (Expand) into a "
+    "single partial+final aggregate; at scale this replaces three "
+    "separate scans+shuffles with one.",
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS grp_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS grp_priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # approx_count_distinct: sketch-based distinct (engine-specific values).
 # ---------------------------------------------------------------------------
 @register(
