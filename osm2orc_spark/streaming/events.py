@@ -228,6 +228,84 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(session_window_stream(ev), "stream_session_windows_mem")
 
 
+def purchase_after_view_join_stream(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each view joined to the same user's
+    purchases within [view_ts, view_ts + horizon].
+
+    Both sides are watermarked and the join condition bounds event-time
+    distance, so Spark can expire join state as watermarks advance —
+    the state per key is one horizon's worth of rows, not the stream's
+    history. This is THE pattern for attribution joins at scale."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", horizon)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            f"""
+            v_user_id = p_user_id AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + INTERVAL {horizon}
+            """
+        ),
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "value",
+    )
+
+
+@register(
+    "stream_purchase_attribution",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           v.ts AS view_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    doc="Stream-stream interval join (view -> purchases within 1 hour) "
+    "driven to completion over the bounded input; append-mode output on "
+    "bounded data equals the batch range join, which is the oracle. "
+    "Watermarks on both sides + the event-time bound make join state "
+    "expirable — the attribution-join pattern at scale.",
+    tags=("streaming", "join"),
+)
+def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(
+        purchase_after_view_join_stream(ev),
+        "stream_purchase_attribution_mem",
+        output_mode="append",
+    )
+
+
 @register(
     "stream_user_totals",
     oracle=None,  # float accumulation order inside the pandas state kernel
