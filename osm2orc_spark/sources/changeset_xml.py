@@ -124,6 +124,49 @@ def read_changesets(spark: SparkSession, path: str) -> DataFrame:
     """Read changeset XML file(s) at ``path`` (glob ok; .xml/.gz/.bz2)."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     raw = files.mapInArrow(_parse_file_batches, CHANGESET_RAW_SCHEMA)
+    return _typed(raw)
+
+
+def read_changesets_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """Streaming changeset ingestion: XML files landing in ``dir_path``
+    are parsed incrementally — the reference's batch pipeline
+    (OsmChangesetXml2Orc) as a continuous one. Same parse kernel and
+    typed projection as the batch reader; only the source differs
+    (binaryFile file-stream, which tracks processed files in the
+    checkpoint). Pair with stream_changesets_to_orc for an incremental
+    ORC table."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(dir_path)
+        .select("path", "content")
+    )
+    raw = files.mapInArrow(_parse_file_batches, CHANGESET_RAW_SCHEMA)
+    return _typed(raw)
+
+
+def stream_changesets_to_orc(stream_df: DataFrame, out_path: str, checkpoint: str):
+    """foreachBatch ORC sink: append each micro-batch through the same
+    write path the batch CLI uses (block padding off). Returns the
+    StreamingQuery; callers stop it (or processAllAvailable for bounded
+    input)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .format("orc")
+            .option("orc.block.padding", "false")
+            .save(out_path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def _typed(raw: DataFrame) -> DataFrame:
     return raw.select(
         F.col("id"),
         F.coalesce("tags", F.map_from_arrays(F.array(), F.array())).alias("tags"),

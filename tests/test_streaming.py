@@ -51,6 +51,38 @@ def test_dedup_stream_matches_batch_distinct(spark, sf_smoke):
     assert n_stream == n_batch
 
 
+def test_changeset_stream_to_orc(spark, tmp_path):
+    """Incremental changeset ingestion: files land in a dir, stream
+    parses and appends ORC; result equals the batch reader on the same
+    files (reference pipeline made continuous)."""
+    import shutil
+
+    from osm2orc_spark.sources.changeset_xml import (
+        read_changesets,
+        read_changesets_stream,
+        stream_changesets_to_orc,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    shutil.copy("fixtures/changesets.osm.xml", src / "batch1.xml")
+    out = str(tmp_path / "orc_out")
+    q = stream_changesets_to_orc(
+        read_changesets_stream(spark, str(src)), out, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        # a second file arrives -> only the new one is processed
+        shutil.copy("fixtures/changesets.osm.xml", src / "batch2.xml")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.orc(out)
+    want = read_changesets(spark, str(src))
+    assert got.count() == want.count() == 800
+    assert sorted(got.columns) == sorted(want.columns)
+
+
 def test_running_user_totals_stateful(spark, sf_smoke):
     import pytest
     from pyspark.sql import functions as F
