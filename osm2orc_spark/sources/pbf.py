@@ -104,6 +104,47 @@ def read_pbf_bounds(path: str) -> tuple[float, float, float, float] | None:
     return None
 
 
+def _decode_file_batches(batches) -> Iterator:
+    """mapInArrow worker for the streaming path: whole PBF files arrive
+    as (path, content) rows; decode every data blob in the file. Blob
+    parallelism is lost (one task per file) — the right trade for
+    incremental ingestion of extract-sized files; planet-scale backfills
+    use the batch read_pbf blob split."""
+    import io
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from osm2orc_spark.sources.pbf_codec import iter_blobs_from_bytes
+
+    arrow_schema = to_arrow_schema(PLANET_RAW_SCHEMA)
+    for batch in batches:
+        for r in batch.to_pylist():
+            for kind, payload in iter_blobs_from_bytes(r["content"]):
+                if kind != "OSMData":
+                    continue
+                rows = list(decode_primitive_block(payload))
+                if rows:
+                    yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+
+def read_pbf_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """Streaming PBF ingestion: .pbf files landing in ``dir_path`` decode
+    incrementally into the planet schema — pair with a foreachBatch ORC
+    append (see sources/changeset_xml.py's stream_changesets_to_orc; the
+    sink is format-agnostic)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.pbf")
+        .load(dir_path)
+        .select("path", "content")
+    )
+    raw = files.mapInArrow(_decode_file_batches, PLANET_RAW_SCHEMA)
+    return _typed(raw)
+
+
 def read_pbf(spark: SparkSession, path: str) -> DataFrame:
     """Read an OSM PBF file into a planet/planet_history DataFrame."""
     refs = [r for r in scan_blob_index(path) if r.kind == "OSMData"]
@@ -113,6 +154,10 @@ def read_pbf(spark: SparkSession, path: str) -> DataFrame:
         "path string, offset long, size long",
     ).repartition(slices)
     raw = refs_df.mapInArrow(_decode_ref_batches, PLANET_RAW_SCHEMA)
+    return _typed(raw)
+
+
+def _typed(raw: DataFrame) -> DataFrame:
     return raw.select(
         "id",
         "type",  # B1: lowercase literals emitted by the decoder

@@ -191,6 +191,41 @@ def read_blob(ref: BlobRef) -> bytes:
     return raw
 
 
+def _decompress_blob(blob: bytes) -> bytes:
+    raw = None
+    for fieldno, _, val in _fields(blob):
+        if fieldno == 1:
+            raw = bytes(val)
+        elif fieldno == 3:
+            raw = zlib.decompress(bytes(val))
+        elif fieldno in (4, 5, 6, 7):
+            raise ValueError("unsupported PBF compression (only raw/zlib)")
+    if raw is None:
+        raise ValueError("empty Blob")
+    return raw
+
+
+def iter_blobs_from_bytes(data: bytes):
+    """Yield (kind, decompressed_payload) for every blob in an in-memory
+    PBF file — the streaming-source twin of scan_blob_index+read_blob,
+    for paths where the whole file arrives as one binary value."""
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        header_len = struct.unpack(">i", data[pos : pos + 4])[0]
+        pos += 4
+        header = data[pos : pos + header_len]
+        pos += header_len
+        kind, datasize = "", 0
+        for fieldno, _, val in _fields(header):
+            if fieldno == 1:
+                kind = bytes(val).decode("utf-8")
+            elif fieldno == 3:
+                datasize = val
+        yield kind, _decompress_blob(data[pos : pos + datasize])
+        pos += datasize
+
+
 def decode_header_block(data: bytes) -> dict:
     """HeaderBlock -> {'bounds': (left, bottom, right, top) degrees} | {}.
 

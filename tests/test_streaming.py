@@ -83,6 +83,43 @@ def test_changeset_stream_to_orc(spark, tmp_path):
     assert sorted(got.columns) == sorted(want.columns)
 
 
+def test_pbf_stream_matches_batch(spark, tmp_path):
+    """Streaming PBF ingestion over a landing dir equals the batch reader."""
+    import shutil
+
+    from osm2orc_spark.sources.changeset_xml import stream_changesets_to_orc
+    from osm2orc_spark.sources.pbf import read_pbf, read_pbf_stream
+
+    src = tmp_path / "pbf_in"
+    src.mkdir()
+    shutil.copy("fixtures/tiny.osm.pbf", src / "extract1.pbf")
+    out = str(tmp_path / "planet_orc")
+    # the foreachBatch ORC sink is format-agnostic — reuse it
+    q = stream_changesets_to_orc(
+        read_pbf_stream(spark, str(src)), out, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.orc(out)
+    want = read_pbf(spark, str(src / "extract1.pbf"))
+    assert got.count() == want.count()
+    assert sorted(got.columns) == sorted(want.columns)
+    # spot-check cell equality (history data: (id, version) is the key)
+    g = {
+        (r["id"], r["version"]): r
+        for r in got.filter("type = 'node'").limit(50).collect()
+    }
+    w = {
+        (r["id"], r["version"]): r
+        for r in want.filter("type = 'node'").collect()
+        if (r["id"], r["version"]) in g
+    }
+    assert g.keys() == w.keys()
+    assert all(g[k]["lat"] == w[k]["lat"] and g[k]["tags"] == w[k]["tags"] for k in g)
+
+
 def test_running_user_totals_stateful(spark, sf_smoke):
     import pytest
     from pyspark.sql import functions as F
