@@ -292,6 +292,41 @@ def lang_id_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_split_assign",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Deterministic 80/10/10 train/val/test split by md5 bucket of the "
+    "doc id — the reproducible-split primitive every training pipeline "
+    "needs: membership is a pure function of the id, so re-runs, "
+    "backfills, and other engines (the oracle re-derives it) agree "
+    "row-for-row, and no shuffle or RNG state is involved. Zero-shuffle "
+    "narrow projection.",
+    tags=("text", "split"),
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     WITH t AS (

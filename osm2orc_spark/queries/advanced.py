@@ -486,6 +486,43 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unpivot / melt: wide-to-long reshaping.
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_order_measures",
+    oracle="""
+    SELECT o_orderkey, measure, val FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS totalprice,
+             CAST(o_custkey AS DOUBLE) AS custkey
+      FROM orders WHERE o_orderkey < 100
+    ) UNPIVOT (val FOR measure IN (totalprice, custkey))
+    """,
+    doc="Unpivot (melt): wide measure columns to (measure, val) long "
+    "form — the feed shape for generic per-metric aggregation and ML "
+    "feature tables. Catalyst's Expand node emits k rows per input "
+    "map-side; no shuffle is introduced by the reshape itself.",
+    tags=("reshape",),
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+    )
+    return orders.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Explicit GROUPING SETS (the general form cube/rollup specialize).
 # ---------------------------------------------------------------------------
 @register(
