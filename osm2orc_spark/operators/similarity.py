@@ -176,6 +176,79 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_kmeans",
+    oracle=None,  # KMeans centroids are Spark-specific (seeded but not
+    # reproducible in DuckDB); tests/test_advanced.py checks recall
+    # against the exhaustive brute-force top-k instead.
+    doc="The production IVF variant promised by ann_ivf_probe: centroids "
+    "from MLlib KMeans (seeded, fit on the corpus — at 100 TB, on a "
+    "sample), then the same assign/probe/score dataflow. Rows-only in "
+    "the oracle gate; the recall test pins quality. Fit cost is one "
+    "pass over a sample; assignment is a broadcast of k centroid "
+    "vectors — identical scale posture to the fixed-centroid variant.",
+    tags=("similarity",),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load(spark, sf_dir, "embeddings")
+    feat = emb.select(
+        "vec_id", "label", "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=N_CENTROIDS, seed=42, maxIter=10)
+    model = km.fit(feat.select("features"))
+    assigned = model.transform(feat).withColumnRenamed("prediction", "cid")
+    # centroid vectors as a tiny broadcastable frame
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, c_emb array<double>",
+    )
+    q = (
+        assigned.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cid").alias("q_cid"),
+        )
+    )
+    # probe the query's N_PROBE nearest centroids by euclidean distance
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "q_id", "cid",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("c_emb"),
+                    F.col("q_emb").cast("array<double>"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("dist"),
+    )
+    probe = (
+        qc.withColumn("rn", F.row_number().over(W.orderBy("dist", "cid")))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("cid")
+    )
+    qa, qb = _quant(F.col("embedding")), _quant(F.col("q_emb"))
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .crossJoin(F.broadcast(q.select("q_id", "q_emb")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id", "label", "cid",
+            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@register(
     "embedding_near_dup_lsh",
     oracle=f"""
     WITH {_DUCK_QE},

@@ -28,6 +28,20 @@ def test_approx_distinct_within_rsd_bound(spark, sf_correctness):
         assert abs(approx[k] - n) <= max(1, 0.15 * n), (k, approx[k], n)
 
 
+def test_ivf_kmeans_recall(spark, sf_correctness):
+    # probed KMeans-IVF must recover most of the exhaustive top-10
+    got = {
+        r["vec_id"]
+        for r in QUERIES["ann_ivf_kmeans"].fn(spark, sf_correctness).collect()
+    }
+    want = {
+        r["vec_id"]
+        for r in QUERIES["ann_topk_bruteforce"].fn(spark, sf_correctness).collect()
+    }
+    assert len(got) == len(want) == 10
+    assert len(got & want) >= 5  # nprobe=2 of k=8 clusters
+
+
 def test_asof_join_no_range_blowup(spark, sf_correctness):
     # The scalable plan must be union+window: a single shuffle on user_id,
     # no join node at all in the physical plan.
