@@ -175,6 +175,68 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BATCH_QUERIES = 10
+
+
+@register(
+    "ann_topk_batch",
+    oracle=f"""
+    WITH {_DUCK_QE},
+    queries AS (
+      SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id LIMIT {N_BATCH_QUERIES}
+    ),
+    dots AS (
+      SELECT q.q_id, a.vec_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      FROM qe a
+      JOIN queries q ON true
+      JOIN qe b ON b.vec_id = q.q_id AND b.i = a.i
+      WHERE a.vec_id != q.q_id
+      GROUP BY q.q_id, a.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id,
+             CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS cosine
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.vec_id
+      JOIN norms nq ON nq.vec_id = d.q_id
+    )
+    SELECT q_id, vec_id, cosine FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= {TOP_K}
+    """,
+    doc="Batched ANN: top-10 neighbors for each of 10 query vectors in "
+    "ONE pass — broadcast the query block, score corpus x queries with "
+    "JVM-side zip_with/aggregate, rank per query with a window. This is "
+    "the production retrieval shape (dedup and RAG jobs score query "
+    "BLOCKS, not single vectors): corpus scans amortize across the whole "
+    "block, and the per-query top-k shuffle partitions on q_id.",
+    tags=("similarity",),
+)
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(N_BATCH_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    qa, qb = _quant(F.col("embedding")), _quant(F.col("q_emb"))
+    scored = (
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", "cosine")
+    )
+
+
 @register(
     "ann_ivf_kmeans",
     oracle=None,  # KMeans centroids are Spark-specific (seeded but not

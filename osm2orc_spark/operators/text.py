@@ -291,6 +291,80 @@ def lang_id_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 5  # char k-gram size
+WINNOW_W = 4  # winnowing window (minima over w consecutive hashes)
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               [substr(norm, i, {WINNOW_K}) for i in generate_series(1, len(norm) - {WINNOW_K - 1})],
+               g -> CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+             ) AS hashes
+      FROM t WHERE len(norm) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               [list_min(hashes[j:j+{WINNOW_W - 1}]) for j in generate_series(1, len(hashes) - {WINNOW_W - 1})]
+             )) AS fps
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           md5(array_to_string(fps, ',')) AS fp_md5
+    FROM fp
+    """,
+    doc="MOSS-style winnowing fingerprints: hash every 5-char k-gram "
+    "(rolling-hash stand-in: 32-bit md5 prefix), take the minimum of "
+    "each window of 4 consecutive hashes, keep the distinct minima. "
+    "Winnowing guarantees any shared substring of length k+w-1 yields a "
+    "shared fingerprint — the basis of local (not whole-doc) plagiarism "
+    "and near-dup detection. Entirely JVM-side higher-order functions "
+    "over per-row arrays: zero shuffles, zero Python.",
+    tags=("text", "dedup"),
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") >= WINNOW_K + WINNOW_W - 1)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("norm") - (WINNOW_K - 1)),
+        lambda i: F.substring(F.col("norm"), i, F.lit(WINNOW_K)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(F.encode(g, "utf-8")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    docs = docs.select("doc_id", hashes.alias("hashes"))
+    minima = F.transform(
+        F.sequence(F.lit(1), F.size("hashes") - (WINNOW_W - 1)),
+        lambda j: F.array_min(F.slice("hashes", j, WINNOW_W)),
+    )
+    fps = F.array_sort(F.array_distinct(minima))
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fps"),
+        F.md5(
+            F.encode(
+                F.concat_ws(",", F.transform(fps, lambda x: x.cast("string"))), "utf-8"
+            )
+        ).alias("fp_md5"),
+    )
+
+
 @register(
     "dataset_split_assign",
     oracle="""
