@@ -486,6 +486,44 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Histogram via width_bucket: fixed-width binning as a pure projection.
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_event_values",
+    oracle="""
+    -- width_bucket(v, 0, 500, 20) semantics spelled out (DuckDB lacks it):
+    -- 0 below range, n_bins+1 at/above the upper bound, else 1-based bin.
+    SELECT CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 500.0 THEN 21
+                ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    doc="20-bin histogram of event values via width_bucket — binning is "
+    "a scalar projection (no join, unlike range_join_value_bands' "
+    "general lo/hi table), so the whole histogram is one partial+final "
+    "aggregate over at most 22 groups. The right plan whenever bins are "
+    "fixed-width; the range join covers irregular bins.",
+    tags=("agg", "histogram"),
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(20)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unpivot / melt: wide-to-long reshaping.
 # ---------------------------------------------------------------------------
 @register(
