@@ -208,10 +208,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH: the scale path for near-dup detection.
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_DUCK_SHINGLES},
+def _minhash_lsh_oracle(shingle_ctes: str) -> str:
+    """DuckDB oracle for the MinHash+LSH pipeline, parameterized by the
+    CTE block that defines ``shingles`` (raw or df-capped)."""
+    return f"""
+    WITH {shingle_ctes},
     hashed AS (
       SELECT doc_id,
              CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS v
@@ -248,25 +249,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
-    """,
-    doc="MinHash(12 universal-hash permutations over one 32-bit md5 prefix "
-    "per shingle) + LSH(4 bands x 3 rows) candidate generation, then "
-    "exact-Jaccard verification of candidates only. The permutation "
-    "arithmetic (a*v+b mod P) is exact BIGINT in both engines, so the "
-    "candidate sets — and therefore the verified output — are "
-    "engine-identical. At scale the band-bucket self-join replaces the "
-    "quadratic shingle join: cost is proportional to actual near-duplicate "
-    "groups, not corpus size^2.",
-    tags=("dedup",),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Columnar minhash: ONE md5 per shingle row -> 32-bit int v, then 12
-    # cheap (a*v+b)%P permutation columns and ONE groupBy(doc_id) with 12
-    # min() aggregates. Compared to a (doc, seed) row explosion this
-    # shuffles 12x fewer rows and computes bands without a second shuffle;
-    # compared to md5-per-seed it does 12x less hashing.
-    # Persisted: consumed by minhash, sizes, and both verify-join sides.
-    sh = _shingles(spark, sf_dir).persist()
+    """
+
+
+def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
+    """Verified near-dup pairs from a (doc_id, shingle) DataFrame.
+
+    Columnar minhash: ONE md5 per shingle row -> 32-bit int v, then 12
+    cheap (a*v+b)%P permutation columns and ONE groupBy(doc_id) with 12
+    min() aggregates. Compared to a (doc, seed) row explosion this
+    shuffles 12x fewer rows and computes bands without a second shuffle;
+    compared to md5-per-seed it does 12x less hashing.
+    """
     v = (
         F.conv(F.substring(F.md5(F.encode("shingle", "utf-8")), 1, 8), 16, 10)
         .cast("bigint")
@@ -308,6 +302,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _jaccard_pairs(cand, sh, JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_lsh_oracle(_DUCK_SHINGLES),
+    doc="MinHash(12 universal-hash permutations over one 32-bit md5 prefix "
+    "per shingle) + LSH(4 bands x 3 rows) candidate generation, then "
+    "exact-Jaccard verification of candidates only. The permutation "
+    "arithmetic (a*v+b mod P) is exact BIGINT in both engines, so the "
+    "candidate sets — and therefore the verified output — are "
+    "engine-identical. At scale the band-bucket self-join replaces the "
+    "quadratic shingle join: cost is proportional to actual near-duplicate "
+    "groups, not corpus size^2.",
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Persisted: consumed by minhash, sizes, and both verify-join sides.
+    sh = _shingles(spark, sf_dir).persist()
+    return _minhash_lsh_pairs(sh)
+
+
+# ---------------------------------------------------------------------------
+# Doc-frequency-capped MinHash LSH: the pathological-corpus escape hatch.
+# ---------------------------------------------------------------------------
+MINHASH_DF_CAP = 4
+
+_DUCK_SHINGLES_CAPPED = f"""
+  toks AS (
+    SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+    FROM documents
+  ),
+  shingles_raw AS (
+    SELECT DISTINCT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   for i in generate_series(1, len(t) - 2)]) AS shingle
+    FROM toks WHERE len(t) >= 3
+  ),
+  hot AS (
+    SELECT shingle FROM shingles_raw GROUP BY shingle HAVING COUNT(*) > {MINHASH_DF_CAP}
+  ),
+  shingles AS (
+    SELECT doc_id, shingle FROM shingles_raw
+    WHERE shingle NOT IN (SELECT shingle FROM hot)
+  )
+"""
+
+
+@register(
+    "dedup_minhash_lsh_dfcap",
+    oracle=_minhash_lsh_oracle(_DUCK_SHINGLES_CAPPED),
+    doc="MinHash LSH with a document-frequency cap on shingles: any "
+    f"shingle present in more than {MINHASH_DF_CAP} documents is dropped "
+    "before signatures, banding, AND verification. Boilerplate shingles "
+    "(license headers, templates) are what create quadratic hot LSH "
+    "buckets at corpus scale — AQE skew-join splits moderate cases, but a "
+    "df cap removes the blow-up at the source, at the cost of ignoring "
+    "boilerplate-only similarity (usually the desired semantics for "
+    "training-data dedup). The hot-shingle set is tiny (it's the df "
+    "distribution tail) so the exclusion join is a broadcast anti-join — "
+    "no extra shuffle over the raw pipeline.",
+    tags=("dedup",),
+)
+def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh_raw = _shingles(spark, sf_dir).persist()
+    hot = (
+        sh_raw.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MINHASH_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh_raw.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    return _minhash_lsh_pairs(sh)
 
 
 # ---------------------------------------------------------------------------

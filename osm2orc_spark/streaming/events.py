@@ -149,21 +149,68 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf(bounded_memory_gb: int | None = None) -> dict[str, str]:
+    """Session confs that move streaming state off the JVM heap into the
+    built-in RocksDB state store (the scale posture for long-running
+    stateful queries: state size is bounded by disk, not executor heap,
+    and changelog checkpointing makes commits O(delta) instead of
+    O(full-snapshot) per micro-batch)."""
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_STATE_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+    if bounded_memory_gb is not None:
+        conf["spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"] = "true"
+        conf["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] = str(
+            bounded_memory_gb * 1024
+        )
+    return conf
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    extra_conf: dict[str, str] | None = None,
+) -> DataFrame:
     """Drive a streaming query to completion over the bounded input and
     return the materialized result ('complete' for windowed aggs;
     'update' for applyInPandasWithState, whose update rows append to the
-    memory sink — the last row per key is the final state)."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    memory sink — the last row per key is the final state).
+
+    ``extra_conf`` (e.g. ``rocksdb_state_conf()``) is applied for the
+    duration of the query and restored afterwards — state-store confs are
+    read at query start, so this is the per-query scoping mechanism."""
+    spark = stream_df.sparkSession
+    saved: dict[str, str | None] = {}
+    for k, v in (extra_conf or {}).items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 

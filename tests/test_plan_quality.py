@@ -79,6 +79,59 @@ def test_osm_bbox_pushdown(spark, sf_correctness):
     assert "min_lon" in pushed
 
 
+def test_dfcap_hot_shingle_exclusion_is_broadcast_anti(spark, sf_correctness):
+    # the hot-shingle exclusion must be a broadcast LeftAnti join, not a
+    # shuffled one — the hot set is the tiny tail of the df distribution
+    plan = plan_of(spark, sf_correctness, "dedup_minhash_lsh_dfcap")
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_correctness):
+    """AQE skew-join must kick in on a pathologically skewed key: one key
+    holding ~99% of rows would otherwise pin the whole sort-merge join on
+    one task. Thresholds are lowered to make the tiny test input exhibit
+    what a hot LSH bucket / hot user_id does at production scale."""
+    from pyspark.sql import functions as F
+
+    skew_conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        # the downstream rollup reuses the join's hash partitioning, so
+        # Spark would skip the split to avoid an extra shuffle; force it —
+        # one extra shuffle beats a straggler task holding 99% of the rows
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in skew_conf}
+    for k, v in skew_conf.items():
+        spark.conf.set(k, v)
+    try:
+        # payload is an md5 string: incompressible, so the hot partition's
+        # shuffle blocks are actually large (skew detection reads the
+        # compressed map-output sizes)
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(2_000).select(
+            F.col("id").alias("k"), F.col("id").alias("dim")
+        )
+        joined = left.join(right, "k").groupBy("k").agg(F.max("payload"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize(
     "name",
     [

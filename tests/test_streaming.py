@@ -8,6 +8,7 @@ from osm2orc_spark.streaming.events import (
     dedup_events_stream,
     hourly_rollup_stream,
     read_events_stream,
+    rocksdb_state_conf,
     run_to_memory,
     running_user_totals_stream,
     session_window_stream,
@@ -21,6 +22,26 @@ def test_hourly_rollup_stream_matches_batch(spark, sf_smoke):
     got = {tuple(r) for r in result.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def test_hourly_rollup_stream_rocksdb_state(spark, sf_smoke):
+    """Same rollup with the RocksDB state store provider: result must be
+    identical to the default (HDFS-backed) provider and the batch twin.
+    RocksDB is the 100TB posture — state on disk, not executor heap."""
+    events = read_events_stream(spark, f"{sf_smoke}/events.parquet")
+    result = run_to_memory(
+        hourly_rollup_stream(events),
+        "hourly_rocksdb_out",
+        extra_conf=rocksdb_state_conf(),
+    )
+    batch = tumbling_window_hourly(spark, sf_smoke)
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    # the conf scoping restored the default provider
+    assert "RocksDB" not in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
 
 
 def test_session_window_stream_counts(spark, sf_smoke):
