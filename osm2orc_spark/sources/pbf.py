@@ -41,7 +41,7 @@ from osm2orc_spark.schemas import LAT_TYPE, LON_TYPE
 from osm2orc_spark.sources.pbf_codec import (
     BlobRef,
     decode_header_block,
-    decode_primitive_block,
+    decode_primitive_block_columns,
     read_blob,
     scan_blob_index,
 )
@@ -79,8 +79,9 @@ PLANET_RAW_SCHEMA = T.StructType(
 
 def _decode_ref_batches(batches) -> Iterator:
     """mapInArrow worker: (path, offset, size) rows -> one RecordBatch per
-    decoded blob. Dict rows from the codec feed pa.RecordBatch.from_pylist
-    directly (keys match PLANET_RAW_SCHEMA field names)."""
+    decoded blob. The codec's columnar decode hands whole column lists to
+    pa.RecordBatch.from_pydict — no per-row dict is ever materialized
+    (keys match PLANET_RAW_SCHEMA field names)."""
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -89,9 +90,9 @@ def _decode_ref_batches(batches) -> Iterator:
     for batch in batches:
         for r in batch.to_pylist():
             ref = BlobRef(r["path"], r["offset"], r["size"], "OSMData")
-            rows = list(decode_primitive_block(read_blob(ref)))
-            if rows:
-                yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+            cols = decode_primitive_block_columns(read_blob(ref))
+            if cols["id"]:
+                yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
 
 
 def read_pbf_bounds(path: str) -> tuple[float, float, float, float] | None:
@@ -124,9 +125,9 @@ def _decode_file_batches(batches) -> Iterator:
             for kind, payload in iter_blobs_from_bytes(r["content"]):
                 if kind != "OSMData":
                     continue
-                rows = list(decode_primitive_block(payload))
-                if rows:
-                    yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+                cols = decode_primitive_block_columns(payload)
+                if cols["id"]:
+                    yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
 
 
 def read_pbf_stream(spark: SparkSession, dir_path: str) -> DataFrame:

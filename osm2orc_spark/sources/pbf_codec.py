@@ -38,6 +38,8 @@ import zlib
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
+import numpy as np
+
 NANO = 10**9
 
 # ---------------------------------------------------------------------------
@@ -109,6 +111,88 @@ def _packed_varints(buf: bytes) -> list[int]:
         v, pos = _read_varint(buf, pos)
         out.append(v)
     return out
+
+
+def _packed_varints_np(buf: bytes) -> np.ndarray:
+    """Vectorized packed-varint decode -> uint64 array.
+
+    The per-byte Python loop is the single hottest spot in block decode
+    (DenseNodes ids/lats/lons/keys_vals are all packed varints), so this
+    decodes the whole field at once: continuation bits mark varint
+    boundaries, each byte's 7 payload bits are shifted into place by its
+    offset within the varint, and a segmented sum (reduceat) folds the
+    bytes of each varint together. 64-bit wraparound matches two's-
+    complement varint semantics (a 10-byte varint's top bits drop).
+    """
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = np.empty(a.size, dtype=bool)
+    starts[0] = True
+    np.less(a[:-1], 0x80, out=starts[1:])  # byte after a non-continuation byte
+    start_idx = np.flatnonzero(starts)
+    # offset of every byte within its own varint: position minus the
+    # position of its varint's first byte
+    group_start = np.repeat(start_idx, np.diff(start_idx, append=a.size))
+    shifts = ((np.arange(a.size, dtype=np.int64) - group_start) * 7).astype(
+        np.uint64
+    )
+    vals = (a & 0x7F).astype(np.uint64) << shifts
+    return np.add.reduceat(vals, start_idx)
+
+
+# Below this buffer size the scalar loop beats numpy's fixed per-call cost
+# (~10µs of array setup): way/relation keys/vals/refs/roles are typically a
+# handful of varints, while DenseNodes fields are tens of KB.
+_NP_CUTOVER = 192
+
+
+def _packed_varints_list(buf: bytes) -> list[int]:
+    """Packed varint field -> Python ints, sized-based scalar/numpy pick."""
+    if len(buf) < _NP_CUTOVER:
+        return _packed_varints(buf)
+    return _packed_varints_np(buf).tolist()
+
+
+def _packed_svarints_list(buf: bytes, delta: bool = False) -> list[int]:
+    """Packed zigzag-sint64 field -> Python ints, optionally prefix-summed
+    (the PBF delta encoding for ids/coords/refs/memids/DenseInfo)."""
+    if len(buf) < _NP_CUTOVER:
+        out: list[int] = []
+        pos = 0
+        acc = 0
+        n = len(buf)
+        while pos < n:
+            v, pos = _read_varint(buf, pos)
+            s = (v >> 1) ^ -(v & 1)
+            if delta:
+                acc += s
+                out.append(acc)
+            else:
+                out.append(s)
+        return out
+    v = _packed_varints_np(buf)
+    s = (v >> np.uint64(1)).astype(np.int64) ^ -(
+        (v & np.uint64(1)).astype(np.int64)
+    )
+    if delta:
+        s = np.cumsum(s)
+    return s.tolist()
+
+
+def _coord_strs(off: int, granularity: int, raws: list[int]) -> list[str]:
+    """Exact nanodegree -> decimal-string conversion for a whole dense
+    block at once: the divmod arithmetic runs vectorized, only the final
+    f-string is per-item."""
+    nano = off + granularity * np.asarray(raws, dtype=np.int64)
+    neg = nano < 0
+    a = np.abs(nano)
+    deg = a // NANO
+    frac = a % NANO
+    return [
+        f"-{d}.{f:09d}" if m else f"{d}.{f:09d}"
+        for m, d, f in zip(neg.tolist(), deg.tolist(), frac.tolist())
+    ]
 
 
 def _tag(out: bytearray, fieldno: int, wire: int) -> None:
@@ -272,12 +356,42 @@ def _decode_info(buf: bytes, strings: list[str]) -> dict:
     return info
 
 
+ENTITY_COLUMNS = (
+    "id",
+    "type",
+    "tags",
+    "lat",
+    "lon",
+    "nds",
+    "members",
+    "changeset",
+    "timestamp_ms",
+    "uid",
+    "user",
+    "version",
+    "visible",
+)
+
+
 def decode_primitive_block(data: bytes) -> Iterator[dict]:
     """PrimitiveBlock -> entity dicts (uniform row shape for all 3 kinds).
 
-    Yields: {'id','type','tags','lat','lon','nds','members','changeset',
-    'timestamp_ms','uid','user','version','visible'} with lat/lon as exact
-    decimal strings (or None)."""
+    Row-adapter over the columnar core: {'id','type','tags','lat','lon',
+    'nds','members','changeset','timestamp_ms','uid','user','version',
+    'visible'} with lat/lon as exact decimal strings (or None)."""
+    cols = decode_primitive_block_columns(data)
+    for row in zip(*(cols[k] for k in ENTITY_COLUMNS)):
+        yield dict(zip(ENTITY_COLUMNS, row))
+
+
+def decode_primitive_block_columns(data: bytes) -> dict[str, list]:
+    """PrimitiveBlock -> column lists (ENTITY_COLUMNS order).
+
+    Columnar by design: DenseNodes fields decode as whole arrays
+    (vectorized varints + one cumsum per delta field) and extend the
+    output columns in bulk — no per-row dict is ever built, and the
+    caller hands the lists straight to pyarrow (RecordBatch.from_pydict),
+    so the only per-entity Python work left is tag-dict assembly."""
     strings: list[str] = []
     groups: list[bytes] = []
     granularity, date_granularity = 100, 1000
@@ -306,6 +420,21 @@ def decode_primitive_block(data: bytes) -> Iterator[dict]:
     def ts_ms(t: int | None) -> int | None:
         return None if t is None else t * date_granularity
 
+    cols: dict[str, list] = {k: [] for k in ENTITY_COLUMNS}
+    c_id = cols["id"]
+    c_type = cols["type"]
+    c_tags = cols["tags"]
+    c_lat = cols["lat"]
+    c_lon = cols["lon"]
+    c_nds = cols["nds"]
+    c_members = cols["members"]
+    c_changeset = cols["changeset"]
+    c_ts = cols["timestamp_ms"]
+    c_uid = cols["uid"]
+    c_user = cols["user"]
+    c_version = cols["version"]
+    c_visible = cols["visible"]
+
     for group in groups:
         for fieldno, _, val in _fields(group):
             gbuf = bytes(val)
@@ -326,107 +455,102 @@ def decode_primitive_block(data: bytes) -> Iterator[dict]:
                     elif f2 == 9:
                         lon = _zigzag_decode(v2)
                 info = node["info"] or _decode_info(b"", strings)
-                yield {
-                    "id": nid,
-                    "type": "node",
-                    "tags": {
+                c_id.append(nid)
+                c_type.append("node")
+                c_tags.append(
+                    {
                         strings[k]: strings[v]
                         for k, v in zip(node["keys"], node["vals"])
-                    },
-                    "lat": coord(lat_offset, lat),
-                    "lon": coord(lon_offset, lon),
-                    "nds": [],
-                    "members": [],
-                    "changeset": info.get("changeset"),
-                    "timestamp_ms": ts_ms(info.get("timestamp")),
-                    "uid": info.get("uid"),
-                    "user": info.get("user"),
-                    "version": info.get("version", -1),
-                    "visible": info.get("visible", True),
-                }
+                    }
+                )
+                c_lat.append(coord(lat_offset, lat))
+                c_lon.append(coord(lon_offset, lon))
+                c_nds.append([])
+                c_members.append([])
+                c_changeset.append(info.get("changeset"))
+                c_ts.append(ts_ms(info.get("timestamp")))
+                c_uid.append(info.get("uid"))
+                c_user.append(info.get("user"))
+                c_version.append(info.get("version", -1))
+                c_visible.append(info.get("visible", True))
             elif fieldno == 2:  # DenseNodes
+                # Every packed field decodes vectorized; the delta encoding
+                # becomes one cumsum per array instead of per-row accumulators.
                 ids: list[int] = []
                 lats: list[int] = []
                 lons: list[int] = []
                 keys_vals: list[int] = []
-                dense_info: dict[str, list[int]] = {}
+                versions: list[int] | None = None
+                timestamps: list[int] | None = None
+                changesets: list[int] | None = None
+                uids: list[int] | None = None
+                user_sids: list[int] | None = None
+                visibles: list[int] | None = None
                 for f2, _, v2 in _fields(gbuf):
                     if f2 == 1:
-                        ids = [_zigzag_decode(x) for x in _packed_varints(bytes(v2))]
+                        ids = _packed_svarints_list(bytes(v2), delta=True)
                     elif f2 == 5:
                         for f3, _, v3 in _fields(bytes(v2)):
-                            vals3 = _packed_varints(bytes(v3))
                             if f3 == 1:
-                                dense_info["version"] = vals3
+                                versions = _packed_varints_list(bytes(v3))
                             elif f3 == 2:
-                                dense_info["timestamp"] = [
-                                    _zigzag_decode(x) for x in vals3
-                                ]
+                                timestamps = _packed_svarints_list(
+                                    bytes(v3), delta=True
+                                )
                             elif f3 == 3:
-                                dense_info["changeset"] = [
-                                    _zigzag_decode(x) for x in vals3
-                                ]
+                                changesets = _packed_svarints_list(
+                                    bytes(v3), delta=True
+                                )
                             elif f3 == 4:
-                                dense_info["uid"] = [_zigzag_decode(x) for x in vals3]
+                                uids = _packed_svarints_list(bytes(v3), delta=True)
                             elif f3 == 5:
-                                dense_info["user_sid"] = [
-                                    _zigzag_decode(x) for x in vals3
-                                ]
+                                user_sids = _packed_svarints_list(
+                                    bytes(v3), delta=True
+                                )
                             elif f3 == 6:
-                                dense_info["visible"] = vals3
+                                visibles = _packed_varints_list(bytes(v3))
                     elif f2 == 8:
-                        lats = [_zigzag_decode(x) for x in _packed_varints(bytes(v2))]
+                        lats = _packed_svarints_list(bytes(v2), delta=True)
                     elif f2 == 9:
-                        lons = [_zigzag_decode(x) for x in _packed_varints(bytes(v2))]
+                        lons = _packed_svarints_list(bytes(v2), delta=True)
                     elif f2 == 10:
-                        keys_vals = _packed_varints(bytes(v2))
-                # un-delta
-                acc_id = acc_lat = acc_lon = acc_ts = acc_cs = acc_uid = acc_sid = 0
+                        keys_vals = _packed_varints_list(bytes(v2))
+                n = len(ids)
+                c_id.extend(ids)
+                c_type.extend(["node"] * n)
                 kv_pos = 0
-                for i in range(len(ids)):
-                    acc_id += ids[i]
-                    acc_lat += lats[i]
-                    acc_lon += lons[i]
+                kv_len = len(keys_vals)
+                for _ in range(n):
                     tags = {}
-                    while kv_pos < len(keys_vals) and keys_vals[kv_pos] != 0:
+                    while kv_pos < kv_len and keys_vals[kv_pos] != 0:
                         k = keys_vals[kv_pos]
                         v = keys_vals[kv_pos + 1]
                         tags[strings[k]] = strings[v]
                         kv_pos += 2
                     kv_pos += 1  # skip 0 terminator
-                    info: dict = {}
-                    if dense_info:
-                        if "timestamp" in dense_info:
-                            acc_ts += dense_info["timestamp"][i]
-                            info["timestamp"] = acc_ts
-                        if "changeset" in dense_info:
-                            acc_cs += dense_info["changeset"][i]
-                            info["changeset"] = acc_cs
-                        if "uid" in dense_info:
-                            acc_uid += dense_info["uid"][i]
-                            info["uid"] = acc_uid
-                        if "user_sid" in dense_info:
-                            acc_sid += dense_info["user_sid"][i]
-                            info["user"] = strings[acc_sid]
-                        if "version" in dense_info:
-                            info["version"] = dense_info["version"][i]
-                        if "visible" in dense_info:
-                            info["visible"] = bool(dense_info["visible"][i])
-                    yield {
-                        "id": acc_id,
-                        "type": "node",
-                        "tags": tags,
-                        "lat": coord(lat_offset, acc_lat),
-                        "lon": coord(lon_offset, acc_lon),
-                        "nds": [],
-                        "members": [],
-                        "changeset": info.get("changeset"),
-                        "timestamp_ms": ts_ms(info.get("timestamp")),
-                        "uid": info.get("uid"),
-                        "user": info.get("user"),
-                        "version": info.get("version", -1),
-                        "visible": info.get("visible", True),
-                    }
+                    c_tags.append(tags)
+                c_lat.extend(_coord_strs(lat_offset, granularity, lats))
+                c_lon.extend(_coord_strs(lon_offset, granularity, lons))
+                # read-only downstream (Arrow conversion / row adapter), so
+                # sharing one empty list across rows is safe and free
+                c_nds.extend([[]] * n)
+                c_members.extend([[]] * n)
+                c_changeset.extend(changesets if changesets else [None] * n)
+                c_ts.extend(
+                    [t * date_granularity for t in timestamps]
+                    if timestamps
+                    else [None] * n
+                )
+                c_uid.extend(uids if uids else [None] * n)
+                c_user.extend(
+                    [strings[s] for s in user_sids]
+                    if user_sids
+                    else [None] * n
+                )
+                c_version.extend(versions if versions else [-1] * n)
+                c_visible.extend(
+                    [bool(v) for v in visibles] if visibles else [True] * n
+                )
             elif fieldno in (3, 4):  # Way | Relation
                 eid = None
                 keys: list[int] = []
@@ -440,54 +564,52 @@ def decode_primitive_block(data: bytes) -> Iterator[dict]:
                     if f2 == 1:
                         eid = v2
                     elif f2 == 2:
-                        keys = _packed_varints(bytes(v2))
+                        keys = _packed_varints_list(bytes(v2))
                     elif f2 == 3:
-                        vals = _packed_varints(bytes(v2))
+                        vals = _packed_varints_list(bytes(v2))
                     elif f2 == 4:
                         info = _decode_info(bytes(v2), strings)
                     elif f2 == 8 and fieldno == 3:
-                        refs = [_zigzag_decode(x) for x in _packed_varints(bytes(v2))]
+                        refs = _packed_svarints_list(bytes(v2), delta=True)
                     elif f2 == 8 and fieldno == 4:
-                        roles = _packed_varints(bytes(v2))
+                        roles = _packed_varints_list(bytes(v2))
                     elif f2 == 9:
-                        memids = [_zigzag_decode(x) for x in _packed_varints(bytes(v2))]
+                        memids = _packed_svarints_list(bytes(v2), delta=True)
                     elif f2 == 10:
-                        types = _packed_varints(bytes(v2))
-                tags = {strings[k]: strings[v] for k, v in zip(keys, vals)}
-                common = {
-                    "id": eid,
-                    "tags": tags,
-                    "lat": None,  # B3: NULL coords for ways/relations
-                    "lon": None,
-                    "changeset": info.get("changeset"),
-                    "timestamp_ms": ts_ms(info.get("timestamp")),
-                    "uid": info.get("uid"),
-                    "user": info.get("user"),
-                    "version": info.get("version", -1),
-                    "visible": info.get("visible", True),
-                }
+                        types = _packed_varints_list(bytes(v2))
+                c_id.append(eid)
+                c_tags.append(
+                    {strings[k]: strings[v] for k, v in zip(keys, vals)}
+                )
+                c_lat.append(None)  # B3: NULL coords for ways/relations
+                c_lon.append(None)
+                c_changeset.append(info.get("changeset"))
+                c_ts.append(ts_ms(info.get("timestamp")))
+                c_uid.append(info.get("uid"))
+                c_user.append(info.get("user"))
+                c_version.append(info.get("version", -1))
+                c_visible.append(info.get("visible", True))
                 if fieldno == 3:
-                    acc = 0
-                    nds = []
-                    for d in refs:
-                        acc += d
-                        nds.append(acc)
-                    yield {**common, "type": "way", "nds": nds, "members": []}
+                    # refs decode already prefix-summed (delta=True)
+                    c_type.append("way")
+                    c_nds.append(refs)
+                    c_members.append([])
                 else:
                     # member type enum 0/1/2 -> lowercase string
                     # (reference lowercases osmosis enum, OsmPbf2Orc.java:253-269;
                     # unknown member type is an error, :268)
                     type_names = {0: "node", 1: "way", 2: "relation"}
-                    acc = 0
                     members = []
-                    for i, d in enumerate(memids):
-                        acc += d
+                    for i, mid in enumerate(memids):
                         if types[i] not in type_names:
                             raise ValueError(f"unknown member type {types[i]}")
                         members.append(
-                            (type_names[types[i]], acc, strings[roles[i]])
+                            (type_names[types[i]], mid, strings[roles[i]])
                         )
-                    yield {**common, "type": "relation", "nds": [], "members": members}
+                    c_type.append("relation")
+                    c_nds.append([])
+                    c_members.append(members)
+    return cols
 
 
 # ---------------------------------------------------------------------------
