@@ -1,0 +1,254 @@
+"""Corpus-curation operators: the end-to-end steps a training-data
+pipeline runs AFTER dedup/quality/similarity primitives exist.
+
+- canonical-doc selection per near-dup cluster  -> curation_canonical_docs
+- benchmark decontamination (n-gram overlap)    -> curation_decontaminate
+- deterministic stratified sampling             -> curation_stratified_sample
+- sequence packing into token-budget bins       -> curation_pack_sequences
+
+Each composes the registered primitives (dedup components, quality
+scores, split assignment) rather than re-deriving them, and each keeps
+the determinism rules of the registry docstring: md5-only hashing,
+integer arithmetic before any double, total-order tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm2orc_spark.operators.dedup import (
+    _DUCK_SHINGLES,
+    _shingles,
+    dedup_components,
+)
+from osm2orc_spark.operators.text import text_quality_scores
+from osm2orc_spark.registry import REGISTRY, register
+from osm2orc_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection: one survivor per near-dup cluster.
+# ---------------------------------------------------------------------------
+@register(
+    "curation_canonical_docs",
+    oracle=None,  # assembled below from the components + quality oracles
+    doc="Keep exactly one document per near-duplicate cluster: the highest "
+    "quality_score, doc_id as the total-order tie-break. This is the "
+    "'dedup with a preference' shape every corpus build ends with — "
+    "components give the groups, quality gives the ranking, one "
+    "row_number window picks survivors. The window partitions by "
+    "component (clusters are small by construction), so it parallelizes "
+    "over clusters with no global sort.",
+    tags=("curation", "dedup", "iterative"),
+)
+def curation_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    quality = text_quality_scores(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    ranked = comp.join(quality, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.desc("quality_score"), F.asc("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component", "doc_id", "quality_score"
+    )
+
+
+def _assemble_canonical_oracle() -> None:
+    """Wraps the (already assembled) components oracle and the quality
+    oracle as CTE bodies — the oracle stays the exact serial twin of
+    whatever those primitives compute."""
+    comp_sql = REGISTRY["dedup_components"].oracle
+    quality_sql = REGISTRY["text_quality_scores"].oracle
+    REGISTRY["curation_canonical_docs"].oracle = f"""
+    WITH comp AS ({comp_sql}),
+    q AS ({quality_sql}),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.quality_score,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY q.quality_score DESC, c.doc_id) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT component, doc_id, quality_score FROM ranked WHERE rn = 1
+    """
+
+
+_assemble_canonical_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: train docs sharing n-grams with the test split.
+# ---------------------------------------------------------------------------
+_DUCK_SPLIT = """
+  split_assign AS (
+    SELECT doc_id,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+                THEN 'train'
+                WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+  )
+"""
+
+
+@register(
+    "curation_decontaminate",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    {_DUCK_SPLIT}
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT te.doc_id) AS BIGINT) AS n_test_docs_hit
+    FROM (SELECT s.doc_id, s.shingle FROM shingles s
+          JOIN split_assign a ON a.doc_id = s.doc_id AND a.split = 'train') tr
+    JOIN (SELECT s.doc_id, s.shingle FROM shingles s
+          JOIN split_assign a ON a.doc_id = s.doc_id AND a.split = 'test') te
+      ON tr.shingle = te.shingle
+    GROUP BY tr.doc_id
+    """,
+    doc="Benchmark decontamination: training documents that share at least "
+    "one word 3-shingle with any test-split document, with how many "
+    "shingles and test docs they hit. The split is the registered "
+    "md5-bucket rule, so membership needs no side table. Shape: shingle "
+    "equi-join train-side x test-side, then one aggregation. At 100 TB "
+    "the test side is the small relation — collect its DISTINCT shingles "
+    "once and this becomes a broadcast (or bloom-filter) semi-join probe "
+    "instead of a shuffle of the full train shingle set.",
+    tags=("curation", "dedup"),
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    tagged = sh.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    train = tagged.filter(F.col("split") == "train").select("doc_id", "shingle")
+    test = (
+        tagged.filter(F.col("split") == "test")
+        .select(F.col("doc_id").alias("test_doc_id"), "shingle")
+    )
+    return (
+        train.join(test, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("test_doc_id").alias("n_test_docs_hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling.
+# ---------------------------------------------------------------------------
+SAMPLE_RATES: dict[str, int] = {"en": 60, "zh": 30}  # percent; others 20
+DEFAULT_RATE = 20
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(concat('smpl:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100
+          < CASE lang WHEN 'en' THEN {SAMPLE_RATES["en"]}
+                      WHEN 'zh' THEN {SAMPLE_RATES["zh"]}
+                      ELSE {DEFAULT_RATE} END
+    """,
+    doc="Stratified downsampling with per-language rates (en 60%, zh 30%, "
+    "others 20%) as a pure hash predicate on a salted doc id — no RNG "
+    "state, no sampling operator, so membership is reproducible across "
+    "engines, re-runs, and partial re-reads. The salt ('smpl:') makes the "
+    "sample independent of the train/val/test bucket hash. Zero-shuffle "
+    "narrow filter fused into the scan stage's codegen (an md5 expression "
+    "is not a parquet-pushable predicate, but only doc_id and lang are "
+    "read).",
+    tags=("curation", "split"),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("smpl:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", SAMPLE_RATES["en"])
+        .when(F.col("lang") == "zh", SAMPLE_RATES["zh"])
+        .otherwise(DEFAULT_RATE)
+    )
+    return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: fill fixed token-budget bins with consecutive docs.
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 2048
+PACK_SHARDS = 32
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           shard * 1000000 + CAST(FLOOR(
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+             / {PACK_BUDGET}) AS BIGINT) AS bin_id
+    FROM t
+    """,
+    doc=f"Sequence packing for training: consecutive documents fill "
+    f"{PACK_BUDGET}-token bins (bin = exclusive running token count / "
+    "budget — the streaming-fill discipline, so a doc straddling the "
+    "boundary starts in the earlier bin). Packing is per-shard (doc_id % "
+    f"{PACK_SHARDS}) with bin ids namespaced by shard: a single global "
+    "running sum would serialize the window on one task, while sharded "
+    "windows parallelize and stay deterministic. The shard count maps to "
+    "writer parallelism at 100 TB.",
+    tags=("curation",),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    running_before = F.coalesce(
+        F.sum("n_tokens").over(
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    bin_id = F.col("shard") * 1000000 + F.floor(
+        running_before.cast("double") / PACK_BUDGET
+    ).cast("bigint")
+    return docs.select("doc_id", "shard", "n_tokens", bin_id.alias("bin_id"))
