@@ -79,6 +79,24 @@ def test_osm_bbox_pushdown(spark, sf_correctness):
     assert "min_lon" in pushed
 
 
+def test_pack_sequences_window_is_sharded_not_global(spark, sf_correctness):
+    # the running-sum window must partition by shard: a global (empty
+    # partitionBy) window would plan Exchange SinglePartition and
+    # serialize the cumsum on one task at scale
+    plan = plan_of(spark, sf_correctness, "curation_pack_sequences")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_stratified_sample_prunes_to_two_columns(spark, sf_correctness):
+    # the sample predicate needs only doc_id; output adds lang — text
+    # (the wide column) must not be read
+    plan = plan_of(spark, sf_correctness, "curation_stratified_sample")
+    read = [l for l in plan.splitlines() if "ReadSchema:" in l][0]
+    assert "text" not in read
+    assert "doc_id" in read and "lang" in read
+
+
 def test_dfcap_hot_shingle_exclusion_is_broadcast_anti(spark, sf_correctness):
     # the hot-shingle exclusion must be a broadcast LeftAnti join, not a
     # shuffled one — the hot set is the tiny tail of the df distribution
