@@ -429,3 +429,66 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fingerprint"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
     )
+
+
+TFIDF_TOPK = 5
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                         tf.term) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score
+    FROM scored WHERE rn <= {TFIDF_TOPK}
+    """,
+    doc=f"Top-{TFIDF_TOPK} characteristic terms per document by TF-IDF "
+    "with a log-free inverse-frequency weight (tf * N/df): one IEEE "
+    "division and one multiplication, both bit-exact across engines, "
+    "where ln() would risk last-bit libm divergence in the oracle "
+    "comparison. Shape: explode -> two partial-aggregated groupBys -> "
+    "term join -> per-doc window. The term join shuffles on term; at "
+    "corpus scale the df side is vocabulary-sized (Zipf: far smaller "
+    "than the tf side) and AQE broadcasts it when it fits.",
+    tags=("text",),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_toks()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score")
+    )

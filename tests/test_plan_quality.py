@@ -97,6 +97,41 @@ def test_stratified_sample_prunes_to_two_columns(spark, sf_correctness):
     assert "doc_id" in read and "lang" in read
 
 
+def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_correctness):
+    """A selective filter on one shuffle-join side must inject a runtime
+    bloom filter on the other side's scan (Spark's runtime row filtering):
+    at 100 TB the probe side skips shuffling rows whose keys can't match.
+    Thresholds are lowered so the tiny test input qualifies."""
+    from pyspark.sql import functions as F
+
+    bf_conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in bf_conf}
+    for k, v in bf_conf.items():
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{sf_correctness}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = spark.read.parquet(f"{sf_correctness}/lineitem.parquet")
+        joined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderpriority").agg(F.sum("l_quantity"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "BloomFilter" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_dfcap_hot_shingle_exclusion_is_broadcast_anti(spark, sf_correctness):
     # the hot-shingle exclusion must be a broadcast LeftAnti join, not a
     # shuffled one — the hot set is the tiny tail of the df distribution
