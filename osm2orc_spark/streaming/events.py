@@ -368,3 +368,56 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         running_user_totals_stream(ev), "stream_user_totals_mem", output_mode="update"
     )
+
+
+def segment_rollup_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + rollup: the streaming side joins a
+    static dimension (customer market segment) and aggregates per
+    (segment, event_type).
+
+    The static side is planned per micro-batch as an ordinary broadcast
+    hash join — no state is kept for it (only the aggregation holds
+    state), which is why stream-static is the preferred enrichment shape
+    at scale: dimension updates show up on the next micro-batch without
+    any watermark bookkeeping."""
+    from pyspark.sql.functions import broadcast
+
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "stream_segment_rollup",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n,
+           MIN(e.value) AS min_value,
+           MAX(e.value) AS max_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment: streaming events broadcast-join the "
+    "static customer dimension, then roll up per (market segment, event "
+    "type) with count/min/max (order-independent aggregates — no fp-sum "
+    "nondeterminism). Driven to completion over the bounded input, so "
+    "the batch oracle certifies the incremental plan.",
+    tags=("streaming",),
+)
+def stream_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.tables import load
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    customers = load(spark, sf_dir, "customer")
+    return run_to_memory(
+        segment_rollup_stream(ev, customers), "stream_segment_rollup_mem"
+    )

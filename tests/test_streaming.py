@@ -169,3 +169,31 @@ def test_running_user_totals_stateful(spark, sf_smoke):
     for uid, b in batch.items():
         assert final[uid]["n_events"] == b["n"]
         assert final[uid]["sum_value"] == pytest.approx(b["s"], rel=1e-9)
+
+
+def test_segment_rollup_stream_matches_batch(spark, sf_smoke):
+    from osm2orc_spark.streaming.events import segment_rollup_stream
+    from osm2orc_spark.tables import load
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, f"{sf_smoke}/events.parquet")
+    customers = load(spark, sf_smoke, "customer")
+    result = run_to_memory(
+        segment_rollup_stream(events, customers), "segment_rollup_out"
+    )
+    batch = (
+        load(spark, sf_smoke, "events")
+        .join(
+            customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
