@@ -186,3 +186,66 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _frame_sample_batch,
         schema="doc_id bigint, frame_idx bigint, byte_offset bigint",
     )
+
+
+AUDIO_CHUNK = 256  # bytes per chunk of the synthetic waveform
+AUDIO_SAMPLE_RATE = 16000
+AUDIO_BYTES_PER_SAMPLE = 2  # int16 PCM
+
+
+def _audio_chunk_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: slice each blob into fixed-size chunks and
+    compute per-chunk features (here: length, digest, PCM duration).
+    Unlike frame sampling this actually materializes the chunk bytes —
+    the shape a real feature extractor (fbank, spectrogram) uses."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "chunk_idx": [], "chunk_len": [], "chunk_md5": [], "duration_ms": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            n = len(blob)
+            for idx in range(0, (n - 1) // AUDIO_CHUNK + 1):
+                chunk = blob[idx * AUDIO_CHUNK : (idx + 1) * AUDIO_CHUNK]
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(idx)
+                out["chunk_len"].append(len(chunk))
+                out["chunk_md5"].append(hashlib.md5(chunk).hexdigest())
+                out["duration_ms"].append(
+                    (len(chunk) // AUDIO_BYTES_PER_SAMPLE) * 1000 // AUDIO_SAMPLE_RATE
+                )
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (strlen(text) - 1) // {AUDIO_CHUNK})) AS chunk_idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(least({AUDIO_CHUNK}, strlen(text) - chunk_idx * {AUDIO_CHUNK}) AS BIGINT) AS chunk_len,
+           md5(substr(text, chunk_idx * {AUDIO_CHUNK} + 1, {AUDIO_CHUNK})) AS chunk_md5,
+           CAST((least({AUDIO_CHUNK}, strlen(text) - chunk_idx * {AUDIO_CHUNK}) // {AUDIO_BYTES_PER_SAMPLE})
+                * 1000 // {AUDIO_SAMPLE_RATE} AS BIGINT) AS duration_ms
+    FROM c
+    """,
+    doc=f"Audio chunking over a synthetic int16-PCM blob: {AUDIO_CHUNK}-byte "
+    "chunks, each with its byte length, md5 digest of the actual sliced "
+    "bytes, and integer-exact PCM duration at 16 kHz. Completes the "
+    "image/video/audio triad: decode-meta is 1-to-1 metadata, "
+    "frame-sample is 1-to-N offsets, this is 1-to-N with materialized "
+    "chunk payloads — the memory-relevant case (Arrow batches bound the "
+    "per-task footprint regardless of blob size).",
+    tags=("multimodal",),
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return docs.mapInPandas(
+        _audio_chunk_batch,
+        schema="doc_id bigint, chunk_idx bigint, chunk_len bigint, chunk_md5 string, duration_ms bigint",
+    )

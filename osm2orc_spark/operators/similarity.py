@@ -504,3 +504,71 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+INT8_MAX = 127
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, label, qv,
+             list_max(list_transform(qv, v -> abs(v))) AS max_abs
+      FROM q
+    ),
+    i8 AS (
+      SELECT vec_id, label, max_abs,
+             CASE WHEN max_abs = 0 THEN qv
+                  ELSE list_transform(qv, v -> CAST(floor(v * {INT8_MAX}.0 / max_abs) AS BIGINT))
+             END AS q8
+      FROM m
+    )
+    SELECT vec_id, label,
+           CAST(max_abs AS BIGINT) AS max_abs,
+           md5(array_to_string(q8, ',')) AS q8_md5,
+           CAST(list_sum(list_transform(q8, v -> v * v)) AS BIGINT) AS q8_sq_norm
+    FROM i8
+    """,
+    doc=f"Symmetric int8 quantization of embeddings (the 4x storage / "
+    "bandwidth compression step before an ANN index build): elements are "
+    f"first fixed-point quantized (floor x*1e6, the engine-neutral rule), "
+    f"then scaled to [-{INT8_MAX},{INT8_MAX}] by the per-vector max — all "
+    "integer or exact-IEEE arithmetic, so both engines produce identical "
+    "codes. Output carries the scale (max_abs), an md5 over the code "
+    "vector, and its exact integer squared norm. Narrow per-row op, "
+    "zero shuffles, fully parallel.",
+    tags=("similarity",),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _quant(F.col("embedding"))
+    m = emb.select("vec_id", "label", qv.alias("qv")).withColumn(
+        "max_abs", F.array_max(F.transform("qv", lambda v: F.abs(v)))
+    )
+    q8 = F.when(F.col("max_abs") == 0, F.col("qv")).otherwise(
+        F.transform(
+            "qv",
+            lambda v: F.floor(v * F.lit(float(INT8_MAX)) / F.col("max_abs")).cast(
+                "bigint"
+            ),
+        )
+    )
+    i8 = m.withColumn("q8", q8)
+    return i8.select(
+        "vec_id",
+        "label",
+        F.col("max_abs").cast("bigint").alias("max_abs"),
+        F.md5(F.encode(F.concat_ws(",", F.col("q8")), "utf-8")).alias("q8_md5"),
+        F.aggregate(
+            F.transform("q8", lambda v: v * v),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("q8_sq_norm"),
+    )
