@@ -252,3 +252,45 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_before.cast("double") / PACK_BUDGET
     ).cast("bigint")
     return docs.select("doc_id", "shard", "n_tokens", bin_id.alias("bin_id"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap: bound over-represented domains.
+# ---------------------------------------------------------------------------
+SOURCE_CAP = 40
+
+
+@register(
+    "curation_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(concat('cap:', CAST(doc_id AS VARCHAR))), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= {SOURCE_CAP}
+    """,
+    doc=f"Per-source cap: keep at most {SOURCE_CAP} documents per source, "
+    "chosen by salted-hash order (md5('cap:'||doc_id), doc_id tie-break) "
+    "— a uniform random-but-reproducible subset per domain, the standard "
+    "guard against over-represented sources in a training mix. One "
+    "window partitioned by source; a heavily skewed source makes a "
+    "hot partition, but the window needs no global sort and rank "
+    "truncation short-circuits the tail at scale.",
+    tags=("curation", "split"),
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))),
+            F.asc("doc_id"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source")
+    )
