@@ -216,3 +216,22 @@ def test_segment_rollup_stream_matches_batch(spark, sf_smoke):
     got = {tuple(r) for r in result.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def test_cli_watch_once_drains_directory(spark, tmp_path):
+    """--watch --once: the CLI's streaming mode drains the landing dir
+    and exits; output equals the batch CLI on the same file. Driven
+    in-process (the CLI builds its own session via get_spark, which
+    getOrCreate()-reuses the test session)."""
+    import shutil
+
+    from osm2orc_spark.cli import main
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    shutil.copy("fixtures/tiny.osm.pbf", src / "a.pbf")
+    out = str(tmp_path / "watch_orc")
+    assert main(["--watch", "--once", str(src), out]) == 0
+    got = spark.read.orc(out)
+    assert got.count() == 1788
+    assert "_batch_id" in got.columns
