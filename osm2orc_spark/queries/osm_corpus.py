@@ -405,3 +405,46 @@ def osm_tag_additions_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("additions"))
         .orderBy("month")
     )
+
+
+SNAPSHOT_TS = "2017-06-01 00:00:00"
+
+
+@register(
+    "osm_snapshot_at",
+    oracle=f"""
+    SELECT id, type, changeset, "timestamp", uid, "user", version, visible
+    FROM {_HISTORY}
+    WHERE "timestamp" <= TIMESTAMP '{SNAPSHOT_TS}'
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY type, id
+                               ORDER BY version DESC) = 1
+       AND visible = true
+    ORDER BY CASE type WHEN 'node' THEN 1 WHEN 'way' THEN 2
+                       WHEN 'relation' THEN 3 ELSE 4 END, id
+    """,
+    doc="State of the map at time T: the highest version of each entity "
+    f"authored on or before {SNAPSHOT_TS}, visible rows only — the "
+    "time-travel query the reference's full-history ORC layout exists to "
+    "serve (README's historical-analysis use case generalized from "
+    "'latest' to 'as of T'). Same single-shuffle window plan as "
+    "osm_latest_versions_window, with the timestamp predicate pushed to "
+    "the scan so only pre-T row groups are read.",
+    tags=("osm",),
+)
+def osm_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = _history(spark).filter(F.col("timestamp") <= F.lit(SNAPSHOT_TS).cast("timestamp"))
+    rn = F.row_number().over(
+        W.partitionBy("type", "id").orderBy(F.desc("version"))
+    )
+    prec = (
+        F.when(F.col("type") == "node", 1)
+        .when(F.col("type") == "way", 2)
+        .when(F.col("type") == "relation", 3)
+        .otherwise(4)
+    )
+    return (
+        hist.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("visible") == True))  # noqa: E712
+        .select("id", "type", "changeset", "timestamp", "uid", "user", "version", "visible")
+        .orderBy(prec, "id")
+    )

@@ -97,6 +97,14 @@ def test_stratified_sample_prunes_to_two_columns(spark, sf_correctness):
     assert "doc_id" in read and "lang" in read
 
 
+def test_snapshot_timestamp_pushdown(spark, sf_correctness):
+    # the as-of-T predicate must reach the parquet scan so row groups
+    # past T are skipped on min/max stats
+    plan = plan_of(spark, sf_correctness, "osm_snapshot_at")
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l][0]
+    assert "timestamp" in pushed
+
+
 def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_correctness):
     """A selective filter on one shuffle-join side must inject a runtime
     bloom filter on the other side's scan (Spark's runtime row filtering):
