@@ -492,3 +492,53 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOPK)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+REPETITION_MAX_RATIO = 0.2  # flag docs whose duplicate-bigram share exceeds this
+
+
+@register(
+    "text_repetition_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             [tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk) - 1)] AS grams
+      FROM t WHERE len(tk) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique_bigrams,
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_bigram_ratio,
+           (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) > {REPETITION_MAX_RATIO} AS flagged
+    FROM g
+    """,
+    doc="Within-document repetition scoring (the Gopher-rule family): the "
+    "share of word bigrams that are repeats of an earlier bigram in the "
+    "same document. Boilerplate, keyword stuffing, and generation loops "
+    "all push this ratio up; docs above 0.2 are flagged. Pure per-row "
+    "array arithmetic (integer counts -> one exact IEEE division), no "
+    "shuffle, no UDF — scales as a narrow map over the corpus.",
+    tags=("text",),
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("tk")
+    ).filter(F.size("tk") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("tk", i), F.element_at("tk", i + 1)),
+    )
+    g = docs.select("doc_id", grams.alias("grams"))
+    dup_ratio = 1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct("grams")).cast("bigint").alias("n_unique_bigrams"),
+        dup_ratio.alias("dup_bigram_ratio"),
+        (dup_ratio > REPETITION_MAX_RATIO).alias("flagged"),
+    )
