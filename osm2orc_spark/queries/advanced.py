@@ -614,3 +614,99 @@ def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users")
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+           CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+    doc="Ordered funnel (view -> click -> purchase): per-user first-touch "
+    "timestamps via conditional MIN aggregation, then ordering tests — "
+    "one shuffle on user_id, no self-joins (the naive 3-way self-join "
+    "shuffles the events table three times; conditional aggregation is "
+    "the scalable funnel idiom). NULL comparisons drop users missing a "
+    "stage, matching funnel semantics in both engines.",
+    tags=("relational", "agg"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).alias("n_view_then_click"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "cohort_monthly_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, date_trunc('month', ts) AS month
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(month) AS cohort_month FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_month,
+           CAST(datediff('month', c.cohort_month, a.month) AS BIGINT) AS months_since,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN cohort c ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users grouped by first-active month, counted "
+    "per months-since-cohort offset. Two aggregations sharing the "
+    "user_id shuffle key plus one equi-join — the cohort side is "
+    "user-cardinality (small relative to events) so AQE broadcasts it. "
+    "datediff('month') is exact integer month arithmetic in both "
+    "engines.",
+    tags=("relational", "agg"),
+)
+def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("month", "ts").alias("month")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("month").alias("cohort_month"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year("month") - F.year("cohort_month")) * 12
+                + (F.month("month") - F.month("cohort_month"))
+            )
+            .cast("bigint")
+            .alias("months_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
