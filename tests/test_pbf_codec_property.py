@@ -152,3 +152,50 @@ def test_bounds_roundtrip(tmp_path_factory, left, bottom):
     hdr = [r for r in scan_blob_index(str(p)) if r.kind == "OSMHeader"][0]
     got = decode_header_block(read_blob(hdr))["bounds"]
     assert all(abs(a - b) < 1e-9 for a, b in zip(got, bounds))
+
+
+INT64_MIN, INT64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(vals=st.lists(st.integers(INT64_MIN, INT64_MAX), max_size=200))
+def test_packed_svarint_vectorized_roundtrip(vals):
+    """The numpy varint decoder must agree with the encoder over the full
+    int64 range — including 10-byte varints (negatives), whose top bits
+    wrap at 64 in both the scalar and vectorized paths. Lists above ~27
+    bytes exercise the numpy branch, short ones the scalar branch."""
+    from osm2orc_spark.sources.pbf_codec import (
+        _emit_packed,
+        _packed_svarints_list,
+    )
+
+    out = bytearray()
+    _emit_packed(out, 1, vals, zigzag=True)
+    # strip the field tag + length header that _emit_packed prepends
+    from osm2orc_spark.sources.pbf_codec import _read_varint
+
+    pos = 1  # tag byte (field 1, wire 2)
+    _, pos = _read_varint(bytes(out), pos)
+    payload = bytes(out[pos:])
+    assert _packed_svarints_list(payload) == vals
+
+
+@settings(max_examples=200, deadline=None)
+@given(deltas=st.lists(st.integers(-(1 << 40), 1 << 40), max_size=100))
+def test_packed_svarint_delta_matches_prefix_sum(deltas):
+    from osm2orc_spark.sources.pbf_codec import (
+        _emit_packed,
+        _packed_svarints_list,
+        _read_varint,
+    )
+
+    out = bytearray()
+    _emit_packed(out, 1, deltas, zigzag=True)
+    pos = 1
+    _, pos = _read_varint(bytes(out), pos)
+    payload = bytes(out[pos:])
+    acc, want = 0, []
+    for d in deltas:
+        acc += d
+        want.append(acc)
+    assert _packed_svarints_list(payload, delta=True) == want
