@@ -710,3 +710,42 @@ def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "rolling_hour_user_activity",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           MIN(value) OVER w AS min_last_hour,
+           MAX(value) OVER w AS max_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc="Per-event trailing one-hour activity via a RANGE frame over "
+    "event time (not ROWS — ties and gaps in ts change the two frames' "
+    "membership). Spark expresses the interval frame as rangeBetween "
+    "over unix seconds; aggregates are count/min/max (order-independent, "
+    "no fp-sum hazard). One shuffle on user_id; the frame scan is "
+    "incremental per partition — the standard sliding-feature shape for "
+    "fraud/abuse scoring at scale.",
+    tags=("relational", "window"),
+)
+def rolling_hour_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.min("value").over(w).alias("min_last_hour"),
+        F.max("value").over(w).alias("max_last_hour"),
+    )
