@@ -294,3 +294,70 @@ def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SOURCE_CAP)
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite keep/drop filter: the C4/Gopher-style rule pipeline.
+# ---------------------------------------------------------------------------
+MIN_TOKENS = 20
+MIN_QUALITY = 0.45
+MAX_DUP_BIGRAM = 0.2
+
+
+@register(
+    "curation_quality_filter",
+    oracle=None,  # assembled below from the quality + repetition oracles
+    doc="Composite keep/drop decision per document, C4/Gopher style: "
+    f"drop if under {MIN_TOKENS} tokens, then if quality_score < "
+    f"{MIN_QUALITY}, then if the duplicate-bigram ratio exceeds "
+    f"{MAX_DUP_BIGRAM}; the first failing rule is recorded as the "
+    "reason. Composes the registered quality and repetition scorers "
+    "(same oracles, same arithmetic) with one doc_id join — the "
+    "filter-pipeline shape every corpus build runs before tokenization.",
+    tags=("curation", "text"),
+)
+def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators.text import (
+        text_quality_scores,
+        text_repetition_scores,
+    )
+
+    q = text_quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    r = text_repetition_scores(spark, sf_dir).select("doc_id", "dup_bigram_ratio")
+    j = q.join(r, "doc_id", "left")
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .when(F.col("quality_score") < MIN_QUALITY, "low_quality")
+        .when(F.col("dup_bigram_ratio") > MAX_DUP_BIGRAM, "repetitive")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
+    )
+
+
+def _assemble_quality_filter_oracle() -> None:
+    quality_sql = REGISTRY["text_quality_scores"].oracle
+    repetition_sql = REGISTRY["text_repetition_scores"].oracle
+    REGISTRY["curation_quality_filter"].oracle = f"""
+    WITH q AS ({quality_sql}),
+    r AS ({repetition_sql}),
+    j AS (
+      SELECT q.doc_id, q.n_tokens, q.quality_score, r.dup_bigram_ratio
+      FROM q LEFT JOIN r ON r.doc_id = q.doc_id
+    ),
+    decided AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+                  WHEN quality_score < {MIN_QUALITY} THEN 'low_quality'
+                  WHEN dup_bigram_ratio > {MAX_DUP_BIGRAM} THEN 'repetitive'
+                  ELSE 'keep' END AS reason
+      FROM j
+    )
+    SELECT doc_id, reason, reason = 'keep' AS keep FROM decided
+    """
+
+
+_assemble_quality_filter_oracle()
