@@ -94,7 +94,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("t", i + 2),
         ),
     )
-    return tokd.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    # array_distinct BEFORE the explode: per-doc shingle dedup is a
+    # per-row operation, so doing it inside the array removes the
+    # explode+distinct shuffle while producing the same distinct
+    # (doc_id, shingle) pairs.
+    return tokd.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 _DUCK_SHINGLES = """
@@ -495,10 +499,13 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = (
-        docs.select(
-            "doc_id", F.explode(F.split(_norm_text(), " ")).alias("tok")
-        ).distinct()
+    # Per-doc token dedup happens INSIDE the row (array_distinct) before
+    # the explode: identical (doc_id, tok) set to explode+distinct, but
+    # narrow — no dedup shuffle, and the downstream groupBy(doc_id)
+    # reuses the repartition's hash partitioning (zero extra exchanges).
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("tok"),
     )
     hashed = toks.select(
         "doc_id",

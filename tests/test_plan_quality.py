@@ -97,6 +97,19 @@ def test_stratified_sample_prunes_to_two_columns(spark, sf_correctness):
     assert "doc_id" in read and "lang" in read
 
 
+def test_simhash_signature_single_exchange(spark, sf_correctness):
+    """Per-doc token dedup runs inside the row (array_distinct before the
+    explode), so the whole signature pipeline needs exactly one exchange:
+    the initial doc_id repartition, which the groupBy then reuses."""
+    df = QUERIES["simhash_signature"].fn(spark, sf_correctness)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-adaptive "Initial Plan" section;
+    # count exchanges only in the final plan above it.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final[:2000]
+
+
 def test_snapshot_timestamp_pushdown(spark, sf_correctness):
     # the as-of-T predicate must reach the parquet scan so row groups
     # past T are skipped on min/max stats
