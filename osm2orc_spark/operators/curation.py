@@ -361,3 +361,68 @@ def _assemble_quality_filter_oracle() -> None:
 
 
 _assemble_quality_filter_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Temperature-resampled language mixture (multilingual-LM style).
+# ---------------------------------------------------------------------------
+MIX_TARGET = 200  # total documents in the resampled mix
+MIX_QUANT = 1000000  # sqrt weights quantized to BIGINT at 1e-6
+
+
+@register(
+    "curation_temperature_mix",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * {MIX_QUANT}) AS BIGINT) AS q
+      FROM documents GROUP BY lang
+    ),
+    quota AS (
+      SELECT lang, CAST(({MIX_TARGET} * q) // (SELECT SUM(q) FROM w) AS BIGINT) AS quota
+      FROM w
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, t.quota,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), d.doc_id) AS rn
+      FROM documents d JOIN quota t USING (lang)
+    )
+    SELECT doc_id, lang, quota FROM ranked WHERE rn <= quota
+    """,
+    doc=f"Temperature-resampled multilingual mix (alpha = 0.5): per-language "
+    f"quotas proportional to sqrt(n_docs), totaling ~{MIX_TARGET} docs, so "
+    "low-resource languages are upsampled relative to their corpus share "
+    "— the standard mixture rebalance for multilingual LM training. "
+    "Determinism: sqrt is IEEE-correctly-rounded (engine-exact, unlike "
+    "pow/ln), weights are quantized floor(sqrt(n)*1e6) to BIGINT and "
+    "quotas computed with integer division; membership is salted-md5 "
+    "rank under each quota. Scale shape: the per-language weight/quota "
+    "table is tiny -> broadcast to the selection join; the only wide op "
+    "is the per-language rank window, and rank truncation short-circuits "
+    "the tail.",
+    tags=("curation", "split"),
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.groupBy("lang").agg(
+        F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * MIX_QUANT)
+        .cast("bigint")
+        .alias("q")
+    )
+    quota = (
+        w.crossJoin(F.broadcast(w.agg(F.sum("q").alias("sum_q"))))
+        .select("lang", F.expr(f"CAST(({MIX_TARGET} * q) DIV sum_q AS BIGINT)").alias("quota"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            F.asc("doc_id"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(quota), "lang")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "quota")
+    )

@@ -611,3 +611,98 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate removal (CCNet-style line dedup, adapted:
+# the synthetic corpus has no newlines, so the unit is a fixed 2-token
+# chunk instead of a line — the dataflow is identical).
+# ---------------------------------------------------------------------------
+BOILER_CHUNK_TOKENS = 2
+# A chunk is boilerplate when it appears in more than 1/BOILER_DF_DIV of
+# all documents (4%) — fraction-based, so the rule is scale-invariant.
+BOILER_DF_DIV = 25
+
+
+@register(
+    "dedup_boilerplate_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(t[(i*{BOILER_CHUNK_TOKENS}+1):(i*{BOILER_CHUNK_TOKENS}+{BOILER_CHUNK_TOKENS})], ' ') AS chunk_text
+      FROM toks, UNNEST(range(CAST(ceil(len(t) / {BOILER_CHUNK_TOKENS}.0) AS BIGINT))) AS u(i)
+    ),
+    common AS (
+      SELECT chunk_text FROM chunks
+      GROUP BY chunk_text
+      HAVING COUNT(DISTINCT doc_id) * {BOILER_DF_DIV} > (SELECT COUNT(*) FROM documents)
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN m.chunk_text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           COALESCE(string_agg(CASE WHEN m.chunk_text IS NULL THEN c.chunk_text END,
+                               ' ' ORDER BY c.chunk_idx), '') AS clean_text
+    FROM chunks c LEFT JOIN common m ON c.chunk_text = m.chunk_text
+    GROUP BY c.doc_id
+    """,
+    doc="Corpus-frequency boilerplate removal, the CCNet line-dedup "
+    f"dataflow over {BOILER_CHUNK_TOKENS}-token chunks: hash-count each "
+    "chunk's document frequency, mark chunks present in more than "
+    f"1/{BOILER_DF_DIV} of all documents as boilerplate, and emit each "
+    "document's cleaned text (surviving chunks re-joined in order) plus "
+    "chunk counts. Scale shape: the common-chunk set is tiny by "
+    "construction (true boilerplate is few distinct strings, 62 of 944 "
+    "here), so it BROADCASTS — marking is a map-side hash probe, no "
+    "shuffle of the chunk fan-out; the only wide ops are the frequency "
+    "groupBy and the final per-doc reassembly, both map-side-combinable. "
+    "Reassembly keeps chunk order via sort-within-group, not a global "
+    "sort.",
+    tags=("dedup", "curation"),
+)
+def dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tokd = docs.select("doc_id", F.split(_norm_text(), " ").alias("t"))
+    k = BOILER_CHUNK_TOKENS
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size("t") / k).cast("int") - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("t", i * k + 1, k)).alias("chunk_text"),
+        ),
+    )
+    chunks = tokd.select("doc_id", F.explode(chunk_arr).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk_text"
+    )
+    n_docs = docs.count()
+    common = (
+        chunks.groupBy("chunk_text")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") * BOILER_DF_DIV > F.lit(n_docs))
+        .select("chunk_text", F.lit(True).alias("is_boiler"))
+    )
+    marked = chunks.join(F.broadcast(common), "chunk_text", "left")
+    kept_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("is_boiler").isNull(),
+                        F.struct("chunk_idx", "chunk_text"),
+                    )
+                )
+            ),
+            lambda s: s.chunk_text,
+        ),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler"),
+        kept_text.alias("clean_text"),
+    )

@@ -142,3 +142,55 @@ def test_range_join_is_broadcast(spark, sf_correctness):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_strip_removes_common_chunks(spark, sf_correctness):
+    """The cleaned text must drop exactly the corpus-common chunks: docs
+    with n_boiler > 0 exist, their clean_text is shorter than the chunk
+    reassembly of the original, and n_chunks == n_boiler + kept chunks."""
+    from osm2orc_spark.operators.dedup import BOILER_CHUNK_TOKENS
+
+    df = QUERIES["dedup_boilerplate_chunks"].fn(spark, sf_correctness).toPandas()
+    assert (df.n_boiler > 0).any() and (df.n_boiler == 0).any()
+    kept = df.clean_text.str.split().str.len().fillna(0)
+    # every kept chunk has <= BOILER_CHUNK_TOKENS tokens
+    assert (kept <= (df.n_chunks - df.n_boiler) * BOILER_CHUNK_TOKENS).all()
+    stripped = df[df.n_boiler > 0]
+    assert (
+        stripped.clean_text.str.split().str.len().fillna(0)
+        < stripped.n_chunks * BOILER_CHUNK_TOKENS
+    ).all()
+
+
+def test_boilerplate_common_set_broadcasts(spark, sf_correctness):
+    """The common-chunk mark join must be a broadcast hash probe — the
+    boilerplate set is tiny by construction and must never shuffle the
+    chunk fan-out."""
+    df = QUERIES["dedup_boilerplate_chunks"].fn(spark, sf_correctness)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_mix_upsamples_low_resource(spark, sf_correctness):
+    """alpha=0.5 resampling: the dominant language's share of the mix is
+    strictly below its corpus share; every low-resource language's share
+    is at or above it; total stays within the target."""
+    from osm2orc_spark.operators.curation import MIX_TARGET
+
+    corpus = (
+        load(spark, sf_correctness, "documents")
+        .groupBy("lang").count().toPandas().set_index("lang")["count"]
+    )
+    mix = (
+        QUERIES["curation_temperature_mix"].fn(spark, sf_correctness)
+        .groupBy("lang").count().toPandas().set_index("lang")["count"]
+    )
+    assert mix.sum() <= MIX_TARGET
+    corpus_share = corpus / corpus.sum()
+    mix_share = mix / mix.sum()
+    top = corpus_share.idxmax()
+    assert mix_share[top] < corpus_share[top]
+    low = corpus_share.drop(top).sort_index()
+    assert (mix_share.drop(top).sort_index() > low).all()
