@@ -194,3 +194,19 @@ def test_temperature_mix_upsamples_low_resource(spark, sf_correctness):
     assert mix_share[top] < corpus_share[top]
     low = corpus_share.drop(top).sort_index()
     assert (mix_share.drop(top).sort_index() > low).all()
+
+
+def test_pq_adc_recall(spark, sf_correctness):
+    """PQ-ADC shortlist + exact re-rank must recover most of the
+    exhaustive top-10 (16 codes x 8 subspaces is a coarse quantizer;
+    the 50-deep shortlist absorbs most quantization error)."""
+    got = {
+        r["vec_id"]
+        for r in QUERIES["ann_pq_adc"].fn(spark, sf_correctness).collect()
+    }
+    want = {
+        r["vec_id"]
+        for r in QUERIES["ann_topk_bruteforce"].fn(spark, sf_correctness).collect()
+    }
+    assert len(got) == len(want) == 10
+    assert len(got & want) >= 6
