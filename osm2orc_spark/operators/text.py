@@ -542,3 +542,167 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_ratio.alias("dup_bigram_ratio"),
         (dup_ratio > REPETITION_MAX_RATIO).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking for a fixed query (log-free rational IDF).
+# ---------------------------------------------------------------------------
+BM25_TERMS = ["spark", "window", "merge"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    g  AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ((CAST(g.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0}) /
+                (CAST(tf.tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B} +
+                 ({BM25_B} * CAST(dl.dl * g.n_docs AS DOUBLE)) / CAST(g.sum_dl AS DOUBLE)))) AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN term = 'spark'  THEN s END), 0.0)
+           + COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0)
+           + COALESCE(MAX(CASE WHEN term = 'merge'  THEN s END), 0.0) AS score
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM per_doc
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    doc=f"BM25 document ranking for a fixed {len(BM25_TERMS)}-term query "
+    f"(k1={BM25_K1}, b={BM25_B}) with the log-free rational IDF "
+    "(N-df+0.5)/(df+0.5) — a monotone per-term transform of the classic "
+    "log IDF, chosen because ln() risks last-bit libm divergence between "
+    "engines (documented divergence; ranking within a term is "
+    "unchanged). All aggregates stay integer (tf, df, dl, sum_dl); the "
+    "per-row score is a fixed-order IEEE expression, and avgdl division "
+    "is rewritten b*dl*N/sum_dl so no intermediate average is "
+    "materialized. Per-doc term scores combine via fixed-order "
+    "conditional-max addition, never an unordered double SUM. The "
+    "query-term filter prunes the tf explode before its groupBy; "
+    "the tiny df table broadcasts.",
+    tags=("text",),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_toks()).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    tfd, dfd, dld = (
+        F.col("tf").cast("double"),
+        F.col("df").cast("double"),
+        (F.col("dl") * F.col("n_docs")).cast("double"),
+    )
+    s = (
+        ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (dfd + F.lit(0.5))
+    ) * (
+        (tfd * F.lit(BM25_K1 + 1.0))
+        / (
+            tfd
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + (F.lit(BM25_B) * dld) / F.col("sum_dl").cast("double")
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", "term", s.alias("s"))
+    )
+    term_score = lambda t: F.coalesce(
+        F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            (
+                term_score("spark") + term_score("window") + term_score("merge")
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regexp_replace chain over the events props JSON).
+# ---------------------------------------------------------------------------
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+PII_NUM = r"[0-9]+"
+
+
+def pii_redact(col):
+    """Chained redaction: emails, then phone-shaped runs, then bare digit
+    runs. Order matters — the later patterns match inside the earlier
+    ones' targets. Pure regexp_replace chain: JVM-side, codegen-fused,
+    no UDF."""
+    out = F.regexp_replace(col, PII_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE, "[PHONE]")
+    return F.regexp_replace(out, PII_NUM, "[NUM]")
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT event_id,
+           regexp_replace(regexp_replace(regexp_replace(props,
+               '{PII_EMAIL}', '[EMAIL]', 'g'),
+               '{PII_PHONE.replace("'", "''")}', '[PHONE]', 'g'),
+               '{PII_NUM}', '[NUM]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(props, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(props, '{PII_NUM}')) AS BIGINT) AS n_nums
+    FROM events
+    """,
+    doc="PII redaction over the events props JSON: a chained "
+    "regexp_replace (emails -> phone-shaped runs -> bare digit runs) "
+    "plus per-row match counts. The whole operator is a narrow "
+    "projection fused into the scan's codegen — no UDF, no shuffle; at "
+    "100 TB this runs at scan speed. Patterns are RE2-compatible "
+    "character classes so Spark (Java regex) and DuckDB (RE2) agree "
+    "exactly. The synthetic props only exercise the digit-run arm; the "
+    "email/phone arms are unit-tested on crafted literals "
+    "(tests/test_advanced.py).",
+    tags=("text",),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        pii_redact(F.col("props")).alias("redacted"),
+        F.regexp_count("props", F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("props", F.lit(PII_NUM)).cast("bigint").alias("n_nums"),
+    )

@@ -210,3 +210,21 @@ def test_pq_adc_recall(spark, sf_correctness):
     }
     assert len(got) == len(want) == 10
     assert len(got & want) >= 6
+
+
+def test_pii_redact_email_and_phone_arms(spark):
+    """The synthetic props only have digit runs; prove the email and
+    phone patterns on crafted literals, including chain order (an email's
+    digits must become part of [EMAIL], not [NUM])."""
+    from osm2orc_spark.operators.text import pii_redact
+
+    rows = [
+        ("contact bob42@example.com now", "contact [EMAIL] now"),
+        ("call +1 (555) 123-4567 today", "call [PHONE] today"),
+        ("id 98765 plain", "id [NUM] plain"),
+        ("a1b2@x.io or 12345678901", "[EMAIL] or [PHONE]"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = [r["red"] for r in df.select(pii_redact(F.col("s")).alias("red")).collect()]
+    assert got == [want for _, want in rows]
