@@ -34,8 +34,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_near_dup",
+    "dedup_boilerplate_chunks",
     "ann_topk_bruteforce",
     "text_quality_scores",
+    "text_bm25_topk",
 ]
 
 
