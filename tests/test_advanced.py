@@ -228,3 +228,62 @@ def test_pii_redact_email_and_phone_arms(spark):
     df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
     got = [r["red"] for r in df.select(pii_redact(F.col("s")).alias("red")).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_zorder_layout_shrinks_per_file_ranges(spark, sf_correctness, tmp_path):
+    """Sorting by the Morton key before writing must shrink BOTH
+    dimensions' per-file min/max spans vs arrival order — that span is
+    exactly what parquet row-group pruning keys on."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    keyed = QUERIES["zorder_key_events"].fn(spark, sf_correctness)
+    ev = keyed.select("event_id", "user_id", "value_c")
+    n_files = 16
+
+    def spans(path):
+        per_file = []
+        for f in g.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=["user_id", "value_c"])
+            u, v = t.column("user_id").to_pylist(), t.column("value_c").to_pylist()
+            per_file.append((max(u) - min(u), max(v) - min(v)))
+        assert len(per_file) == n_files
+        return (
+            sum(s[0] for s in per_file) / n_files,
+            sum(s[1] for s in per_file) / n_files,
+        )
+
+    plain = str(tmp_path / "plain")
+    ev.repartition(n_files).write.parquet(plain)
+    zsorted = str(tmp_path / "zsorted")
+    (
+        keyed.repartitionByRange(n_files, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .select("event_id", "user_id", "value_c")
+        .write.parquet(zsorted)
+    )
+    u_plain, v_plain = spans(plain)
+    u_z, v_z = spans(zsorted)
+    # both dimensions cluster at once; require a 2x span reduction each
+    assert u_z * 2 < u_plain, (u_z, u_plain)
+    assert v_z * 2 < v_plain, (v_z, v_plain)
+
+
+def test_compact_hits_target_file_count(spark, sf_correctness, tmp_path):
+    from osm2orc_spark.operators.layout import compact
+
+    ev = load(spark, sf_correctness, "events")
+    # fragment: 64 tiny files
+    frag = str(tmp_path / "frag")
+    ev.repartition(64).write.parquet(frag)
+    import glob as g
+
+    assert len(g.glob(f"{frag}/*.parquet")) == 64
+    back = spark.read.parquet(frag)
+    stats = int(back._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    target = max(1, stats // 4)
+    out = str(tmp_path / "compacted")
+    compact(back, target_bytes=target).write.parquet(out)
+    got = len(g.glob(f"{out}/*.parquet"))
+    assert got == -(-stats // target)
+    assert spark.read.parquet(out).count() == ev.count()
