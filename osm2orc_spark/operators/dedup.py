@@ -679,11 +679,15 @@ def dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = tokd.select("doc_id", F.explode(chunk_arr).alias("c")).select(
         "doc_id", "c.chunk_idx", "c.chunk_text"
     )
-    n_docs = docs.count()
+    # n_docs as a broadcast scalar, not an eager .count(): keeps the
+    # whole operator one lazy plan (no extra driver-blocking job; the
+    # one-row aggregate broadcasts into the threshold filter).
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     common = (
         chunks.groupBy("chunk_text")
         .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") * BOILER_DF_DIV > F.lit(n_docs))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * BOILER_DF_DIV > F.col("n_docs"))
         .select("chunk_text", F.lit(True).alias("is_boiler"))
     )
     marked = chunks.join(F.broadcast(common), "chunk_text", "left")
