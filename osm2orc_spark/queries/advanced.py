@@ -749,3 +749,35 @@ def rolling_hour_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").over(w).alias("min_last_hour"),
         F.max("value").over(w).alias("max_last_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles: mergeable quantile sketch per group.
+# ---------------------------------------------------------------------------
+APPROX_PCT_ACC = 1000  # percentile_approx accuracy knob (err <= 1/acc)
+
+
+@register(
+    "approx_percentiles_value_by_type",
+    oracle=None,  # quantile sketches are engine-specific (Spark GK vs
+    # DuckDB t-digest); tests/test_advanced.py bounds each estimate
+    # against the exact percentile's rank-error guarantee instead.
+    doc=f"percentile_approx(value, [p50 p90 p99], accuracy="
+    f"{APPROX_PCT_ACC}) per event_type — the Greenwald-Khanna mergeable "
+    "quantile sketch. Like the HLL variant, the plan is partial sketches "
+    "map-side + a merge per group: constant memory per task and ONE "
+    "shuffle of sketch bytes (not values), which is why it replaces "
+    "exact percentiles (full sort per group) at 100 TB. Rank error is "
+    f"bounded by 1/{APPROX_PCT_ACC} of the group size.",
+    tags=("agg", "approx"),
+)
+def approx_percentiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pcts = F.percentile_approx(
+        "value", [0.5, 0.9, 0.99], APPROX_PCT_ACC
+    ).alias("pcts")
+    return ev.groupBy("event_type").agg(
+        F.element_at(pcts, 1).alias("p50_approx"),
+        F.element_at(pcts, 2).alias("p90_approx"),
+        F.element_at(pcts, 3).alias("p99_approx"),
+    )

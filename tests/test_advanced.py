@@ -287,3 +287,36 @@ def test_compact_hits_target_file_count(spark, sf_correctness, tmp_path):
     got = len(g.glob(f"{out}/*.parquet"))
     assert got == -(-stats // target)
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_correctness):
+    """GK sketch guarantee: each estimate's RANK must lie within
+    p +/- 1/accuracy of the group's sorted values (value error has no
+    bound; rank error does)."""
+    from osm2orc_spark.queries.advanced import APPROX_PCT_ACC
+
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p90_approx"], r["p99_approx"])
+        for r in QUERIES["approx_percentiles_value_by_type"]
+        .fn(spark, sf_correctness)
+        .collect()
+    }
+    vals = (
+        load(spark, sf_correctness, "events")
+        .select("event_type", "value")
+        .toPandas()
+        .groupby("event_type")["value"]
+        .apply(lambda s: sorted(s))
+        .to_dict()
+    )
+    assert set(approx) == set(vals)
+    for et, sorted_vals in vals.items():
+        n = len(sorted_vals)
+        for p, est in zip((0.5, 0.9, 0.99), approx[et]):
+            import bisect
+
+            lo = bisect.bisect_left(sorted_vals, est)
+            hi = bisect.bisect_right(sorted_vals, est)
+            rank_lo, rank_hi = lo / n, hi / n
+            eps = 1.0 / APPROX_PCT_ACC + 1.0 / n
+            assert rank_lo - eps <= p <= rank_hi + eps, (et, p, est, rank_lo, rank_hi)
