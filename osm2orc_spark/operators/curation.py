@@ -426,3 +426,91 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("quota"))
         .select("doc_id", "lang", "quota")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-mix pipeline: quality gate -> near-dup canonical
+# -> temperature-resampled mixture. The flagship composition.
+# ---------------------------------------------------------------------------
+@register(
+    "curation_training_mix",
+    oracle=None,  # assembled below from the quality-filter + canonical oracles
+    doc="The full corpus-build pipeline as ONE declarative plan: (1) drop "
+    "documents failing the composite quality gate, (2) drop near-dup "
+    "cluster members that are not their cluster's canonical doc, (3) "
+    "temperature-resample the survivors per language (alpha=0.5, "
+    "sqrt-quota arithmetic identical to curation_temperature_mix but "
+    "computed over the SURVIVING corpus, salt 'tmix:'). Every stage "
+    "composes the registered primitives — same oracles, same arithmetic "
+    "— so the composed DuckDB oracle is assembled from their SQL "
+    "verbatim. Catalyst sees one tree: the two eliminations are "
+    "left-semi joins it can reorder, and only the final rank window "
+    "shuffles the surviving (small) corpus.",
+    tags=("curation", "dedup", "split", "iterative"),
+)
+def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keep = curation_quality_filter(spark, sf_dir).filter("keep").select("doc_id")
+    cano = curation_canonical_docs(spark, sf_dir).select("doc_id")
+    surv = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .join(keep, "doc_id", "left_semi")
+        .join(cano, "doc_id", "left_semi")
+    )
+    w = surv.groupBy("lang").agg(
+        F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * MIX_QUANT)
+        .cast("bigint")
+        .alias("q")
+    )
+    quota = (
+        w.crossJoin(F.broadcast(w.agg(F.sum("q").alias("sum_q"))))
+        .select(
+            "lang",
+            F.expr(f"CAST(({MIX_TARGET} * q) DIV sum_q AS BIGINT)").alias("quota"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))),
+            F.asc("doc_id"),
+        )
+    )
+    return (
+        surv.join(F.broadcast(quota), "lang")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "quota")
+    )
+
+
+def _assemble_training_mix_oracle() -> None:
+    qf_sql = REGISTRY["curation_quality_filter"].oracle
+    cano_sql = REGISTRY["curation_canonical_docs"].oracle
+    REGISTRY["curation_training_mix"].oracle = f"""
+    WITH qf AS ({qf_sql}),
+    cano AS ({cano_sql}),
+    surv AS (
+      SELECT d.doc_id, d.lang
+      FROM documents d
+      JOIN qf ON qf.doc_id = d.doc_id AND qf.keep
+      WHERE d.doc_id IN (SELECT doc_id FROM cano)
+    ),
+    w AS (
+      SELECT lang, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * {MIX_QUANT}) AS BIGINT) AS q
+      FROM surv GROUP BY lang
+    ),
+    quota AS (
+      SELECT lang, CAST(({MIX_TARGET} * q) // (SELECT SUM(q) FROM w) AS BIGINT) AS quota
+      FROM w
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.lang, t.quota,
+             ROW_NUMBER() OVER (PARTITION BY s.lang
+                                ORDER BY md5(concat('tmix:', CAST(s.doc_id AS VARCHAR))), s.doc_id) AS rn
+      FROM surv s JOIN quota t USING (lang)
+    )
+    SELECT doc_id, lang, quota FROM ranked WHERE rn <= quota
+    """
+
+
+_assemble_training_mix_oracle()
