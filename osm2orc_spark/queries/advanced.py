@@ -726,8 +726,11 @@ def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-event trailing one-hour activity via a RANGE frame over "
     "event time (not ROWS — ties and gaps in ts change the two frames' "
     "membership). Spark expresses the interval frame as rangeBetween "
-    "over unix seconds; aggregates are count/min/max (order-independent, "
-    "no fp-sum hazard). One shuffle on user_id; the frame scan is "
+    "over unix MICROseconds so the boundary is exact against the "
+    "oracle's INTERVAL arithmetic (whole-second unix_timestamp would "
+    "truncate sub-second ts and misplace events 3600-3601s apart); "
+    "aggregates are count/min/max (order-independent, no fp-sum "
+    "hazard). One shuffle on user_id; the frame scan is "
     "incremental per partition — the standard sliding-feature shape for "
     "fraud/abuse scoring at scale.",
     tags=("relational", "window"),
@@ -738,8 +741,8 @@ def rolling_hour_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",

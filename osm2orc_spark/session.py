@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.orc.filterPushdown", "true")
+        # The driver's events.parquet stores TIMESTAMP(NANOS); sessions
+        # built here opt into nanos-as-long up front so tables.load never
+        # has to flip it mid-session (see tables.load for the fallback).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

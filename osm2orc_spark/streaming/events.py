@@ -248,7 +248,7 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events
     ),
@@ -267,7 +267,10 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Streaming gap-sessionization (built-in session_window, 30 min "
     "gap) driven over the bounded input; the oracle recomputes sessions "
     "with the lag/cumsum islands technique — session_window's end bound "
-    "is last_event + gap, reproduced as MAX(ts) + INTERVAL.",
+    "is last_event + gap, reproduced as MAX(ts) + INTERVAL. The break "
+    "condition is gap >= 30min (not >): Spark windows [t, t+g) that "
+    "touch without overlapping do NOT merge, so an event exactly g "
+    "after its predecessor starts a new session.",
     tags=("streaming",),
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,6 +40,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects. Read nanos as LONG and convert to a microsecond
         # timestamp (the generated data is µs-precision, so this is lossless
         # and matches DuckDB's TIMESTAMP_NS values instant-for-instant).
+        # NOTE: this is a SESSION-LEVEL conf and deliberately not restored
+        # -- the scan resolves the flag lazily at execution time, so a
+        # set/restore scope would race the (lazy) plan. Sessions from
+        # osm2orc_spark.session.get_spark set it at build time; for foreign
+        # sessions (the driver's) this line makes nanos-as-long a sticky
+        # session property from the first events read onward. A later read
+        # of a genuine nanos file in the same session inherits it (raw
+        # BIGINT nanos instead of an error) -- acceptable because this repo
+        # treats all nanos parquet as long-typed, and documented here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
