@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from osm2orc_spark.operators.guards import guard_quadratic
 from osm2orc_spark.registry import register
 from osm2orc_spark.tables import load
 
@@ -192,7 +193,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "below is the 100 TB path.",
     tags=("dedup",),
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, *, allow_quadratic: bool = False
+) -> DataFrame:
+    guard_quadratic(
+        load(spark, sf_dir, "documents"),
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        allow_quadratic=allow_quadratic,
+    )
     # The shingle set feeds candidate generation AND both sides of the
     # verification join — persist it once instead of recomputing the
     # read+explode+distinct subtree per consumer (same move a cluster
@@ -397,13 +406,25 @@ _MINHASH_PAIRS_ORACLE_BODY = None  # filled after dedup_minhash_lsh registers
     "as edges; docs with no pair are their own component). Spark side is "
     "iterative min-label propagation — each round is one join + one "
     "groupBy-min on the label frame, persisted per round with lineage cut "
-    "by localCheckpoint, converging in O(component diameter) rounds "
+    "per round (localCheckpoint locally; pass checkpoint='reliable' for a "
+    "fault-tolerant checkpoint dir on preemptible clusters, where "
+    "executor-local blocks die with the executor), converging in "
+    "O(component diameter) rounds "
     "(near-dup clusters are shallow, 3-5 rounds in practice). This is the "
     "standard distributed CC shape (GraphFrames/Pregel); only the "
     "per-round convergence scalar touches the driver, never row data.",
     tags=("dedup", "iterative"),
 )
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_components(
+    spark: SparkSession, sf_dir: str, *, checkpoint: str = "local"
+) -> DataFrame:
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
+    if checkpoint == "reliable" and spark.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "checkpoint='reliable' requires spark.sparkContext.setCheckpointDir "
+            "(an HDFS/S3 path on a real cluster) before calling dedup_components"
+        )
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     docs = load(spark, sf_dir, "documents").select("doc_id")
     und = pairs.unionByName(
@@ -416,12 +437,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.join(und, labels.doc_id == und.doc_a)
             .select(F.col("doc_b").alias("doc_id"), "component")
         )
-        new_labels = (
+        merged = (
             labels.unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)  # cut lineage; materialize round
         )
+        # Cut lineage and materialize the round: executor-local blocks for
+        # single-node runs, a reliable checkpoint dir for clusters where
+        # losing an executor must not kill the accumulated iterations.
+        if checkpoint == "reliable":
+            new_labels = merged.checkpoint(eager=True)
+        else:
+            new_labels = merged.localCheckpoint(eager=True)
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels

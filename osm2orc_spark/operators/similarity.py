@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from osm2orc_spark.operators.guards import guard_quadratic
 from osm2orc_spark.registry import register
 from osm2orc_spark.tables import load
 
@@ -154,8 +155,16 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "restrict pairs to same-bucket candidates.",
     tags=("similarity", "dedup"),
 )
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, *, allow_quadratic: bool = False
+) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    guard_quadratic(
+        emb,
+        "embedding_near_dup_pairs",
+        "embedding_near_dup_lsh",
+        allow_quadratic=allow_quadratic,
+    )
     # The left side fans out to n^2 rows; spread it across cores first
     # (single small parquet split otherwise pins the cross join to 1 task).
     a = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(

@@ -23,13 +23,18 @@ ORDER BY CASE).
 
 from __future__ import annotations
 
+import pathlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from osm2orc_spark.registry import register
 
-FIXTURES = "/root/repo/fixtures"
+# Resolved relative to the repo root (two levels above this package) so
+# the registered queries and their oracle SQL work from any CWD / checkout
+# location, not just /root/repo.
+FIXTURES = str(pathlib.Path(__file__).resolve().parents[2] / "fixtures")
 
 _PLANET = f"read_parquet('{FIXTURES}/planet.parquet/*.parquet')"
 _HISTORY = f"read_parquet('{FIXTURES}/planet_history.parquet/*.parquet')"
