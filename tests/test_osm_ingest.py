@@ -180,6 +180,24 @@ class TestOrcSink:
         assert meta["osm.schema.version"] == "0.6"
         assert meta["bounds"] == "-74.06, 40.68, -74.03, 40.7"
 
+    def test_user_metadata_in_orc_footer(self, spark, planet, tmp_path):
+        """The reference stamps user metadata INTO the ORC file
+        (OsmPbf2Orc.java:90,122-125); read it back through the JVM
+        OrcFile.createReader API, not the sidecar."""
+        from osm2orc_spark.sinks.orc import read_user_metadata
+
+        out = str(tmp_path / "planet_meta.orc")
+        write_orc(planet, out, bounds=(-74.06, 40.68, -74.03, 40.70))
+        meta = read_user_metadata(spark, out)
+        assert meta["osm.schema.version"] == "0.6"
+        assert meta["bounds"] == "-74.06, 40.68, -74.03, 40.7"
+        # the rewrite preserved row data and schema
+        back = spark.read.orc(out)
+        assert back.count() == planet.count()
+        assert back.schema.simpleString() == planet.schema.simpleString()
+        # read_metadata prefers the in-file footer when given a session
+        assert read_metadata(out, spark)["osm.schema.version"] == "0.6"
+
     def test_block_padding_and_readable_by_pyarrow(self, spark, planet, tmp_path):
         import glob
 
