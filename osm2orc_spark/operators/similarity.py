@@ -24,6 +24,8 @@ so the oracle can replay the exact pipeline.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -246,74 +248,204 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic integer Lloyd's: the engine-neutral KMeans both Spark and
+# DuckDB can reproduce bit-identically. Vectors are fixed-point quantized
+# (floor x*1e6 -> BIGINT, the house rule); initial centroids are the
+# vectors of the k md5-ranked vec_ids; each round assigns by integer
+# squared distance (tie-break: lowest cid) and updates centroids by
+# truncating integer division of per-dimension sums (BIGINT `div` in
+# Spark == `//` in DuckDB: both truncate toward zero). A fixed iteration
+# count (no convergence test) keeps the unrolled SQL twin finite.
+# ---------------------------------------------------------------------------
+IVF_KM_ITERS = 3
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero division matching SQL BIGINT s//n (DuckDB)
+    and s div n (Spark)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _int_array_lit(vals) -> Column:
+    return F.array(*[F.lit(int(v)).cast("bigint") for v in vals])
+
+
+def _sqdist_lit(qv_col: Column, cent: list[int]) -> Column:
+    return F.aggregate(
+        F.zip_with(qv_col, _int_array_lit(cent), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_cid(qv_col: Column, cents: list[list[int]]) -> Column:
+    """0-based index of the nearest centroid; array_position returns the
+    FIRST minimum, so distance ties break toward the lowest cid — the
+    same (d, cid) tie-break the SQL twin uses."""
+    d = F.array(*[_sqdist_lit(qv_col, c) for c in cents])
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def _lloyd_fit_ints(
+    spark: SparkSession, sf_dir: str, k: int, iters: int
+) -> list[list[int]]:
+    """Fit k integer centroids over the quantized embeddings.
+
+    Per round: assignment is a narrow map with the k centroid vectors
+    baked in as literals (broadcast-by-literal — zero shuffle), the
+    update is ONE posexplode+groupBy pass whose k*d partial sums come
+    back to the driver (O(k*d) rows — the same driver footprint MLlib's
+    KMeans uses for its centroid updates). At 100 TB, fit on a sample
+    and reuse the centroids; the dataflow is unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _quant(F.col("embedding")).alias("qv")).persist()
+    seed_rows = (
+        emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .join(qe, "vec_id")
+        .select("h", "vec_id", "qv")
+        .orderBy("h", "vec_id")
+        .collect()
+    )
+    cents = [[int(v) for v in r["qv"]] for r in seed_rows]
+    for _ in range(iters):
+        sums = (
+            qe.select(
+                _argmin_cid(F.col("qv"), cents).alias("cid"),
+                F.posexplode("qv").alias("i", "v"),
+            )
+            .groupBy("cid", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep prev centroid
+        for r in sums:
+            new[r["cid"]][r["i"]] = _trunc_div(int(r["s"]), int(r["n"]))
+        cents = new
+    qe.unpersist()
+    return cents
+
+
+def _lloyd_cte_sql(k: int, iters: int, p: str) -> str:
+    """Unrolled-SQL twin of _lloyd_fit_ints over the ``qe`` CTE.
+
+    Emits CTEs ``{p}cent0..{p}cent{iters}`` (cid, i, c) plus the final
+    assignment ``{p}asg`` (vec_id, cid). Fixed iterations unroll to a
+    flat CTE chain — no recursion needed."""
+    parts = [
+        f"""{p}init AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM embeddings QUALIFY cid < {k}
+    ),
+    {p}cent0 AS (SELECT r.cid, q.i, q.v AS c FROM {p}init r JOIN qe q USING (vec_id))"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f"""{p}d{r} AS (
+      SELECT q.vec_id, c.cid, CAST(SUM((q.v - c.c) * (q.v - c.c)) AS BIGINT) AS d
+      FROM qe q JOIN {p}cent{r - 1} c ON c.i = q.i
+      GROUP BY 1, 2
+    ),
+    {p}a{r} AS (
+      SELECT vec_id, cid FROM {p}d{r}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    {p}u{r} AS (
+      SELECT a.cid, q.i, CAST(SUM(q.v) AS BIGINT) AS s, COUNT(*) AS n
+      FROM {p}a{r} a JOIN qe q USING (vec_id) GROUP BY 1, 2
+    ),
+    {p}cent{r} AS (
+      SELECT c.cid, c.i, COALESCE(u.s // u.n, c.c) AS c
+      FROM {p}cent{r - 1} c LEFT JOIN {p}u{r} u ON u.cid = c.cid AND u.i = c.i
+    )""")
+    parts.append(f"""{p}df AS (
+      SELECT q.vec_id, c.cid, CAST(SUM((q.v - c.c) * (q.v - c.c)) AS BIGINT) AS d
+      FROM qe q JOIN {p}cent{iters} c ON c.i = q.i
+      GROUP BY 1, 2
+    ),
+    {p}asg AS (
+      SELECT vec_id, cid FROM {p}df
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    )""")
+    return ",\n    ".join(parts)
+
+
 @register(
     "ann_ivf_kmeans",
-    oracle=None,  # KMeans centroids are Spark-specific (seeded but not
-    # reproducible in DuckDB); tests/test_advanced.py checks recall
-    # against the exhaustive brute-force top-k instead.
+    oracle=f"""
+    WITH {_DUCK_QE},
+    {_lloyd_cte_sql(N_CENTROIDS, IVF_KM_ITERS, "km")},
+    qid AS (SELECT MIN(vec_id) AS q FROM embeddings),
+    qdist AS (
+      SELECT c.cid, CAST(SUM((q.v - c.c) * (q.v - c.c)) AS BIGINT) AS d
+      FROM kmcent{IVF_KM_ITERS} c
+      JOIN qe q ON q.i = c.i
+      JOIN qid ON q.vec_id = qid.q
+      GROUP BY c.cid
+    ),
+    probe AS (
+      SELECT cid FROM qdist QUALIFY ROW_NUMBER() OVER (ORDER BY d, cid) <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT a.vec_id, a.cid FROM kmasg a JOIN probe USING (cid), qid
+      WHERE a.vec_id != qid.q
+    ),
+    dots AS (
+      SELECT c.vec_id, c.cid, CAST(SUM(e.v * qq.v) AS BIGINT) AS dot
+      FROM cand c
+      JOIN qe e ON e.vec_id = c.vec_id
+      JOIN qe qq ON qq.i = e.i
+      JOIN qid ON qq.vec_id = qid.q
+      GROUP BY 1, 2
+    )
+    SELECT d.vec_id, em.label, d.cid,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN embeddings em ON em.vec_id = d.vec_id
+    JOIN norms na ON na.vec_id = d.vec_id
+    JOIN qid ON true
+    JOIN norms nq ON nq.vec_id = qid.q
+    ORDER BY cosine DESC, d.vec_id
+    LIMIT {TOP_K}
+    """,
     doc="The production IVF variant promised by ann_ivf_probe: centroids "
-    "from MLlib KMeans (seeded, fit on the corpus — at 100 TB, on a "
-    "sample), then the same assign/probe/score dataflow. Rows-only in "
-    "the oracle gate; the recall test pins quality. Fit cost is one "
-    "pass over a sample; assignment is a broadcast of k centroid "
-    "vectors — identical scale posture to the fixed-centroid variant.",
+    f"from a deterministic integer Lloyd's fit ({IVF_KM_ITERS} fixed "
+    "rounds, md5-ranked seeds, truncating-division updates) so the SAME "
+    "k-means is reproducible in DuckDB as unrolled CTEs — upgrading this "
+    "query from a rows-only recall gate to a full value oracle. "
+    "Assignment bakes the k centroid vectors into the plan as literals "
+    "(zero-shuffle narrow map); each round's update is one "
+    "posexplode+groupBy with k*d partial sums to the driver — the MLlib "
+    "KMeans dataflow, minus its nondeterminism. At 100 TB: fit on a "
+    "sample, reuse centroids; probe/score dataflow is unchanged.",
     tags=("similarity",),
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS)
     emb = load(spark, sf_dir, "embeddings")
-    feat = emb.select(
-        "vec_id", "label", "embedding",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    q_row = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
+    q_id = q_row["vec_id"]
+    # Same fixed-point rule as _quant, applied driver-side: IEEE multiply
+    # then floor over the identical float64 values.
+    qq = [math.floor(float(x) * QUANT) for x in q_row["embedding"]]
+    # probe selection is O(k*d) driver math over exact ints
+    qdist = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qq, c)), cid)
+        for cid, c in enumerate(cents)
     )
-    km = KMeans(k=N_CENTROIDS, seed=42, maxIter=10)
-    model = km.fit(feat.select("features"))
-    assigned = model.transform(feat).withColumnRenamed("prediction", "cid")
-    # centroid vectors as a tiny broadcastable frame
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cid int, c_emb array<double>",
-    )
-    q = (
-        assigned.orderBy("vec_id")
-        .limit(1)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("cid").alias("q_cid"),
-        )
-    )
-    # probe the query's N_PROBE nearest centroids by euclidean distance
-    qc = q.crossJoin(F.broadcast(cent)).select(
-        "q_id", "cid",
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("c_emb"),
-                    F.col("q_emb").cast("array<double>"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("dist"),
-    )
-    probe = (
-        qc.withColumn("rn", F.row_number().over(W.orderBy("dist", "cid")))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("cid")
-    )
-    qa, qb = _quant(F.col("embedding")), _quant(F.col("q_emb"))
+    probe = [cid for _, cid in qdist[:N_PROBE]]
+    qv = _quant(F.col("embedding"))
+    qb = _int_array_lit(qq)
     return (
-        assigned.join(F.broadcast(probe), "cid")
-        .crossJoin(F.broadcast(q.select("q_id", "q_emb")))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "vec_id", "label", "cid",
-            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+        emb.select(
+            "vec_id",
+            "label",
+            _argmin_cid(qv, cents).alias("cid"),
+            _cosine(_dot(qv, qb), _dot(qv, qv), _dot(qb, qb)).alias("cosine"),
         )
+        .filter(F.col("cid").isin(probe) & (F.col("vec_id") != q_id))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
@@ -682,86 +814,197 @@ PQ_K = 16  # codes per subspace -> 8 x 4-bit codes per vector (16x smaller)
 PQ_SHORTLIST = 50  # ADC shortlist size before exact re-rank
 
 
-def _pq_sqdist(sub_col: Column, cent: list[float]) -> Column:
-    return F.aggregate(
-        F.zip_with(
-            sub_col,
-            F.array(*[F.lit(float(c)) for c in cent]),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _pq_lloyd_fit(spark: SparkSession, sf_dir: str, iters: int) -> list[list[list[int]]]:
+    """Per-subspace deterministic integer Lloyd's: books[m][cid] is the
+    PQ_D-int centroid of code cid in subspace m.
+
+    All PQ_M codebooks train in the SAME pass per round: one
+    posexplode+groupBy(m, cid, il) whose PQ_M*PQ_K*PQ_D partial sums
+    come back to the driver. Seeds are the md5-ranked PQ_K vec_ids'
+    subvectors (one ranking shared across subspaces)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _quant(F.col("embedding")).alias("qv")).persist()
+    seed_rows = (
+        emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+        .join(qe, "vec_id")
+        .select("h", "vec_id", "qv")
+        .orderBy("h", "vec_id")
+        .collect()
     )
+    books = [
+        [[int(v) for v in r["qv"][m * PQ_D : (m + 1) * PQ_D]] for r in seed_rows]
+        for m in range(PQ_M)
+    ]
+    for _ in range(iters):
+        cid_arr = F.array(
+            *[
+                _argmin_cid(F.slice(F.col("qv"), m * PQ_D + 1, PQ_D), books[m])
+                for m in range(PQ_M)
+            ]
+        )
+        sums = (
+            qe.select(cid_arr.alias("cids"), F.posexplode("qv").alias("pos", "v"))
+            .select(
+                F.expr(f"pos div {PQ_D}").alias("m"),
+                (F.col("pos") % PQ_D).alias("il"),
+                F.element_at(
+                    F.col("cids"), (F.expr(f"pos div {PQ_D}") + 1).cast("int")
+                ).alias("cid"),
+                "v",
+            )
+            .groupBy("m", "cid", "il")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [[list(c) for c in bm] for bm in books]
+        for r in sums:
+            new[r["m"]][r["cid"]][r["il"]] = _trunc_div(int(r["s"]), int(r["n"]))
+        books = new
+    qe.unpersist()
+    return books
+
+
+def _pq_lloyd_cte_sql(iters: int) -> str:
+    """Unrolled-SQL twin of _pq_lloyd_fit over ``qe``: emits ``qs``
+    (vec_id, m, il, v), ``book0..book{iters}`` (m, cid, il, c) and the
+    final per-subspace code assignment ``pqasg`` (vec_id, m, cid)."""
+    parts = [
+        f"""qs AS (
+      SELECT vec_id, (i - 1) // {PQ_D} AS m, (i - 1) % {PQ_D} AS il, v FROM qe
+    ),
+    pqinit AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM embeddings QUALIFY cid < {PQ_K}
+    ),
+    book0 AS (
+      SELECT r.cid, s.m, s.il, s.v AS c FROM pqinit r JOIN qs s USING (vec_id)
+    )"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f"""pd{r} AS (
+      SELECT s.vec_id, s.m, b.cid, CAST(SUM((s.v - b.c) * (s.v - b.c)) AS BIGINT) AS d
+      FROM qs s JOIN book{r - 1} b ON b.m = s.m AND b.il = s.il
+      GROUP BY 1, 2, 3
+    ),
+    pa{r} AS (
+      SELECT vec_id, m, cid FROM pd{r}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) = 1
+    ),
+    pu{r} AS (
+      SELECT a.cid, s.m, s.il, CAST(SUM(s.v) AS BIGINT) AS sv, COUNT(*) AS n
+      FROM pa{r} a JOIN qs s ON s.vec_id = a.vec_id AND s.m = a.m
+      GROUP BY 1, 2, 3
+    ),
+    book{r} AS (
+      SELECT b.cid, b.m, b.il, COALESCE(u.sv // u.n, b.c) AS c
+      FROM book{r - 1} b
+      LEFT JOIN pu{r} u ON u.cid = b.cid AND u.m = b.m AND u.il = b.il
+    )""")
+    parts.append(f"""pdf AS (
+      SELECT s.vec_id, s.m, b.cid, CAST(SUM((s.v - b.c) * (s.v - b.c)) AS BIGINT) AS d
+      FROM qs s JOIN book{iters} b ON b.m = s.m AND b.il = s.il
+      GROUP BY 1, 2, 3
+    ),
+    pqasg AS (
+      SELECT vec_id, m, cid FROM pdf
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) = 1
+    )""")
+    return ",\n    ".join(parts)
 
 
 @register(
     "ann_pq_adc",
-    oracle=None,  # codebooks come from MLlib KMeans fits (Spark-specific);
-    # tests/test_advanced.py gates recall against the exhaustive top-k.
+    oracle=f"""
+    WITH {_DUCK_QE},
+    {_pq_lloyd_cte_sql(IVF_KM_ITERS)},
+    qid AS (SELECT MIN(vec_id) AS q FROM embeddings),
+    lut AS (
+      SELECT b.m, b.cid, CAST(SUM(s.v * b.c) AS BIGINT) AS dv
+      FROM book{IVF_KM_ITERS} b
+      JOIN qs s ON s.m = b.m AND s.il = b.il
+      JOIN qid ON s.vec_id = qid.q
+      GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT a.vec_id, CAST(SUM(l.dv) AS BIGINT) AS approx_dot
+      FROM pqasg a
+      JOIN lut l ON l.m = a.m AND l.cid = a.cid
+      CROSS JOIN qid
+      WHERE a.vec_id != qid.q
+      GROUP BY 1
+    ),
+    shortlist AS (
+      SELECT vec_id, approx_dot FROM approx
+      ORDER BY approx_dot DESC, vec_id LIMIT {PQ_SHORTLIST}
+    ),
+    dots AS (
+      SELECT s.vec_id, s.approx_dot, CAST(SUM(e.v * qq.v) AS BIGINT) AS dot
+      FROM shortlist s
+      JOIN qe e ON e.vec_id = s.vec_id
+      JOIN qe qq ON qq.i = e.i
+      JOIN qid ON qq.vec_id = qid.q
+      GROUP BY 1, 2
+    )
+    SELECT d.vec_id, em.label, d.approx_dot,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN embeddings em ON em.vec_id = d.vec_id
+    JOIN norms na ON na.vec_id = d.vec_id
+    JOIN qid ON true
+    JOIN norms nq ON nq.vec_id = qid.q
+    ORDER BY cosine DESC, d.vec_id
+    LIMIT {TOP_K}
+    """,
     doc="Product-quantization ANN with asymmetric distance computation: "
     f"the 64-dim embedding splits into {PQ_M} subspaces of {PQ_D} dims, "
-    f"each with a {PQ_K}-entry KMeans codebook (fit per subspace — on a "
-    "sample at 100 TB), so a vector compresses to 8 codes. Encoding is a "
-    "pure JVM expression (argmin over literal centroid arrays — no join, "
-    "no shuffle, fused into the scan stage); the query-side lookup table "
-    "of subspace dot products is computed once on the driver and baked "
-    "into the plan as literals, so ADC scoring is 8 array lookups per "
-    "row. The ADC shortlist is exact-cosine re-ranked (the standard "
-    "IVFPQ discipline). End-to-end: zero shuffles before the final "
-    "TakeOrdered top-k.",
+    f"each with a {PQ_K}-entry codebook from the deterministic integer "
+    f"Lloyd's fit ({IVF_KM_ITERS} rounds, all subspaces trained in one "
+    "pass per round), so a vector compresses to 8 codes and the whole "
+    "fit+encode+score pipeline now has an exact DuckDB twin (previously "
+    "a rows-only recall gate over MLlib codebooks). Encoding is a pure "
+    "JVM expression (argmin over literal centroid arrays — no join, no "
+    "shuffle, fused into the scan stage); the query-side LUT of integer "
+    "subspace dot products is exact driver math baked into the plan as "
+    "literals, so ADC scoring is 8 array lookups + a BIGINT sum per row. "
+    "The ADC shortlist is exact-cosine re-ranked (standard IVFPQ "
+    "discipline). End-to-end: zero shuffles before the final TakeOrdered "
+    "top-k.",
     tags=("similarity",),
 )
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    books = _pq_lloyd_fit(spark, sf_dir, IVF_KM_ITERS)
     emb = load(spark, sf_dir, "embeddings")
-    dsub = [
-        F.slice(F.col("embedding").cast("array<double>"), m * PQ_D + 1, PQ_D)
-        for m in range(PQ_M)
-    ]
-    feats = emb.select(
-        *[array_to_vector(s).alias(f"f{m}") for m, s in enumerate(dsub)]
-    ).persist()
-    books: list[list[list[float]]] = []
-    for m in range(PQ_M):
-        model = KMeans(
-            k=PQ_K, seed=42 + m, maxIter=10, featuresCol=f"f{m}"
-        ).fit(feats.select(f"f{m}"))
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-    feats.unpersist()
+    qv = _quant(F.col("embedding"))
 
-    # per-subspace code: argmin over the PQ_K literal centroids
+    # per-subspace code: argmin over the PQ_K literal integer centroids
     def code(m: int) -> Column:
-        d_arr = F.array(*[_pq_sqdist(dsub[m], books[m][c]) for c in range(PQ_K)])
-        return (F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int")
+        return _argmin_cid(F.slice(qv, m * PQ_D + 1, PQ_D), books[m])
 
-    q_row = (
-        emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
-    )
-    q_id, q_emb = q_row["vec_id"], [float(x) for x in q_row["embedding"]]
-    # ADC lookup tables: LUT[m][c] = <query subvector, centroid c>
+    q_row = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
+    q_id = q_row["vec_id"]
+    qq = [math.floor(float(x) * QUANT) for x in q_row["embedding"]]
+    # ADC lookup tables: LUT[m][c] = <quantized query subvector, centroid c>
+    # — exact integer dot products, computed once on the driver.
     lut = [
         [
-            sum(q_emb[m * PQ_D + i] * books[m][c][i] for i in range(PQ_D))
+            sum(qq[m * PQ_D + i] * books[m][c][i] for i in range(PQ_D))
             for c in range(PQ_K)
         ]
         for m in range(PQ_M)
     ]
     approx = sum(
-        F.element_at(
-            F.array(*[F.lit(v) for v in lut[m]]), code(m) + 1
-        )
-        for m in range(PQ_M)
-    )
+        F.element_at(_int_array_lit(lut[m]), code(m) + 1) for m in range(PQ_M)
+    ).cast("bigint")
     shortlist = (
         emb.filter(F.col("vec_id") != q_id)
         .select("vec_id", "label", "embedding", approx.alias("approx_dot"))
         .orderBy(F.desc("approx_dot"), "vec_id")
         .limit(PQ_SHORTLIST)
     )
-    q_arr = F.array(*[F.lit(x) for x in q_emb])
-    qa, qb = _quant(F.col("embedding")), _quant(q_arr)
+    qb = _int_array_lit(qq)
+    qa = _quant(F.col("embedding"))
     return (
         shortlist.select(
             "vec_id",

@@ -99,6 +99,9 @@ GATE_PRIORITY_R02: tuple[str, ...] = (
     # Streaming (batch-twin oracles).
     "stream_hourly_rollup", "stream_session_windows",
     "stream_purchase_attribution", "stream_user_totals", "stream_segment_rollup",
+    # Upgraded r01 rows-only -> full oracle (deterministic Lloyd's kmeans);
+    # re-gate so the driver records the hash match this time.
+    "ann_ivf_kmeans", "ann_pq_adc",
     # Curation pipeline.
     "curation_canonical_docs", "curation_decontaminate",
     "curation_stratified_sample", "curation_pack_sequences",
