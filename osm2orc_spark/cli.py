@@ -12,9 +12,19 @@ Mirrors the reference entrypoint contract (Osm2Orc.java:12-41):
   currently in the directory and exits (for cron-style incremental
   loads); without it the stream runs until interrupted.
 
+- ``--write-orc``: osmosis-plugin compatibility mode (the reference's
+  ``osmosis --rbf in.pbf --write-orc out.orc`` contract,
+  osmosis/OrcWriterFactory.java:11-22): the output is a SINGLE ORC
+  *file* named by ``file=<name>`` or a bare filename, defaulting to
+  ``dump.osm.orc`` like the plugin. Single-file output implies a single
+  writer task (the plugin is single-threaded too) — it is the
+  compatibility path, not the scale path; the directory mode above is
+  what a cluster job uses.
+
 Usage:
     python -m osm2orc_spark.cli [--changesets] <input> <output-orc-dir>
     python -m osm2orc_spark.cli [--changesets] --watch [--once] <in-dir> <out-orc-dir>
+    python -m osm2orc_spark.cli [--changesets] --write-orc [file=NAME | NAME] <input>
 """
 
 from __future__ import annotations
@@ -32,14 +42,59 @@ from osm2orc_spark.sources.changeset_xml import (
 from osm2orc_spark.sources.pbf import read_pbf, read_pbf_bounds, read_pbf_stream
 
 
+OSMOSIS_DEFAULT_FILE = "dump.osm.orc"  # OrcWriterFactory.java:13
+
+
+def _write_single_orc_file(df, out: str, bounds) -> None:
+    """Osmosis-plugin-shaped output: ONE ORC file at ``out`` (the plugin
+    writes a single file, OrcWriter.java), with the same footer user
+    metadata as the directory sink. coalesce(1) = one writer task."""
+    import os
+    import shutil
+
+    stage = tempfile.mkdtemp(suffix=".orcstage")
+    try:
+        write_orc(
+            df.coalesce(1),
+            stage,
+            bounds=bounds,
+            sort_type_then_id="type" in df.columns,
+        )
+        part = next(
+            f
+            for f in sorted(os.listdir(stage))
+            if f.endswith(".orc") and not f.startswith((".", "_"))
+        )
+        shutil.move(os.path.join(stage, part), out)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
-    changesets = watch = once = False
-    while args and args[0] in ("--changesets", "--watch", "--once"):
+    changesets = watch = once = osmosis_mode = False
+    while args and args[0] in ("--changesets", "--watch", "--once", "--write-orc"):
         flag = args.pop(0)
         changesets |= flag == "--changesets"
         watch |= flag == "--watch"
         once |= flag == "--once"
+        osmosis_mode |= flag == "--write-orc"
+    if osmosis_mode:
+        # osmosis arg forms: `--write-orc out.orc`, `--write-orc file=out.orc`,
+        # or no filename -> dump.osm.orc (OrcWriterFactory.java:11-22).
+        out = OSMOSIS_DEFAULT_FILE
+        rest = []
+        for a in args:
+            if a.startswith("file="):
+                out = a[5:]
+            else:
+                rest.append(a)
+        if len(rest) == 2:  # `--write-orc NAME input`
+            out, rest = rest[0], rest[1:]
+        if len(rest) != 1:
+            print(__doc__, file=sys.stderr)
+            return 2
+        args = [rest[0], out]
     if len(args) != 2:
         print(__doc__, file=sys.stderr)
         return 2
@@ -70,6 +125,14 @@ def main(argv: list[str] | None = None) -> int:
                     q.awaitTermination()
             finally:
                 q.stop()
+        elif osmosis_mode:
+            df = (
+                read_changesets(spark, inp)
+                if changesets
+                else read_pbf(spark, inp)
+            )
+            bounds = None if changesets else read_pbf_bounds(inp)
+            _write_single_orc_file(df, out, bounds)
         elif changesets:
             write_orc(read_changesets(spark, inp), out, sort_type_then_id=False)
         else:

@@ -4,6 +4,7 @@ through the sources, asserting every §2B cell-semantics edge case."""
 from __future__ import annotations
 
 import datetime as dt
+import pathlib
 from decimal import Decimal
 
 import pytest
@@ -197,6 +198,25 @@ class TestOrcSink:
         assert back.schema.simpleString() == planet.schema.simpleString()
         # read_metadata prefers the in-file footer when given a session
         assert read_metadata(out, spark)["osm.schema.version"] == "0.6"
+
+    def test_osmosis_write_orc_compat(self, spark, tmp_path, monkeypatch):
+        """`--write-orc` mirrors the osmosis plugin contract
+        (OrcWriterFactory.java:11-22): single ORC file, default name
+        dump.osm.orc, overridable via file=NAME."""
+        import pyarrow.orc as po
+
+        from osm2orc_spark.cli import main
+        from osm2orc_spark.sinks.orc import read_user_metadata
+
+        pbf = str(pathlib.Path(__file__).resolve().parents[1] / "fixtures" / "tiny.osm.pbf")
+        monkeypatch.chdir(tmp_path)
+        assert main(["--write-orc", pbf]) == 0
+        out = tmp_path / "dump.osm.orc"
+        assert out.is_file()
+        assert po.ORCFile(str(out)).nrows == 1788
+        # named form + footer metadata carried into the single file
+        assert main(["--write-orc", f"file={tmp_path}/named.orc", pbf]) == 0
+        assert po.ORCFile(str(tmp_path / "named.orc")).nrows == 1788
 
     def test_block_padding_and_readable_by_pyarrow(self, spark, planet, tmp_path):
         import glob
