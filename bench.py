@@ -38,7 +38,60 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "text_quality_scores",
     "text_bm25_topk",
+    # scale-path variants promoted in round 2: the bench now tracks the
+    # 100 TB designs, not only the exhaustive baselines
+    "embedding_near_dup_lsh",
+    "ann_ivf_probe",
+    "curation_training_mix",
 ]
+
+
+def ingest_decode_metric() -> dict:
+    """Stable ingest signal: single-thread columnar PBF decode throughput.
+
+    Methodology (pinned r2): synthesize a deterministic 120k-node
+    multi-blob PBF once (seed 7, 8000 nodes/block), then time raw
+    blob->Arrow decode (decode_primitive_block_columns over every blob,
+    one thread, no Spark, no disk writes) — two passes, min. This
+    isolates the codec from Spark scheduling and co-tenant IO noise; the
+    end-to-end number (with Spark + ORC write) lives in bench_ingest.py.
+    """
+    import tempfile
+
+    from osm2orc_spark.fixtures import planet_history_entities
+    from osm2orc_spark.sources.pbf_codec import (
+        PbfWriter,
+        decode_primitive_block_columns,
+        read_blob,
+        scan_blob_index,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_decode_")
+    pbf_path = os.path.join(tmp, "bench.osm.pbf")
+    n_nodes = 120_000
+    entities = planet_history_entities(
+        seed=7, n_nodes=n_nodes, n_ways=n_nodes // 15, n_rels=n_nodes // 100
+    )
+    w = PbfWriter()
+    for e in entities:
+        w.add(**e)
+    w.write(pbf_path, nodes_per_block=8000)
+
+    refs = [r for r in scan_blob_index(pbf_path) if r.kind == "OSMData"]
+    best = float("inf")
+    n_entities = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_entities = 0
+        for ref in refs:
+            cols = decode_primitive_block_columns(read_blob(ref))
+            n_entities += len(cols["id"])
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "entities": n_entities,
+        "decode_wall_sec": round(best, 3),
+        "decode_entities_per_sec": round(n_entities / best),
+    }
 
 
 def main() -> None:
@@ -87,6 +140,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest": ingest_decode_metric(),
             }
         )
     )
