@@ -104,6 +104,37 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
         yield fieldno, wire, val
 
 
+def _decode_string_table(buf: bytes) -> list[str]:
+    """Specialized StringTable decode: every entry is field 1 / wire 2
+    (key byte 0x0A), so a tight slice loop replaces the generic _fields
+    generator — this table is decoded once per block but holds every
+    tag key/value and user name, so it dominates non-dense decode time.
+    Falls back to the generic walker on any unexpected key byte."""
+    out: list[str] = []
+    pos, n = 0, len(buf)
+    while pos < n:
+        if buf[pos] != 0x0A:  # not a plain StringTable -> generic path
+            return [
+                bytes(v).decode("utf-8") for f, _, v in _fields(buf) if f == 1
+            ]
+        pos += 1
+        ln = buf[pos]
+        pos += 1
+        if ln >= 0x80:  # rare: string >= 128 bytes
+            ln &= 0x7F
+            shift = 7
+            while True:
+                b = buf[pos]
+                pos += 1
+                ln |= (b & 0x7F) << shift
+                if b < 0x80:
+                    break
+                shift += 7
+        out.append(buf[pos : pos + ln].decode("utf-8"))
+        pos += ln
+    return out
+
+
 def _packed_varints(buf: bytes) -> list[int]:
     out = []
     pos = 0
@@ -398,11 +429,7 @@ def decode_primitive_block_columns(data: bytes) -> dict[str, list]:
     lat_offset = lon_offset = 0
     for fieldno, _, val in _fields(data):
         if fieldno == 1:
-            strings = [
-                bytes(v).decode("utf-8")
-                for f2, _, v in _fields(bytes(val))
-                if f2 == 1
-            ]
+            strings = _decode_string_table(bytes(val))
         elif fieldno == 2:
             groups.append(bytes(val))
         elif fieldno == 17:
