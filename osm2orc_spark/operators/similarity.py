@@ -608,11 +608,16 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
     ev, cv = _quant(F.col("embedding")), _quant(F.col("c_emb"))
+    # ccos feeds three consumers (corpus assignment, the query's probe
+    # ranking, and the final candidate join) — persist the one
+    # corpus-x-centroids pass instead of recomputing the scored cross
+    # join per consumer. n_vectors x k rows: small at any corpus size
+    # relative to the corpus itself (k is fixed).
     ccos = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cid",
         _cosine(_dot(ev, cv), _dot(ev, ev), _dot(cv, cv)).alias("cos"),
-    )
+    ).persist()
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
     assign = (
         ccos.withColumn("rn", F.row_number().over(w_assign))
