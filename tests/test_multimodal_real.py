@@ -1,0 +1,165 @@
+"""Golden tests for the REAL multimodal decoders (no media libs needed):
+PNG via pure numpy+zlib and WAV/PCM via stdlib RIFF parsing."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from osm2orc_spark.operators.multimodal import (
+    PNG_SIG,
+    decode_image,
+    decode_png,
+    decode_wav,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> bytes:
+    """Forward PNG filter (the encoder side) — the inverse of the
+    decoder's unfilter, applied byte-exactly per the PNG spec."""
+    out = bytearray([ftype])
+    for x in range(len(row)):
+        a = int(row[x - bpp]) if x >= bpp else 0
+        b = int(prev[x])
+        c = int(prev[x - bpp]) if x >= bpp else 0
+        raw = int(row[x])
+        if ftype == 0:
+            v = raw
+        elif ftype == 1:
+            v = raw - a
+        elif ftype == 2:
+            v = raw - b
+        elif ftype == 3:
+            v = raw - ((a + b) >> 1)
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = raw - pred
+        out.append(v & 0xFF)
+    return bytes(out)
+
+
+def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder for test goldens: 8-bit gray/RGB/RGBA, one
+    explicit filter type per scanline."""
+    h, w, ch = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = pixels.reshape(h, w * ch).astype(np.uint8)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        raw += _filter_row(filters[y], flat[y], prev, ch)
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _demo_pixels(h: int, w: int, ch: int) -> np.ndarray:
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+class TestPngDecode:
+    @pytest.mark.parametrize("ch", [1, 2, 3, 4])
+    def test_roundtrip_filter0(self, ch):
+        px = _demo_pixels(5, 7, ch)
+        m = decode_png(encode_png(px))
+        assert (m["width"], m["height"], m["channels"]) == (7, 5, ch)
+        assert np.array_equal(m["pixels"], px)
+
+    @pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+    def test_roundtrip_each_filter(self, ftype):
+        px = _demo_pixels(6, 4, 3)
+        m = decode_png(encode_png(px, filters=[ftype] * 6))
+        assert np.array_equal(m["pixels"], px)
+
+    def test_roundtrip_mixed_filters(self):
+        px = _demo_pixels(5, 9, 4)
+        m = decode_png(encode_png(px, filters=[0, 1, 2, 3, 4]))
+        assert np.array_equal(m["pixels"], px)
+        assert m["format"] == "png"
+        assert m["channel_means"] == [float(px[..., c].mean()) for c in range(4)]
+
+    def test_bad_crc_rejected(self):
+        blob = bytearray(encode_png(_demo_pixels(2, 2, 3)))
+        blob[-5] ^= 0xFF  # corrupt IEND CRC
+        with pytest.raises(ValueError, match="bad CRC"):
+            decode_png(bytes(blob))
+
+    def test_decode_image_dispatches_real_png(self):
+        px = _demo_pixels(3, 11, 3)
+        meta = decode_image(encode_png(px))
+        assert meta == {"width": 11, "height": 3, "format": "png"}
+
+    def test_decode_image_fake_for_non_png(self):
+        meta = decode_image(b"abcdef")  # n=6: 6%640+1, 42%480+1, 6%3
+        assert meta == {"width": 7, "height": 43, "format": "raw"}
+
+
+class TestWavDecode:
+    def test_roundtrip_stdlib_writer(self):
+        rng = np.random.default_rng(7)
+        samples = rng.integers(-3000, 3000, size=1600 * 2, dtype=np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(samples.tobytes())
+        m = decode_wav(buf.getvalue())
+        assert m["channels"] == 2
+        assert m["sample_rate"] == 16000
+        assert m["bits"] == 16
+        assert m["n_frames"] == 1600
+        assert m["duration_ms"] == 100
+        assert m["rms"] == pytest.approx(
+            float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+        )
+
+    def test_not_wav_rejected(self):
+        with pytest.raises(ValueError, match="not a WAV"):
+            decode_wav(b"\x00" * 64)
+
+
+def test_real_png_through_mapinpandas(spark):
+    """The decode-meta kernel reports REAL dimensions for PNG blobs in a
+    genuine BinaryType column through mapInPandas."""
+    from osm2orc_spark.operators.multimodal import _decode_meta_batch
+
+    blobs = [
+        (1, bytearray(encode_png(_demo_pixels(4, 6, 3)))),
+        (2, bytearray(encode_png(_demo_pixels(2, 9, 1), filters=[4, 2]))),
+        (3, bytearray(b"not-an-image")),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id bigint, blob binary")
+    out = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(
+            _decode_meta_batch,
+            schema="doc_id bigint, byte_len bigint, width bigint, height bigint, format string",
+        ).collect()
+    }
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (6, 4, "png")
+    assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (9, 2, "png")
+    assert out[3]["format"] == "raw"  # len 12 -> fake path
