@@ -706,3 +706,65 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("props", F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
         F.regexp_count("props", F.lit(PII_NUM)).cast("bigint").alias("n_nums"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide n-gram vocabulary: the BPE/tokenizer-training corpus stat.
+# ---------------------------------------------------------------------------
+NGRAM_VOCAB_K = 100  # vocabulary candidates kept
+
+
+@register(
+    "text_ngram_vocab",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks[g] || ' ' || toks[g + 1] AS ngram
+      FROM t CROSS JOIN unnest(generate_series(1, len(toks) - 1)) AS u(g)
+    )
+    SELECT ngram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM b
+    GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT {NGRAM_VOCAB_K}
+    """,
+    doc=f"Corpus-wide top-{NGRAM_VOCAB_K} word bigrams with occurrence and "
+    "document frequency — the merge-candidate statistic a BPE/tokenizer "
+    "training pass computes over the whole corpus. Plan shape: explode "
+    "bigrams (adjacent-pair transform over the shared whitespace "
+    "tokenization), ONE groupBy(ngram) with map-side partial counts, "
+    "then a TakeOrdered top-k with total-order tie-break (count DESC, "
+    "ngram ASC). The shuffle key is the ngram itself (uniform unless the "
+    "corpus is degenerate); count-distinct doc_id rides the same "
+    "exchange via partial aggregation. At 100 TB this is the canonical "
+    "two-phase scan: no driver state, top-k never materializes the full "
+    "vocabulary.",
+    tags=("text",),
+)
+def text_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", _toks().alias("t"))
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i])) "
+                "ELSE array() END"
+            )
+        ).alias("ngram"),
+    )
+    return (
+        bigrams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(NGRAM_VOCAB_K)
+    )
