@@ -28,6 +28,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # The driver builds its own plain session, possibly from a
+            # foreign CWD with the repo reachable only via sys.path --
+            # ship the package so Python-UDF tasks can import it.
+            from osm2orc_spark.session import ship_package
+
+            ship_package(spark)
             return fn(spark, sf_dir)
 
         return run

@@ -14,8 +14,44 @@ on a real cluster this is overridden to ~2-3x total cores via
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# SparkContext application ids that already received the package zip via
+# addPyFile -- guards against double-registration (Spark errors on adding
+# the same filename twice to one context).
+_SHIPPED_APP_IDS: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``osm2orc_spark`` importable on executor Python workers.
+
+    Python-UDF closures (mapInPandas kernels in operators/multimodal.py,
+    applyInPandas state functions in streaming/) are cloudpickled BY
+    REFERENCE because this package is importable on the driver -- so the
+    worker must be able to ``import osm2orc_spark`` too.  Workers inherit
+    PYTHONPATH from the environment, not the driver's ``sys.path``
+    mutations: a harness that does ``sys.path.insert(0, repo)`` from a
+    foreign CWD runs the driver fine but every Python-UDF task dies with
+    ModuleNotFoundError.  Shipping a zip of the package through
+    ``sc.addPyFile`` fixes that for any session, any CWD, and -- on a real
+    cluster -- any executor host, the same way a production deployment
+    ships ``--py-files``.
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_APP_IDS:
+        return
+    pkg_root = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.mkdtemp(prefix="osm2orc_pyfiles_")) / "osm2orc_spark.zip"
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg_root.rglob("*.py")):
+            zf.write(py, arcname=str(Path(pkg_root.name) / py.relative_to(pkg_root)))
+    sc.addPyFile(str(zip_path))
+    _SHIPPED_APP_IDS.add(app_id)
 
 
 def get_spark(
@@ -46,4 +82,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
