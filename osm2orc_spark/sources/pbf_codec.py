@@ -42,6 +42,10 @@ import numpy as np
 
 NANO = 10**9
 
+# Shared read-only empty tag dict for untagged dense nodes (downstream is
+# Arrow conversion / the row adapter, neither mutates cell values).
+_EMPTY_TAGS: dict[str, str] = {}
+
 # ---------------------------------------------------------------------------
 # protobuf wire primitives
 # ---------------------------------------------------------------------------
@@ -112,6 +116,12 @@ def _decode_string_table(buf: bytes) -> list[str]:
     Falls back to the generic walker on any unexpected key byte."""
     out: list[str] = []
     pos, n = 0, len(buf)
+    # ASCII fast path: decode the whole table once and slice the str --
+    # byte offsets equal char offsets, so every per-string bytes-slice +
+    # .decode() pair collapses into one str slice. (isascii/decode are
+    # single C calls over the buffer; tag keys/values and user names are
+    # overwhelmingly ASCII in practice.)
+    big = buf.decode("ascii") if buf.isascii() else None
     while pos < n:
         if buf[pos] != 0x0A:  # not a plain StringTable -> generic path
             return [
@@ -130,8 +140,9 @@ def _decode_string_table(buf: bytes) -> list[str]:
                 if b < 0x80:
                     break
                 shift += 7
-        out.append(buf[pos : pos + ln].decode("utf-8"))
-        pos += ln
+        end = pos + ln
+        out.append(big[pos:end] if big is not None else buf[pos:end].decode("utf-8"))
+        pos = end
     return out
 
 
@@ -545,17 +556,48 @@ def decode_primitive_block_columns(data: bytes) -> dict[str, list]:
                 n = len(ids)
                 c_id.extend(ids)
                 c_type.extend(["node"] * n)
-                kv_pos = 0
-                kv_len = len(keys_vals)
-                for _ in range(n):
-                    tags = {}
-                    while kv_pos < kv_len and keys_vals[kv_pos] != 0:
-                        k = keys_vals[kv_pos]
-                        v = keys_vals[kv_pos + 1]
-                        tags[strings[k]] = strings[v]
-                        kv_pos += 2
-                    kv_pos += 1  # skip 0 terminator
-                    c_tags.append(tags)
+                # Tag assembly: split keys_vals on its 0 terminators and
+                # build a dict per TAGGED node only -- untagged nodes (the
+                # planet-scale majority) share one read-only empty dict,
+                # mirroring the shared-empty-list trick below.  The split
+                # is valid iff no entry references string 0 (the format
+                # reserves it as the delimiter); exactly n zeros proves
+                # that, since every node contributes one terminator.  A
+                # non-compliant file (zero used as a value sid) shows >n
+                # zeros and takes the sequential key-position-aware loop.
+                if not keys_vals or not any(keys_vals):
+                    c_tags.extend([_EMPTY_TAGS] * n)
+                else:
+                    append_tags = c_tags.append
+                    zpos = np.flatnonzero(
+                        np.asarray(keys_vals, dtype=np.int64) == 0
+                    ).tolist()
+                    if len(zpos) == n:
+                        prev = 0
+                        for z in zpos:
+                            if z == prev:
+                                append_tags(_EMPTY_TAGS)
+                            else:
+                                seg = keys_vals[prev:z]
+                                append_tags(
+                                    {
+                                        strings[k]: strings[v]
+                                        for k, v in zip(seg[0::2], seg[1::2])
+                                    }
+                                )
+                            prev = z + 1
+                    else:
+                        kv_pos = 0
+                        kv_len = len(keys_vals)
+                        for _ in range(n):
+                            tags = {}
+                            while kv_pos < kv_len and keys_vals[kv_pos] != 0:
+                                k = keys_vals[kv_pos]
+                                v = keys_vals[kv_pos + 1]
+                                tags[strings[k]] = strings[v]
+                                kv_pos += 2
+                            kv_pos += 1  # skip 0 terminator
+                            append_tags(tags)
                 c_lat.extend(_coord_strs(lat_offset, granularity, lats))
                 c_lon.extend(_coord_strs(lon_offset, granularity, lons))
                 # read-only downstream (Arrow conversion / row adapter), so
@@ -661,8 +703,13 @@ class PbfWriter:
 
     # -- string table ------------------------------------------------------
     def _build_strings(self) -> tuple[list[str], dict[str, int]]:
-        table = [""]  # index 0 reserved
-        index = {"": 0}
+        # Index 0 is the DenseNodes keys_vals delimiter (format spec:
+        # encoders must never reference entry 0).  Leaving "" out of the
+        # intern index means an actual empty string (tag value, role)
+        # interns as a SECOND "" entry at a non-zero index, keeping the
+        # kv stream unambiguous for any compliant reader.
+        table = [""]  # index 0 reserved, never referenced
+        index: dict[str, int] = {}
 
         def intern(s: str) -> int:
             if s not in index:

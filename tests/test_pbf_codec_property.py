@@ -199,3 +199,49 @@ def test_packed_svarint_delta_matches_prefix_sum(deltas):
         acc += d
         want.append(acc)
     assert _packed_svarints_list(payload, delta=True) == want
+
+
+def test_empty_string_tag_value_dense_roundtrip(tmp_path):
+    """Empty-string tag values must survive DenseNodes keys_vals encoding.
+
+    String-table index 0 is the kv delimiter; the writer must intern a
+    real "" at a non-zero index or the stream is ambiguous (this was a
+    hypothesis-found bug: tag {'0': ''} decoded as {})."""
+    w = PbfWriter()
+    w.add(type="node", id=1, tags={"0": ""}, lat="1.0000000", lon="2.0000000",
+          version=1, visible=True, changeset=5, timestamp_ms=1000, uid=7, user="")
+    w.add(type="node", id=2, tags={}, lat="1.0000000", lon="2.0000000",
+          version=1, visible=True, changeset=5, timestamp_ms=1000, uid=7, user="u")
+    w.add(type="node", id=3, tags={"k": "", "": "v"}, lat="1.0", lon="2.0",
+          version=1, visible=True, changeset=5, timestamp_ms=1000, uid=7, user="u")
+    decoded = _decode_all(w.tobytes(nodes_per_block=7), tmp_path)
+    by_id = {d["id"]: d for d in decoded}
+    assert by_id[1]["tags"] == {"0": ""}
+    assert by_id[1]["user"] == ""
+    assert by_id[2]["tags"] == {}
+    assert by_id[3]["tags"] == {"k": "", "": "v"}
+
+
+def test_noncompliant_zero_sid_falls_back(tmp_path):
+    """Files that (illegally) reference string 0 inside keys_vals still
+    decode via the sequential key-position-aware loop: zeros in value
+    position make the terminator count exceed the node count, which
+    disables the vectorized split."""
+
+    class SloppyWriter(PbfWriter):
+        def _build_strings(self):
+            table, index = super()._build_strings()
+            # emulate the old non-compliant intern: "" -> index 0
+            idx = dict(index)
+            idx[""] = 0
+            return table, idx
+
+    w = SloppyWriter()
+    w.add(type="node", id=1, tags={"a": ""}, lat="1.0", lon="2.0",
+          version=1, visible=True, changeset=5, timestamp_ms=1000, uid=7, user="u")
+    w.add(type="node", id=2, tags={"b": "x"}, lat="1.0", lon="2.0",
+          version=1, visible=True, changeset=5, timestamp_ms=1000, uid=7, user="u")
+    decoded = _decode_all(w.tobytes(nodes_per_block=7), tmp_path)
+    by_id = {d["id"]: d for d in decoded}
+    assert by_id[1]["tags"] == {"a": ""}
+    assert by_id[2]["tags"] == {"b": "x"}
