@@ -1020,3 +1020,98 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka / prefix-dimension ANN: score the corpus on the first
+# MRL_DIMS dimensions only (4x less arithmetic and -- with a truncated
+# column laid out separately -- 4x less I/O), shortlist, then re-rank the
+# shortlist with exact full-dimension cosine. The standard cheap-prefilter
+# retrieval shape for MRL-style embeddings.
+# ---------------------------------------------------------------------------
+MRL_DIMS = 16
+MRL_SHORTLIST = 50
+
+
+@register(
+    "ann_matryoshka_rerank",
+    oracle=f"""
+    WITH {_DUCK_QE},
+    qid AS (SELECT MIN(vec_id) AS q FROM embeddings),
+    qe16 AS (SELECT vec_id, i, v FROM qe WHERE i <= {MRL_DIMS}),
+    norms16 AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS n2 FROM qe16 GROUP BY vec_id),
+    predots AS (
+      SELECT a.vec_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      FROM qe16 a JOIN qe16 b ON a.i = b.i, qid
+      WHERE b.vec_id = qid.q AND a.vec_id != qid.q
+      GROUP BY a.vec_id
+    ),
+    shortlist AS (
+      SELECT p.vec_id,
+             CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS pre_cosine
+      FROM predots p
+      JOIN norms16 na ON na.vec_id = p.vec_id
+      JOIN norms16 nq ON nq.vec_id = (SELECT q FROM qid)
+      ORDER BY pre_cosine DESC, p.vec_id
+      LIMIT {MRL_SHORTLIST}
+    ),
+    dots AS (
+      SELECT a.vec_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      FROM qe a JOIN shortlist s ON s.vec_id = a.vec_id
+      JOIN qe b ON b.i = a.i, qid
+      WHERE b.vec_id = qid.q
+      GROUP BY a.vec_id
+    )
+    SELECT d.vec_id, e.label,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN embeddings e ON e.vec_id = d.vec_id
+    JOIN norms na ON na.vec_id = d.vec_id
+    JOIN norms nq ON nq.vec_id = (SELECT q FROM qid)
+    ORDER BY cosine DESC, d.vec_id
+    LIMIT {TOP_K}
+    """,
+    doc=f"Matryoshka prefix-dimension ANN: corpus scored on the first "
+    f"{MRL_DIMS} of {RP_DIM} dims (integer-exact prefix cosine), "
+    f"TakeOrdered shortlist of {MRL_SHORTLIST}, exact full-dim re-rank to "
+    f"top-{TOP_K}. Plan: one narrow corpus map + two tiny TakeOrdereds -- "
+    "no shuffle touches full vectors until the 50-row shortlist. At scale "
+    "the prefix lives in its own parquet column (column pruning makes the "
+    "first pass read 1/4 of the bytes); recall follows MRL embedding "
+    "quality rather than bucketing luck.",
+    tags=("similarity",),
+)
+def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    pa_, pb = (
+        _quant(F.slice(F.col("embedding"), 1, MRL_DIMS)),
+        _quant(F.slice(F.col("q_emb"), 1, MRL_DIMS)),
+    )
+    shortlist = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "q_emb",
+            _cosine(_dot(pa_, pb), _dot(pa_, pa_), _dot(pb, pb)).alias("pre_cosine"),
+        )
+        .orderBy(F.desc("pre_cosine"), "vec_id")
+        .limit(MRL_SHORTLIST)
+    )
+    qa, qb = _quant(F.col("embedding")), _quant(F.col("q_emb"))
+    return (
+        shortlist.select(
+            "vec_id",
+            "label",
+            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )

@@ -768,3 +768,90 @@ def text_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "ngram")
         .limit(NGRAM_VOCAB_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM coverage: the oracle-safe perplexity proxy. A KenLM-style
+# quality filter scores documents by how well a corpus LM predicts them;
+# log-prob needs ln() (libm last-bit risk across engines), so this scores
+# the rational statistic instead: the fraction of a document's word
+# bigrams whose corpus document-frequency is >= BIGRAM_MIN_DF. Rare-bigram
+# documents (low coverage) are the high-perplexity outliers.
+# ---------------------------------------------------------------------------
+BIGRAM_MIN_DF = 3
+
+
+@register(
+    "text_bigram_coverage",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks[g] || ' ' || toks[g + 1] AS ngram
+      FROM t CROSS JOIN unnest(generate_series(1, len(toks) - 1)) AS u(g)
+    ),
+    df AS (
+      SELECT ngram, COUNT(DISTINCT doc_id) AS doc_freq FROM b GROUP BY ngram
+    ),
+    cov AS (
+      SELECT b.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN df.doc_freq >= {BIGRAM_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM b JOIN df ON df.ngram = b.ngram
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.n_bigrams, 0) AS n_bigrams,
+           COALESCE(c.n_covered, 0) AS n_covered,
+           CASE WHEN c.n_bigrams > 0
+                THEN CAST(c.n_covered AS DOUBLE) / c.n_bigrams END AS coverage
+    FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id
+    """,
+    doc=f"Corpus bigram-LM coverage score (perplexity proxy, quality "
+    f"filter): per doc, the fraction of word bigrams whose corpus "
+    f"doc-frequency is >= {BIGRAM_MIN_DF}. Plan: one bigram explode "
+    "feeds BOTH the doc-frequency aggregate and the per-doc rollup; the "
+    "df join shuffles on the ngram (uniform key), the final agg on "
+    "doc_id. Counts are exact integers; the single ratio division is "
+    "IEEE-exact on ints < 2^53, so both engines agree bitwise. At 100 TB "
+    "this is TF-IDF's plan shape with a threshold instead of a log.",
+    tags=("text",),
+)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _toks().alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i])) "
+                "ELSE array() END"
+            )
+        ).alias("ngram"),
+    )
+    df = bigrams.groupBy("ngram").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    cov = (
+        bigrams.join(df, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("doc_freq") >= BIGRAM_MIN_DF, 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    return docs.select("doc_id").join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("n_covered", F.lit(0)).cast("bigint").alias("n_covered"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("n_covered").cast("double") / F.col("n_bigrams"),
+        ).alias("coverage"),
+    )

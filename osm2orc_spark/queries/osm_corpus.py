@@ -453,3 +453,58 @@ def osm_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "type", "changeset", "timestamp", "uid", "user", "version", "visible")
         .orderBy(prec, "id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Way bounding boxes — the bbox-materialization pass Athena users run
+# before spatial filtering (the README's bbox queries repeatedly re-derive
+# node containment; materializing per-way envelopes is the standard
+# downstream optimization).
+# ---------------------------------------------------------------------------
+@register(
+    "osm_way_bbox",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT id, lat, lon FROM {_PLANET} WHERE type = 'node'
+    ),
+    ways AS (
+      SELECT id, unnest(nds).ref AS ref FROM {_PLANET} WHERE type = 'way'
+    )
+    SELECT w.id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(n.lat) AS VARCHAR) AS min_lat,
+           CAST(MAX(n.lat) AS VARCHAR) AS max_lat,
+           CAST(MIN(n.lon) AS VARCHAR) AS min_lon,
+           CAST(MAX(n.lon) AS VARCHAR) AS max_lon
+    FROM ways w JOIN nodes n ON n.id = w.ref
+    GROUP BY w.id
+    """,
+    doc="Per-way bounding-box materialization: explode way node-refs, "
+    "join node coordinates (shuffle on node id -- uniform key), one "
+    "groupBy(way id) with exact DECIMAL min/max envelopes, stringified "
+    "via the exact decimal->string cast. Plan: two scans of the planet "
+    "table with type pushdown, one join shuffle, one agg shuffle; at "
+    "planet scale both keys are uniform and the agg is partial-ized "
+    "map-side. Dangling refs (nodes outside the extract) drop via the "
+    "inner join, matching Athena behavior on extracts.",
+    tags=("osm",),
+)
+def osm_way_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planet = _planet(spark)
+    nodes = planet.filter(F.col("type") == "node").select(
+        F.col("id").alias("nid"), "lat", "lon"
+    )
+    ways = planet.filter(F.col("type") == "way").select(
+        "id", F.explode("nds").alias("nd")
+    ).select("id", F.col("nd.ref").alias("ref"))
+    return (
+        ways.join(nodes, ways.ref == nodes.nid)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("lat").cast("string").alias("min_lat"),
+            F.max("lat").cast("string").alias("max_lat"),
+            F.min("lon").cast("string").alias("min_lon"),
+            F.max("lon").cast("string").alias("max_lon"),
+        )
+    )
