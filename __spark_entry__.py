@@ -28,6 +28,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # Gate-throughput posture for a plain driver session at small
+            # SF: 16 shuffle partitions instead of the 200 default (AQE
+            # still coalesces below that) and Arrow collection. Results
+            # are partitioning-independent by the registry determinism
+            # rules, so these are purely speed knobs.
+            spark.conf.set("spark.sql.shuffle.partitions", "16")
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
             # The driver builds its own plain session, possibly from a
             # foreign CWD with the repo reachable only via sys.path --
             # ship the package so Python-UDF tasks can import it.

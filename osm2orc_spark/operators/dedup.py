@@ -820,3 +820,182 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("bigint").alias("lev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (the substring-dedup primitive from
+# "Deduplicating Training Data Makes Language Models Better", Lee et al.
+# 2022): shingle SPAN_N-token windows, keep windows occurring in >= 2
+# distinct documents, then merge each document's overlapping hits into
+# MAXIMAL duplicated token ranges -- the spans a substring-dedup pass
+# would cut. (The paper builds a suffix array; over a distributed corpus
+# the equivalent fixed-n shingle group-by finds the same >=n-token
+# duplicated regions, with merging recovering maximal extents.)
+# ---------------------------------------------------------------------------
+SPAN_N = 8
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, g AS pos, array_to_string(toks[g:g+{SPAN_N - 1}], ' ') AS span
+      FROM t CROSS JOIN unnest(generate_series(1, len(toks) - {SPAN_N - 1})) AS u(g)
+    ),
+    dup AS (
+      SELECT span FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT s.doc_id, s.pos FROM s JOIN dup ON dup.span = s.span
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS start_tok,
+           CAST(MAX(pos) + {SPAN_N - 1} AS BIGINT) AS end_tok,
+           CAST(MAX(pos) + {SPAN_N} - MIN(pos) AS BIGINT) AS span_tokens
+    FROM islands
+    GROUP BY doc_id, grp
+    """,
+    doc=f"Maximal duplicated token ranges per document: {SPAN_N}-token "
+    "shingles grouped corpus-wide (HAVING >= 2 distinct docs), hits "
+    "joined back and merged into maximal ranges via the gaps-and-islands "
+    "window (pos - row_number). Plan: one shingle explode feeds the "
+    "span group-by (uniform shuffle key) and the hit join; the island "
+    "merge partitions by doc_id. Consecutive-position merging turns "
+    "overlapping fixed-n shingle hits into the same maximal spans a "
+    "suffix-array pass reports, without any global index. At 100 TB "
+    "every stage is a standard shuffle; the span dictionary never "
+    "materializes driver-side.",
+    tags=("dedup", "text"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+        ).alias("t"),
+    )
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(t) >= {SPAN_N} THEN "
+                f"transform(sequence(1, size(t) - {SPAN_N - 1}), "
+                f"i -> array_join(slice(t, i, {SPAN_N}), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("pos0", "span"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span")
+    dup = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    hits = spans.join(dup, "span").select("doc_id", "pos")
+    grp = (F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))).alias("grp")
+    islands = hits.select("doc_id", "pos", grp)
+    return islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("start_tok"),
+        (F.max("pos") + (SPAN_N - 1)).cast("bigint").alias("end_tok"),
+        (F.max("pos") + SPAN_N - F.min("pos")).cast("bigint").alias("span_tokens"),
+    ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs: the asymmetric near-dup statistic. Jaccard misses
+# subset duplicates (a short doc fully embedded in a long one scores
+# |A|/|B| << threshold); containment |A-and-B| / |A| catches them. Used
+# by CCNet/Gopher-style pipelines to drop quoted/embedded copies.
+# Candidates come from df-capped shared shingles (the bucketed, never
+# all-pairs path); verification counts use the FULL shingle sets.
+# ---------------------------------------------------------------------------
+CONTAIN_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CAPPED},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles_raw GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shingles_raw a ON a.doc_id = c.doc_a
+      JOIN shingles_raw b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / sa.n AS contain_a,
+           CAST(n_inter AS DOUBLE) / sb.n AS contain_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / sa.n >= {CONTAIN_THRESHOLD}
+       OR CAST(n_inter AS DOUBLE) / sb.n >= {CONTAIN_THRESHOLD}
+    """,
+    doc=f"Asymmetric containment near-dup pairs (>= {CONTAIN_THRESHOLD} "
+    "in either direction): candidates from df-capped shared shingles "
+    "(broadcast anti-join removes boilerplate hot keys, so the "
+    "candidate join is bucketed, never all-pairs), then exact "
+    "intersection counts over the FULL shingle sets for the surviving "
+    "pairs only. contain_a = |A.and.B|/|A| flags A embedded in B even "
+    "when Jaccard is tiny. Same scale posture as dedup_minhash_lsh_dfcap: "
+    "uniform shingle shuffle keys, candidates bounded by df cap.",
+    tags=("dedup",),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh_raw = _shingles(spark, sf_dir).persist()
+    hot = (
+        sh_raw.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MINHASH_DF_CAP)
+        .select("shingle")
+    )
+    capped = sh_raw.join(F.broadcast(hot), "shingle", "left_anti")
+    cand = (
+        capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(capped.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh_raw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh_raw.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_raw.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / F.col("na")).alias("contain_a"),
+            (F.col("n_inter").cast("double") / F.col("nb")).alias("contain_b"),
+        )
+    )
+    return scored.filter(
+        (F.col("contain_a") >= CONTAIN_THRESHOLD)
+        | (F.col("contain_b") >= CONTAIN_THRESHOLD)
+    )

@@ -1115,3 +1115,46 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation: recall@k of the IVF probe against the exact brute-force
+# top-k -- the metric that decides nprobe/centroid-count trade-offs
+# before committing an index config to a 100 TB corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ivf_recall",
+    oracle="__DEFERRED_ANN_RECALL__",
+    doc=f"Recall@{TOP_K} of ann_ivf_probe vs ann_topk_bruteforce for the "
+    "same query: both result sets are deterministic (total-order "
+    "tie-breaks), so the overlap count is exact. Composed lazily from "
+    "the two registered pipelines -- Spark joins the two 10-row results "
+    "(both TakeOrdered shortlists), the oracle embeds both SQL twins as "
+    "CTEs. The pattern generalizes to sweeping nprobe: rerun the probe "
+    "side per config against one cached exact set.",
+    tags=("similarity", "eval"),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    probe = ann_ivf_probe(spark, sf_dir).select("vec_id")
+    return exact.join(probe, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / F.lit(float(TOP_K))).alias("recall"),
+    )
+
+
+def _assemble_ann_recall_oracle() -> None:
+    from osm2orc_spark.registry import REGISTRY
+
+    exact_sql = REGISTRY["ann_topk_bruteforce"].oracle
+    probe_sql = REGISTRY["ann_ivf_probe"].oracle
+    REGISTRY["ann_ivf_recall"].oracle = f"""
+    WITH exact_top AS ({exact_sql}),
+    probe_top AS ({probe_sql})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / {TOP_K} AS recall
+    FROM exact_top e JOIN probe_top p ON p.vec_id = e.vec_id
+    """
+
+
+_assemble_ann_recall_oracle()
