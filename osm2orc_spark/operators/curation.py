@@ -514,3 +514,55 @@ def _assemble_training_mix_oracle() -> None:
 
 
 _assemble_training_mix_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle + shard assignment: the "global shuffle"
+# every training run needs before sequence packing. Hash order breaks
+# source/time locality (a corpus written source-by-source otherwise
+# trains source-by-source); shards are the downstream file/worker units.
+# ---------------------------------------------------------------------------
+N_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hkey
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(hkey % {N_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hkey % {N_SHUFFLE_SHARDS}
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS shard_pos
+    FROM h
+    """,
+    doc=f"Deterministic corpus shuffle into {N_SHUFFLE_SHARDS} training "
+    "shards: md5(doc_id) gives an engine-neutral pseudo-random key; "
+    "shard = key mod N, within-shard order = (key, doc_id). Plan: one "
+    "narrow hash projection, one window partitioned BY SHARD -- the "
+    "sort is per-shard, never global, so shard count scales the "
+    "parallelism (thousands of shards at 100 TB => thousands of "
+    "independent sorts sized for executor memory). Re-running with the "
+    "same N reproduces the exact epoch order -- resumable training.",
+    tags=("curation",),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    hkey = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    h = docs.select("doc_id", "source", hkey.alias("hkey"))
+    shard = (F.col("hkey") % N_SHUFFLE_SHARDS).cast("bigint")
+    w = W.partitionBy(shard).orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id",
+        "source",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("shard_pos"),
+    )

@@ -999,3 +999,103 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("contain_a") >= CONTAIN_THRESHOLD)
         | (F.col("contain_b") >= CONTAIN_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-cut application: remove every maximal duplicated range found by
+# dedup_duplicate_spans and reassemble the surviving tokens. This is the
+# aggressive cut-everywhere policy (CCNet-style); keep-first-occurrence
+# needs a global occurrence ranking and is a policy layer on top of the
+# same range frame.
+# ---------------------------------------------------------------------------
+def _assemble_spans_clean_oracle() -> None:
+    from osm2orc_spark.registry import REGISTRY
+
+    spans_sql = REGISTRY["dedup_duplicate_spans"].oracle
+    REGISTRY["dedup_spans_clean"].oracle = f"""
+    WITH spans AS ({spans_sql}),
+    t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    tokpos AS (
+      SELECT doc_id, g AS pos, toks[g] AS tok
+      FROM t CROSS JOIN unnest(generate_series(1, len(toks))) AS u(g)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.start_tok AND s.end_tok
+      )
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t2.doc_id,
+           CAST(len(t2.toks) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM t t2 LEFT JOIN agg a ON a.doc_id = t2.doc_id
+    """
+
+
+@register(
+    "dedup_spans_clean",
+    oracle="__DEFERRED_SPANS_CLEAN__",
+    doc="Substring-dedup application pass: tokens inside any maximal "
+    "duplicated range (dedup_duplicate_spans) are cut, survivors "
+    "reassemble in position order via array_sort(collect_list(struct)). "
+    "Plan: the range frame is small (duplicated regions only) and joins "
+    "doc-locally on doc_id; the anti condition is a bounded range "
+    "predicate per doc, not a corpus-wide range join. Whole-doc "
+    "duplicates come back as empty clean_text -- compose with "
+    "dedup_exact to keep one canonical copy first.",
+    tags=("dedup", "text"),
+)
+def dedup_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = dedup_duplicate_spans(spark, sf_dir).select(
+        "doc_id", "start_tok", "end_tok"
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+        ).alias("t"),
+    )
+    tokpos = toks.select(
+        "doc_id", F.size("t").alias("n_tokens"), F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "tok")
+    cut = tokpos.join(
+        spans,
+        (tokpos.doc_id == spans.doc_id)
+        & (tokpos.pos >= spans.start_tok)
+        & (tokpos.pos <= spans.end_tok),
+        "left_anti",
+    )
+    agg = cut.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("clean_text"),
+    )
+    base = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_tokens_kept", F.lit(0).cast("bigint")).alias("n_tokens_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+_assemble_spans_clean_oracle()
