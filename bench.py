@@ -43,6 +43,9 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "ann_ivf_probe",
     "curation_training_mix",
+    # r2 additions: substring dedup and the prefix-dim ANN prefilter
+    "dedup_duplicate_spans",
+    "ann_matryoshka_rerank",
 ]
 
 

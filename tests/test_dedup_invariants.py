@@ -1,0 +1,60 @@
+"""Structural invariants of the r2 dedup/shuffle operators — properties
+the oracle hash can't express directly (non-overlap, bounds, coverage)."""
+
+from __future__ import annotations
+
+from osm2orc_spark.operators.dedup import SPAN_N
+from osm2orc_spark.operators.curation import N_SHUFFLE_SHARDS
+from osm2orc_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_duplicate_spans_are_maximal_and_disjoint(spark, sf_correctness):
+    rows = QUERIES["dedup_duplicate_spans"].fn(spark, sf_correctness).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_tokens == r.end_tok - r.start_tok + 1
+        assert r.span_tokens >= SPAN_N  # every range covers >= one shingle
+        by_doc.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok))
+    for doc, ranges in by_doc.items():
+        ranges.sort()
+        for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+            # maximal ranges from island merging can never touch or overlap:
+            # adjacent/overlapping hits would have merged into one island
+            assert s2 > e1 + 1, f"doc {doc}: ranges {s1,e1} and {s2,e2} not merged"
+
+
+def test_spans_clean_cuts_match_span_frame(spark, sf_correctness):
+    spans = QUERIES["dedup_duplicate_spans"].fn(spark, sf_correctness).collect()
+    clean = QUERIES["dedup_spans_clean"].fn(spark, sf_correctness).collect()
+    cut_per_doc: dict[int, int] = {}
+    for r in spans:
+        cut_per_doc[r.doc_id] = cut_per_doc.get(r.doc_id, 0) + r.span_tokens
+    for r in clean:
+        assert r.n_tokens - r.n_tokens_kept == cut_per_doc.get(r.doc_id, 0)
+        n_words = len(r.clean_text.split()) if r.clean_text else 0
+        assert n_words == r.n_tokens_kept
+
+
+def test_containment_bounds_and_symmetry(spark, sf_correctness):
+    rows = QUERIES["dedup_containment_pairs"].fn(spark, sf_correctness).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0.0 < r.contain_a <= 1.0
+        assert 0.0 < r.contain_b <= 1.0
+        assert max(r.contain_a, r.contain_b) >= 0.9
+
+
+def test_shuffle_shards_partition_the_corpus(spark, sf_correctness):
+    rows = QUERIES["corpus_shuffle_shards"].fn(spark, sf_correctness).collect()
+    seen = set()
+    per_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < N_SHUFFLE_SHARDS
+        assert r.doc_id not in seen  # a doc lands in exactly one shard
+        seen.add(r.doc_id)
+        per_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, poss in per_shard.items():
+        # shard_pos is a dense 1..n ranking within each shard
+        assert sorted(poss) == list(range(1, len(poss) + 1))

@@ -227,3 +227,39 @@ def test_no_python_udf_in_builtin_operators(spark, sf_correctness, name):
     # these stay entirely JVM-side (no BatchEvalPython / ArrowEvalPython)
     plan = plan_of(spark, sf_correctness, name)
     assert "EvalPython" not in plan
+
+
+def test_fuzzy_name_match_no_cartesian(spark, sf_correctness):
+    # blocking + sorted neighborhood must plan as an equi-join on blk
+    # with the rank band as a post-join filter -- never a cartesian
+    plan = plan_of(spark, sf_correctness, "fuzzy_name_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_matryoshka_shortlist_is_takeordered(spark, sf_correctness):
+    # both the prefix shortlist and the final top-k must be TakeOrdered
+    # (never a global sort of the corpus)
+    plan = plan_of(spark, sf_correctness, "ann_matryoshka_rerank")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "Sort [" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_duplicate_spans_stays_jvm_side(spark, sf_correctness):
+    plan = plan_of(spark, sf_correctness, "dedup_duplicate_spans")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shuffle_shards_single_window_exchange(spark, sf_correctness):
+    # one hash projection + one window partitioned by shard: the plan
+    # must contain exactly one shuffle (per-shard sort, never global)
+    plan = plan_of(spark, sf_correctness, "corpus_shuffle_shards")
+    import re
+
+    exchanges = {
+        m.group(0)
+        for m in re.finditer(r"Exchange hashpartitioning\([^)]*\)", plan)
+    }
+    assert len(exchanges) <= 1
+    assert "rangepartitioning" not in plan  # a global sort would show this
