@@ -508,3 +508,93 @@ def osm_way_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lon").cast("string").alias("max_lon"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Relation member resolution — the relation analog of ways-reassembly:
+# explode members WITH ORDINALITY and resolve each (type, ref) against
+# the planet entity table (composite-key join), reporting per-relation
+# resolution completeness. Extract consumers run this to find relations
+# broken by extract clipping.
+# ---------------------------------------------------------------------------
+@register(
+    "osm_relation_members",
+    oracle=f"""
+    WITH rels AS (
+      SELECT id, members FROM {_PLANET} WHERE type = 'relation'
+    ),
+    m AS (
+      SELECT id,
+             generate_subscripts(members, 1) AS idx,
+             unnest(members).type AS mtype,
+             unnest(members).ref AS mref,
+             unnest(members).role AS mrole
+      FROM rels
+    ),
+    resolved AS (
+      SELECT m.id, m.idx, m.mtype, m.mrole,
+             CASE WHEN p.id IS NOT NULL THEN 1 ELSE 0 END AS ok
+      FROM m LEFT JOIN {_PLANET} p ON p.type = m.mtype AND p.id = m.mref
+    )
+    SELECT id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(ok) AS BIGINT) AS n_resolved,
+           CAST(SUM(CASE WHEN mtype = 'node' THEN 1 ELSE 0 END) AS BIGINT) AS n_node_members,
+           CAST(SUM(CASE WHEN mrole = 'stop' THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_roles,
+           string_agg(mtype || ':' || mrole, ';' ORDER BY idx) AS member_kinds
+    FROM resolved
+    GROUP BY id
+    """,
+    doc="Relation member resolution (composite-key join C10 on the OSM "
+    "corpus): posexplode members WITH ORDINALITY, LEFT JOIN the planet "
+    "table on (type, id) -- the discriminator column is part of the join "
+    "key, so partition pruning on type applies to the probe side -- then "
+    "per-relation completeness counts and an ordinal-ordered member-kind "
+    "signature. Extract clipping shows up as n_resolved < n_members. "
+    "Scale: relations are a tiny fraction of the planet; the resolve join "
+    "shuffles on (type, id) with uniform keys.",
+    tags=("osm",),
+)
+def osm_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planet = _planet(spark)
+    rels = planet.filter(F.col("type") == "relation").select("id", "members")
+    m = rels.select(
+        "id", F.posexplode("members").alias("pos0", "mem")
+    ).select(
+        "id",
+        (F.col("pos0") + 1).alias("idx"),
+        F.col("mem.type").alias("mtype"),
+        F.col("mem.ref").alias("mref"),
+        F.col("mem.role").alias("mrole"),
+    )
+    ents = planet.select(F.col("type").alias("ptype"), F.col("id").alias("pid"))
+    resolved = m.join(
+        ents, (m.mtype == ents.ptype) & (m.mref == ents.pid), "left"
+    ).select(
+        "id",
+        "idx",
+        "mtype",
+        "mrole",
+        F.when(F.col("pid").isNotNull(), 1).otherwise(0).alias("ok"),
+    )
+    return resolved.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("ok").cast("bigint").alias("n_resolved"),
+        F.sum(F.when(F.col("mtype") == "node", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_node_members"),
+        F.sum(F.when(F.col("mrole") == "stop", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stop_roles"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("idx", F.concat_ws(":", "mtype", "mrole").alias("kind"))
+                    )
+                ),
+                lambda s: s.kind,
+            ),
+        ).alias("member_kinds"),
+    )

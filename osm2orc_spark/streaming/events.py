@@ -424,3 +424,27 @@ def stream_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         segment_rollup_stream(ev, customers), "stream_segment_rollup_mem"
     )
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, value FROM events
+    """,
+    doc="Streaming exact dedup driven over the bounded events file: "
+    "dropDuplicates on the natural-dup key (user_id, event_type, value) "
+    "emits each key's first arrival -- on bounded input exactly the "
+    "batch DISTINCT. This registered entry uses the unbounded-state "
+    "exact variant so the batch twin is watermark-independent; the "
+    "production bounded-state path is dedup_events_stream "
+    "(dropDuplicatesWithinWatermark), which trades exactness beyond the "
+    "watermark horizon for O(horizon) state -- with the RocksDB store "
+    "(rocksdb_state_conf) keying state off-heap in either case.",
+    tags=("streaming",),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = ev.dropDuplicates(["user_id", "event_type", "value"]).select(
+        "user_id", "event_type", "value"
+    )
+    return run_to_memory(deduped, "stream_dedup_events_mem", output_mode="append")
