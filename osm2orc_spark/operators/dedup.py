@@ -898,6 +898,10 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos0", "span"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span")
+    # The span explode feeds BOTH the corpus-wide group-by and the hit
+    # join -- persist it once (at 100 TB: a MEMORY_AND_DISK checkpoint)
+    # instead of re-running read+tokenize+explode per consumer.
+    spans = spans.persist()
     dup = (
         spans.groupBy("span")
         .agg(F.countDistinct("doc_id").alias("nd"))
