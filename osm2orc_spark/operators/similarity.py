@@ -1158,3 +1158,78 @@ def _assemble_ann_recall_oracle() -> None:
 
 
 _assemble_ann_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# IVF index health: per-cluster population and assignment-quality stats
+# -- the report that decides whether a centroid set is balanced enough
+# to ship (empty or mega clusters ruin probe recall/latency). Cosines
+# are quantized floor(cos * 1e6) -> BIGINT before the SUM so the
+# aggregate is order-independent (raw double sums are not).
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ivf_index_stats",
+    oracle=f"""
+    WITH {_DUCK_QE},
+    cdot AS (
+      SELECT a.vec_id, b.vec_id AS cid, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      FROM qe a JOIN qe b ON a.i = b.i
+      WHERE b.vec_id < {N_CENTROIDS}
+      GROUP BY 1, 2
+    ),
+    ccos AS (
+      SELECT c.vec_id, c.cid,
+             CAST(c.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos
+      FROM cdot c
+      JOIN norms na ON na.vec_id = c.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid, CAST(floor(cos * {QUANT}) AS BIGINT) AS cos_q6
+      FROM ccos
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1
+    )
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(cos_q6) AS BIGINT) AS min_cos_q6,
+           CAST(MAX(cos_q6) AS BIGINT) AS max_cos_q6,
+           CAST(SUM(cos_q6) AS DOUBLE) / COUNT(*) AS avg_cos_q6
+    FROM assign
+    GROUP BY cid
+    """,
+    doc="IVF index-health stats: every vector's best-centroid assignment "
+    "(the same broadcast cross join + per-vector argmax as "
+    "ann_ivf_probe), then one groupBy(cid) with population and "
+    "quantized-cosine min/max/avg. Skewed n_vectors across cids predicts "
+    "hot-probe latency; low avg assignment cosine predicts recall loss. "
+    "The cosine is quantized to BIGINT before summing so the average is "
+    "order-independent across any partitioning.",
+    tags=("similarity", "eval"),
+)
+def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    ev, cv = _quant(F.col("embedding")), _quant(F.col("c_emb"))
+    ccos = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        _cosine(_dot(ev, cv), _dot(ev, ev), _dot(cv, cv)).alias("cos"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    assign = (
+        ccos.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cid",
+            F.floor(F.col("cos") * QUANT).cast("bigint").alias("cos_q6"),
+        )
+    )
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.min("cos_q6").cast("bigint").alias("min_cos_q6"),
+        F.max("cos_q6").cast("bigint").alias("max_cos_q6"),
+        (F.sum("cos_q6").cast("double") / F.count(F.lit(1))).alias("avg_cos_q6"),
+    )
