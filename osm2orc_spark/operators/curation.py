@@ -456,6 +456,11 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .join(keep, "doc_id", "left_semi")
         .join(cano, "doc_id", "left_semi")
+        # surv feeds BOTH the per-lang quota aggregate and the final
+        # quota join -- persist the survivor set (which embeds the
+        # quality-filter and canonical-docs subtrees) instead of
+        # evaluating that lineage twice.
+        .persist()
     )
     w = surv.groupBy("lang").agg(
         F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * MIX_QUANT)

@@ -433,15 +433,22 @@ def dedup_components(
     labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
     prev_sum = None
     while True:
-        neighbor = (
-            labels.join(und, labels.doc_id == und.doc_a)
-            .select(F.col("doc_b").alias("doc_id"), "component")
-        )
-        merged = (
-            labels.unionByName(neighbor)
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
-        )
+        # Two propagation hops per materialized round: each hop is one
+        # join + one min-agg, and doubling the hops halves the number of
+        # checkpoint+convergence-check round trips (the fixed per-round
+        # cost that dominates on shallow near-dup clusters). The fixpoint
+        # is identical -- min-label propagation is monotone.
+        merged = labels
+        for _ in range(2):
+            neighbor = (
+                merged.join(und, merged.doc_id == und.doc_a)
+                .select(F.col("doc_b").alias("doc_id"), "component")
+            )
+            merged = (
+                merged.unionByName(neighbor)
+                .groupBy("doc_id")
+                .agg(F.min("component").alias("component"))
+            )
         # Cut lineage and materialize the round: executor-local blocks for
         # single-node runs, a reliable checkpoint dir for clusters where
         # losing an executor must not kill the accumulated iterations.
