@@ -1233,3 +1233,86 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cos_q6").cast("bigint").alias("max_cos_q6"),
         (F.sum("cos_q6").cast("double") / F.count(F.lit(1))).alias("avg_cos_q6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic near-duplicate pruning via k-means cluster blocking.
+# ---------------------------------------------------------------------------
+SEMDEDUP_COS = 0.4  # same near-dup bar as embedding_near_dup_pairs
+
+
+@register(
+    "dedup_semantic_kmeans",
+    oracle=f"""
+    WITH {_DUCK_QE},
+    {_lloyd_cte_sql(N_CENTROIDS, IVF_KM_ITERS, "sd")},
+    pairs AS (
+      SELECT a.vec_id AS vid, b.vec_id AS nbr, a.cid,
+             CAST(SUM(ea.v * eb.v) AS BIGINT) AS dot
+      FROM sdasg a
+      JOIN sdasg b ON b.cid = a.cid AND b.vec_id < a.vec_id
+      JOIN qe ea ON ea.vec_id = a.vec_id
+      JOIN qe eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+      GROUP BY 1, 2, 3
+    ),
+    near AS (
+      SELECT p.vid, p.nbr
+      FROM pairs p
+      JOIN norms na ON na.vec_id = p.vid
+      JOIN norms nb ON nb.vec_id = p.nbr
+      WHERE CAST(p.dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+            >= {SEMDEDUP_COS}
+    ),
+    drops AS (SELECT vid, MIN(nbr) AS keeper_id FROM near GROUP BY vid)
+    SELECT a.vec_id, a.cid, d.keeper_id, (d.keeper_id IS NULL) AS kept
+    FROM sdasg a LEFT JOIN drops d ON d.vid = a.vec_id
+    ORDER BY a.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): prune semantic near-duplicates by "
+    "clustering embeddings (the deterministic integer Lloyd's fit shared "
+    "with ann_ivf_kmeans) and comparing pairs ONLY within a cluster — "
+    "O(sum nc^2) instead of the O(n^2) crossJoin of "
+    "embedding_near_dup_pairs. Greedy keep-lowest-id: a vector is dropped "
+    "iff a lower-id cluster-mate has cosine >= threshold; keeper_id "
+    "records the smallest such neighbor. At 100 TB, k grows with the "
+    "corpus (fit on a sample, cluster size stays ~constant), so the "
+    "within-cluster self-join stays bounded per key and the cid shuffle "
+    "has enough distinct keys to spread; this is the published SemDeDup "
+    "recipe and the standard scale path for embedding dedup.",
+    tags=("dedup", "similarity"),
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS)
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    asg = qe.select(
+        "vec_id",
+        "qv",
+        _argmin_cid(F.col("qv"), cents).alias("cid"),
+        _dot(F.col("qv"), F.col("qv")).alias("n2"),
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    near = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("b.vec_id") < F.col("a.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vid"),
+            F.col("b.vec_id").alias("nbr"),
+            _cosine(
+                _dot(F.col("a.qv"), F.col("b.qv")), F.col("a.n2"), F.col("b.n2")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_COS)
+    )
+    drops = near.groupBy("vid").agg(F.min("nbr").alias("keeper_id"))
+    return (
+        asg.select("vec_id", "cid")
+        .join(drops, asg.vec_id == drops.vid, "left")
+        .select(
+            "vec_id",
+            "cid",
+            "keeper_id",
+            F.col("keeper_id").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

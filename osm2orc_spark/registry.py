@@ -131,7 +131,7 @@ def all_queries() -> dict[str, Query]:
     # registry entries at import time.  Gate ORDER is applied afterwards.
     from osm2orc_spark.queries import relational  # noqa: F401
     from osm2orc_spark.operators import dedup, similarity, text, multimodal  # noqa: F401
-    from osm2orc_spark.operators import curation, layout  # noqa: F401
+    from osm2orc_spark.operators import curation, graph, layout  # noqa: F401
     from osm2orc_spark.queries import advanced, osm_corpus, tpch_extra  # noqa: F401
     from osm2orc_spark.streaming import events  # noqa: F401
 
