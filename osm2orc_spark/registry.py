@@ -52,12 +52,12 @@ def register(
     return deco
 
 
-# Names that already have a triple-green row in the driver's round-1
-# correctness gate (CORRECTNESS_r01.json).  The driver checks at most the
-# first ~50 queries it is handed per round, so all_queries() orders the
-# not-yet-driver-verified queries FIRST (README/OSM corpus, TPC-H extras,
-# streaming, curation, then the rest) and these already-verified names
-# LAST.  Local oracle tests still sweep everything regardless of order.
+# Names that already have a triple-green row in a prior round's driver
+# correctness gate (CORRECTNESS_r01.json / CORRECTNESS_r02.json).  The
+# driver checks exactly the first 50 queries it is handed per round, so
+# all_queries() orders not-yet-driver-verified queries FIRST and these
+# already-verified names LAST.  Local oracle tests still sweep everything
+# regardless of order.
 DRIVER_VERIFIED_R01: frozenset[str] = frozenset({
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "filter_like_prefix", "explode_with_ordinality",
@@ -79,46 +79,51 @@ DRIVER_VERIFIED_R01: frozenset[str] = frozenset({
     "text_repetition_scores",
 })
 
-# Explicit gate order for the queries the round-1 driver never reached.
-# Grouped by judge priority: the reference's README query corpus, TPC-H
-# extras, streaming, curation, then advanced probes (sequence-analytics
-# first), with multimodal plumbing checks last.
-GATE_PRIORITY_R02: tuple[str, ...] = (
-    # OSM README corpus — the reference's documented query contract.
+# Triple-green rows added by the round-2 gate (CORRECTNESS_r02.json).
+DRIVER_VERIFIED_R02: frozenset[str] = frozenset({
     "osm_ways_reassembly", "osm_tag_usage_by_month", "osm_latest_versions",
     "osm_latest_versions_window", "osm_deleted_count",
     "osm_changesets_with_comment", "osm_changesets_josm",
     "osm_changesets_liberty_island", "osm_tag_additions_window",
     "osm_snapshot_at",
-    # TPC-H extras.
     "q4_order_priority_check", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q10_returned_item_losers", "q12_priority_shipping_mix",
     "q13_customer_distribution", "q14_promo_revenue_share", "q15_top_supplier",
     "q17_small_quantity_revenue", "q18_large_volume_orders",
     "q19_discounted_revenue", "q22_global_sales_opportunity",
-    # Streaming (batch-twin oracles).
-    "stream_hourly_rollup", "stream_session_windows",
-    "stream_purchase_attribution", "stream_user_totals", "stream_segment_rollup",
-    # Upgraded r01 rows-only -> full oracle (deterministic Lloyd's kmeans);
-    # re-gate so the driver records the hash match this time.
-    "ann_ivf_kmeans", "ann_pq_adc",
-    # Curation pipeline.
+    "stream_segment_rollup",
     "curation_canonical_docs", "curation_decontaminate",
     "curation_stratified_sample", "curation_pack_sequences",
     "curation_source_cap", "curation_quality_filter",
     "curation_temperature_mix", "curation_training_mix",
-    # Remaining text + layout.
-    "text_bm25_topk", "text_pii_redact", "zorder_key_events",
-    # Advanced probes — sequence analytics first.
-    "funnel_view_click_purchase", "cohort_monthly_retention",
-    "rolling_hour_user_activity", "asof_join_last_purchase",
-    "range_join_value_bands", "salted_hot_key_agg",
+    "text_bm25_topk",
+})
+
+DRIVER_VERIFIED: frozenset[str] = DRIVER_VERIFIED_R01 | DRIVER_VERIFIED_R02
+
+# Explicit gate order for round 3.  The round-2 driver gate ran exactly the
+# first 50 names; 11 errored on the regenerated events.parquet encoding
+# (TIMESTAMP micros where r1 data was TIMESTAMP(NANOS) — fixed in
+# tables._load_events), 3 streaming twins mismatched for the same reason
+# (micros misread as nanos compressed event-time 1000x), and 14 were never
+# reached.  Those go first, in that order; brand-new queries follow
+# automatically (bucket 1 in `key`), already-verified names run last.
+GATE_PRIORITY_R03: tuple[str, ...] = (
+    # Errored in r02 on the ts encoding change — highest priority re-gate.
+    "text_pii_redact", "zorder_key_events", "funnel_view_click_purchase",
+    "cohort_monthly_retention", "rolling_hour_user_activity",
+    "asof_join_last_purchase", "range_join_value_bands", "salted_hot_key_agg",
     "approx_distinct_users_by_type", "percentiles_value_by_type",
-    "approx_percentiles_value_by_type", "histogram_event_values",
-    "window_rank_suite", "unpivot_order_measures", "grouping_sets_orders",
-    "cube_orders_priority_status", "intersect_except_nations",
-    "bag_setops_nations", "full_outer_nation_presence",
-    "correlated_min_price_parts", "scalar_function_corpus",
+    "approx_percentiles_value_by_type",
+    # Streaming twins that mismatched on the same encoding bug.
+    "stream_hourly_rollup", "stream_session_windows",
+    "stream_purchase_attribution", "stream_user_totals",
+    # Never reached by the r02 gate (cap hit at 50).
+    "histogram_event_values", "window_rank_suite", "unpivot_order_measures",
+    "grouping_sets_orders", "cube_orders_priority_status",
+    "intersect_except_nations", "bag_setops_nations",
+    "full_outer_nation_presence", "correlated_min_price_parts",
+    "scalar_function_corpus",
     # Multimodal plumbing (kernels are documented deterministic stubs).
     "multimodal_decode_meta", "multimodal_resize", "multimodal_frame_sample",
     "multimodal_audio_chunks",
@@ -136,12 +141,12 @@ def all_queries() -> dict[str, Query]:
     from osm2orc_spark.streaming import events  # noqa: F401
 
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
-    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R02)}
+    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R03)}
 
     def key(name: str) -> tuple[int, int, int]:
-        if name in prio_index:  # unchecked in r01: gate first, in prio order
+        if name in prio_index:  # errored/mismatched/unreached in r02: first
             return (0, prio_index[name], 0)
-        if name not in DRIVER_VERIFIED_R01:  # new this round: next
+        if name not in DRIVER_VERIFIED:  # new this round: next
             return (1, 0, reg_index[name])
         return (2, 0, reg_index[name])  # already driver-verified: last
 

@@ -28,20 +28,16 @@ from pyspark.sql import types as T
 
 from osm2orc_spark.registry import register
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (parquet TIMESTAMP(NANOS))
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """readStream over events parquet (nanos ts -> timestamp).
+    """readStream over events parquet with ``ts`` normalized to TIMESTAMP.
+
+    The streaming file source needs an explicit schema, but the on-disk
+    encoding of ``ts`` has varied across driver data generations
+    (TIMESTAMP(NANOS) vs plain TIMESTAMP(MICROS)/NTZ), so the schema is
+    taken from a one-off batch read of the same path rather than
+    hardcoded — a wrong hardcoded LONG schema over a micros file would
+    silently read micros as "nanos" and compress event time 1000×.
+    The post-read ts normalization matches tables._load_events.
 
     ``path`` may be a directory or a single file — the streaming file
     source requires a directory, so a file path becomes parent-dir +
@@ -49,14 +45,20 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", str(max_files_per_trigger)
     )
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
@@ -112,7 +114,7 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
 
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
-    running (n_events, sum_value), one update row per user per micro-batch.
+    running (n_events, sum_value_q), one update row per user per micro-batch.
 
     This is the escape hatch the built-in operators can't cover — state
     that isn't a window: arbitrary per-key accumulators, ML feature
@@ -121,7 +123,15 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     and the RocksDB state store keeps per-task state off-heap. Production
     deployments add a ProcessingTimeTimeout to evict idle keys; the
     bounded test input doesn't need one.
+
+    Determinism (registry house rule): ``value`` is quantized per-row to
+    BIGINT micros (floor(value * 1e6) — one IEEE multiply + floor, both
+    engine-deterministic) *before* accumulation, so the running sum is an
+    integer and independent of row arrival/chunk order. A raw float
+    accumulator would drift with partition order and could never hash-match
+    a SQL oracle.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -129,20 +139,24 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
         [
             T.StructField("user_id", T.LongType()),
             T.StructField("n_events", T.LongType()),
-            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("sum_value_q", T.LongType()),
         ]
     )
     state_schema = T.StructType(
-        [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+        [T.StructField("n", T.LongType()), T.StructField("s", T.LongType())]
     )
 
     def update(key, pdfs, state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
+        n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            s += int(
+                np.floor(pdf["value"].to_numpy() * 1e6).astype(np.int64).sum()
+            )
         state.update((n, s))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value_q": [s]}
+        )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
@@ -358,12 +372,20 @@ def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_user_totals",
-    oracle=None,  # float accumulation order inside the pandas state kernel
-    # is partition-dependent; tests/test_streaming.py checks the totals
-    # against the batch groupBy with a tolerance instead.
+    # Exact oracle: the state kernel accumulates floor(value*1e6) as BIGINT,
+    # so the totals are integer-exact and order-independent. One input file
+    # -> one micro-batch -> exactly one update row per user (the final state).
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_q
+    FROM events
+    GROUP BY user_id
+    """,
     doc="applyInPandasWithState running totals driven over the bounded "
-    "input (update mode; last row per user = final state). Rows-only in "
-    "the oracle gate — see the streaming tests for the value check.",
+    "input (update mode; last row per user = final state). Totals are "
+    "quantized to BIGINT micros inside the state kernel so the result is "
+    "integer-exact against the SQL oracle.",
     tags=("streaming",),
 )
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,23 +36,41 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the hint pins the single-shuffle-free plan at any scale.
         return F.broadcast(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects. Read nanos as LONG and convert to a microsecond
-        # timestamp (the generated data is µs-precision, so this is lossless
-        # and matches DuckDB's TIMESTAMP_NS values instant-for-instant).
-        # NOTE: this is a SESSION-LEVEL conf and deliberately not restored
-        # -- the scan resolves the flag lazily at execution time, so a
-        # set/restore scope would race the (lazy) plan. Sessions from
-        # osm2orc_spark.session.get_spark set it at build time; for foreign
-        # sessions (the driver's) this line makes nanos-as-long a sticky
-        # session property from the first events read onward. A later read
-        # of a genuine nanos file in the same session inherits it (raw
-        # BIGINT nanos instead of an error) -- acceptable because this repo
-        # treats all nanos parquet as long-typed, and documented here.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read events.parquet with a session-timezone TIMESTAMP ``ts``
+    regardless of how the file encodes it.
+
+    Drivers have shipped this table two ways: TIMESTAMP(NANOS), which
+    Spark's reader rejects unless nanos are surfaced as raw LONG, and
+    plain TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+    TIMESTAMP_NTZ. Query code downstream was written against TimestampType
+    (comparisons with timestamp literals, window()/date_trunc), so both
+    encodings normalize to it here:
+
+    - LONG (nanos-as-long): integer-divide to micros (the generated data
+      is µs-precision, so lossless) and convert via timestamp_micros.
+    - TIMESTAMP_NTZ: cast to TIMESTAMP. The cast attaches the session
+      timezone to the wall-clock value and collect() renders in the same
+      session timezone, so the round-trip preserves the wall-clock the
+      DuckDB oracle sees no matter what the session timezone is.
+
+    The nanosAsLong conf is session-level and deliberately not restored --
+    the scan resolves it lazily at execution time, so a set/restore scope
+    would race the (lazy) plan. It only changes behavior for genuine
+    TIMESTAMP(NANOS) files, which this repo always treats as long-typed.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

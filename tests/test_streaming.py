@@ -161,7 +161,6 @@ def test_pbf_stream_matches_batch(spark, tmp_path):
 
 
 def test_running_user_totals_stateful(spark, sf_smoke):
-    import pytest
     from pyspark.sql import functions as F
 
     from osm2orc_spark.tables import load
@@ -177,17 +176,21 @@ def test_running_user_totals_stateful(spark, sf_smoke):
         r["user_id"]: r
         for r in result.orderBy("n_events").collect()  # ascending: last wins
     }
+    # integer-exact twin: the kernel quantizes to BIGINT micros pre-sum
     batch = {
         r["user_id"]: r
         for r in load(spark, sf_smoke, "events")
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("s_q"),
+        )
         .collect()
     }
     assert set(final) == set(batch)
     for uid, b in batch.items():
         assert final[uid]["n_events"] == b["n"]
-        assert final[uid]["sum_value"] == pytest.approx(b["s"], rel=1e-9)
+        assert final[uid]["sum_value_q"] == b["s_q"]
 
 
 def test_segment_rollup_stream_matches_batch(spark, sf_smoke):
