@@ -1,0 +1,316 @@
+"""Event-sequence analytics: Markov transitions, OHLC bars, run-length
+islands, forward as-of, and sufficient-statistics anomaly scoring.
+
+The reference (osm2orc) has no sequence operators; these cover the
+ordered-stream query shapes a corpus/telemetry engine needs on top of
+the windowed analytics already in queries/advanced.py. Everything here
+follows the registry determinism rules (docstring in registry.py):
+exact integer/DECIMAL aggregation, engine-identical IEEE expressions
+for any float step, and a total-order tie-break on (ts, event_id)
+(unique per event).
+
+Scale notes (100 TB posture), per operator:
+
+- transitions/islands: ONE shuffle on user_id for the sequence window
+  (all of a user's events co-partition); the follow-up aggregate is
+  tiny (|types|^2 rows) or map-side combinable.
+- OHLC: no window at all — single groupBy with partial-aggregable
+  min_by/max_by over a lexicographic (ts, event_id) string key, so the
+  exchange carries one row per (hour, type) per map task.
+- anomaly z-score: two passes over events but the first produces only
+  |types| rows of exact sufficient statistics (n, sum, sumsq) that are
+  BROADCAST back — the big table is never shuffled, and the partial
+  aggregation is map-side combinable. This is the canonical way to
+  score 100 TB against group statistics without a wide shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from osm2orc_spark.registry import register
+from osm2orc_spark.tables import load
+
+# Lexicographic total-order key for (ts, event_id): 20-digit zero-padded
+# epoch micros + 12-digit zero-padded event_id. String comparison equals
+# (ts, event_id) tuple comparison, and both engines have the same printf.
+# (A function, not a module constant — building a Column needs a live
+# SparkContext, and this module imports before any session exists.)
+def _seq_key_spark():
+    return F.format_string(
+        "%020d-%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+
+
+_SEQ_KEY_SQL = "printf('%020d-%012d', epoch_us(ts), event_id)"
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS to_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM seq
+    WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY n DESC, from_type, to_type
+    """,
+    doc="First-order Markov transition counts over each user's event "
+    "stream (lag window on (ts, event_id) order, then a global "
+    "(from, to) count). One user_id shuffle for the window; the "
+    "transition matrix is |types|^2 rows with map-side partial counts.",
+    tags=("sequence", "window"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    return (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "from_type", "to_type")
+    )
+
+
+@register(
+    "ohlc_hourly_bars",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(arg_min(CAST(value AS DECIMAL(18,2)), {_SEQ_KEY_SQL}) AS DOUBLE) AS open,
+           CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
+           CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
+           CAST(arg_max(CAST(value AS DECIMAL(18,2)), {_SEQ_KEY_SQL}) AS DOUBLE) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+    doc="OHLC bars per (hour, event_type) WITHOUT a sort window: "
+    "open/close via min_by/max_by over a lexicographic (ts, event_id) "
+    "key — every aggregate is partial-aggregable, so the plan is one "
+    "exchange carrying pre-combined rows (the 100 TB shape; a "
+    "row_number window would sort every partition instead). Money math "
+    "in DECIMAL (exact, order-independent), DOUBLE only at the edge.",
+    tags=("sequence", "aggregate"),
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    key = _seq_key_spark()
+    return (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+            v.alias("v"),
+            key.alias("k"),
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.min_by("v", "k").cast("double").alias("open"),
+            F.max("v").cast("double").alias("high"),
+            F.min("v").cast("double").alias("low"),
+            F.max_by("v", "k").cast("double").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "event_run_islands",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS isl
+      FROM events
+    )
+    SELECT user_id, event_type,
+           COUNT(*) AS run_len,
+           MIN(ts) AS run_start,
+           MIN(event_id) AS first_event_id
+    FROM marked
+    GROUP BY user_id, event_type, isl
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, run_start, first_event_id
+    """,
+    doc="Gaps-and-islands: maximal runs of consecutive same-type events "
+    "per user (difference of two row_numbers = island id), keeping runs "
+    "of length >= 3. Both windows share the user_id partitioning, so "
+    "Catalyst plans ONE exchange and two sorts within it.",
+    tags=("sequence", "window"),
+)
+def event_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "isl", F.row_number().over(w_all) - F.row_number().over(w_typ)
+    )
+    return (
+        marked.groupBy("user_id", "event_type", "isl")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ts").alias("run_start"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .select("user_id", "event_type", "run_len", "run_start", "first_event_id")
+        .orderBy("user_id", "run_start", "first_event_id")
+    )
+
+
+@register(
+    "asof_join_next_event",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+             CASE WHEN event_type <> 'purchase' THEN event_id END AS e_id,
+             CASE WHEN event_type <> 'purchase' THEN ts END AS e_ts
+      FROM events
+    ),
+    scanned AS (
+      SELECT user_id, ts, event_id, is_p,
+             LAST_VALUE(e_id IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, is_p DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_event_id,
+             LAST_VALUE(e_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, is_p DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_event_ts
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, ts,
+           next_event_id, next_event_ts
+    FROM scanned
+    WHERE is_p = 1 AND next_event_id IS NOT NULL
+    ORDER BY purchase_id
+    """,
+    doc="FORWARD as-of join: for each purchase, the first strictly-later "
+    "non-purchase event of the same user (events at the identical "
+    "timestamp are excluded by the (ts DESC, is_p DESC) sort, which "
+    "places the purchase before its same-ts events in scan order). Same "
+    "union-scan shape as asof_join_last_purchase reversed — one user_id "
+    "shuffle, no join explosion. Twin of queries/advanced.py's backward "
+    "variant; together they cover both as-of directions.",
+    tags=("sequence", "asof", "window"),
+)
+def asof_join_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        is_p.alias("is_p"),
+        F.when(F.col("event_type") != "purchase", F.col("event_id")).alias("e_id"),
+        F.when(F.col("event_type") != "purchase", F.col("ts")).alias("e_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("is_p"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scanned = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_p",
+        F.last("e_id", ignorenulls=True).over(w).alias("next_event_id"),
+        F.last("e_ts", ignorenulls=True).over(w).alias("next_event_ts"),
+    )
+    return (
+        scanned.filter((F.col("is_p") == 1) & F.col("next_event_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            "next_event_id",
+            "next_event_ts",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ZSCORE_TOP = 20
+
+
+@register(
+    "anomaly_zscore_events",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DECIMAL(38,0)) AS vq
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(vq) AS s,
+             SUM(vq * vq) AS ss
+      FROM q GROUP BY event_type
+    )
+    SELECT q.event_id, q.event_type,
+           CAST(q.v AS DOUBLE) AS value,
+           CAST(FLOOR((1e6 * CAST(stats.n * q.vq - stats.s AS DOUBLE))
+                      / SQRT(CAST(stats.n * stats.ss - stats.s * stats.s AS DOUBLE)))
+                AS BIGINT) AS z_micro
+    FROM q JOIN stats USING (event_type)
+    ORDER BY abs(z_micro) DESC, q.event_id
+    LIMIT {ZSCORE_TOP}
+    """,
+    doc="Top-N outliers by per-type z-score, computed from EXACT integer "
+    "sufficient statistics: values quantize to BIGINT cents, (n, sum, "
+    "sum-of-squares) accumulate in DECIMAL(38,0) (order-independent, no "
+    "float drift), and the only IEEE step is one identical final "
+    "expression z = (n*x - s) / sqrt(n*ss - s^2) in both engines. The "
+    "stats table is |types| rows broadcast back onto the fact scan — "
+    "the 100 TB pattern for scoring against group statistics without "
+    "shuffling the fact table.",
+    tags=("aggregate", "anomaly"),
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.floor(F.col("value") * 100).cast("long").cast("decimal(38,0)").alias("vq"),
+    )
+    stats = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("vq").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).alias("ss"),
+    )
+    num = (F.col("n") * F.col("vq") - F.col("s")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+    z = F.floor((F.lit(1e6) * num) / den).cast("bigint")
+    return (
+        q.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("v").cast("double").alias("value"),
+            z.alias("z_micro"),
+        )
+        .orderBy(F.abs(F.col("z_micro")).desc(), "event_id")
+        .limit(ZSCORE_TOP)
+    )

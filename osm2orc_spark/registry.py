@@ -137,7 +137,7 @@ def all_queries() -> dict[str, Query]:
     from osm2orc_spark.queries import relational  # noqa: F401
     from osm2orc_spark.operators import dedup, similarity, text, multimodal  # noqa: F401
     from osm2orc_spark.operators import curation, graph, layout  # noqa: F401
-    from osm2orc_spark.queries import advanced, osm_corpus, tpch_extra  # noqa: F401
+    from osm2orc_spark.queries import advanced, osm_corpus, sequences, tpch_extra  # noqa: F401
     from osm2orc_spark.streaming import events  # noqa: F401
 
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
