@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from osm2orc_spark.operators.guards import guard_quadratic
 from osm2orc_spark.registry import register
@@ -209,6 +210,66 @@ def dedup_ngram_jaccard(
     sh = _shingles(spark, sf_dir).persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(cand, sh, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix filtering: EXACT set-similarity join without the
+# quadratic candidate blowup (Chaudhuri et al. SSJoin / Xiao et al. PPJoin).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ppjoin",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+    """,
+    doc="EXACT Jaccard >= 0.8 pairs via prefix filtering (PPJoin family): "
+    "shingles are globally ordered by (document frequency, shingle) and "
+    "only each doc's first n - ceil(0.8n) + 1 rarest shingles generate "
+    "candidates — any pair meeting the threshold provably shares a "
+    "prefix shingle, so the result is IDENTICAL to the brute-force "
+    "dedup_ngram_jaccard (same oracle) with ~5x fewer candidate rows "
+    "and, crucially, no hot buckets: high-df boilerplate shingles fall "
+    "outside every prefix. The prefix length uses integer arithmetic "
+    "(ceil(4n/5) = (4n+4) div 5) so no FP rounding can shrink the "
+    "prefix below the safe bound. This is the exactness-preserving "
+    "scale path where MinHash-LSH is the probabilistic one.",
+    tags=("dedup",),
+)
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).persist()
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # Rank each doc's shingles rarest-first; both windows share the
+    # doc_id partitioning -> one exchange + sort.
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn("rn", F.row_number().over(w_doc.orderBy("df", "shingle")))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+    )
+    # p = n - ceil(t*n) + 1 with t = 4/5, all-integer so the bound is safe.
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(4*n + 4) div 5") + F.lit(1)
+    ).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
     cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -58,3 +58,59 @@ def test_shuffle_shards_partition_the_corpus(spark, sf_correctness):
     for shard, poss in per_shard.items():
         # shard_pos is a dense 1..n ranking within each shard
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_ppjoin_prefix_prunes_but_preserves_exactness(spark, sf_correctness):
+    """The PPJoin prefix filter must generate strictly fewer candidate
+    pairs than share-any-shingle brute force while producing the same
+    final pair set (exactness of the prefix bound)."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators.dedup import _shingles
+    from osm2orc_spark.queries import relational  # noqa: F401 — registry
+
+    ppjoin = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ppjoin"].fn(spark, sf_correctness).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"]
+        .fn(spark, sf_correctness, allow_quadratic=True)
+        .collect()
+    }
+    assert ppjoin == brute
+
+    sh = _shingles(spark, sf_correctness).persist()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    brute_cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w_doc = Window.partitionBy("doc_id")
+    prefix = (
+        sh.join(df_counts, "shingle")
+        .withColumn("rn", F.row_number().over(w_doc.orderBy("df", "shingle")))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+        .filter(F.col("rn") <= F.col("n") - F.expr("(4*n + 4) div 5") + F.lit(1))
+        .select("doc_id", "shingle")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pp_cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    sh.unpersist()
+    assert pp_cand < brute_cand
+    assert pp_cand >= len(ppjoin)  # candidates are a superset of true pairs
