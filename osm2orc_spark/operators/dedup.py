@@ -491,7 +491,15 @@ def dedup_components(
     und = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
+    # Iterate ONLY over nodes that have at least one edge: isolated docs
+    # can never change label, so propagating them through every round
+    # would shuffle the whole corpus per iteration for nothing. At 100 TB
+    # near-dup pairs are sparse — the loop frame is O(|paired docs|),
+    # orders of magnitude smaller than the corpus; singletons rejoin as
+    # their own component once, after the fixpoint. (und holds both edge
+    # directions, so doc_a alone covers every endpoint.)
+    paired = und.select(F.col("doc_a").alias("doc_id")).distinct().persist()
+    labels = paired.select("doc_id", F.col("doc_id").alias("component")).persist()
     prev_sum = None
     while True:
         # Two propagation hops per materialized round: each hop is one
@@ -524,7 +532,10 @@ def dedup_components(
             break
         prev_sum = cur_sum
     und.unpersist()
-    return labels
+    singles = docs.join(paired, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    return labels.unionByName(singles)
 
 
 def _assemble_components_oracle() -> None:
