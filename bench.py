@@ -46,6 +46,11 @@ HEADLINE = [
     # r2 additions: substring dedup and the prefix-dim ANN prefilter
     "dedup_duplicate_spans",
     "ann_matryoshka_rerank",
+    # r3 additions: prefix-filtered exact set-similarity, single-exchange
+    # OHLC bars, and broadcast-stats anomaly scoring
+    "dedup_ppjoin",
+    "ohlc_hourly_bars",
+    "anomaly_zscore_events",
 ]
 
 

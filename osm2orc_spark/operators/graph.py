@@ -117,3 +117,81 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOP)
         .select("node", F.col("pr").alias("pr_scaled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle / wedge census of the near-duplicate pair graph.
+# ---------------------------------------------------------------------------
+@register(
+    "dupgraph_triangle_stats",
+    oracle="__DEFERRED__",  # assembled below from the minhash-LSH oracle
+    doc="Triangle census over the LSH-verified near-dup pair graph: "
+    "n_edges, n_wedges (open triads, sum deg*(deg-1)/2), n_triangles "
+    "(node-iterator: three-way self-join on id-ordered edges, each "
+    "triangle counted once), and the global clustering coefficient "
+    "3*tri/wedges in exact micro units. A transitivity probe for dedup "
+    "quality: near-dup clusters should be near-cliques, so a LOW "
+    "coefficient flags chains of borderline pairs that clustering will "
+    "over-merge. Scale: the id-ordering bounds each edge to one join "
+    "direction; on skewed graphs order endpoints by (degree, id) "
+    "instead — same census, bounded per-key fan-out (the standard "
+    "node-iterator refinement).",
+    tags=("graph", "dedup"),
+)
+def dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators.dedup import dedup_minhash_lsh
+
+    e = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).persist()
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.floor((F.lit(1e6) * 3 * F.col("n_triangles")) / F.col("n_wedges")).cast(
+            "bigint"
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select("n_edges", "n_wedges", "n_triangles", cc.alias("clustering_micro"))
+    )
+
+
+def _assemble_triangle_oracle() -> None:
+    from osm2orc_spark.registry import REGISTRY
+
+    pairs_sql = REGISTRY["dedup_minhash_lsh"].oracle
+    REGISTRY["dupgraph_triangle_stats"].oracle = f"""
+    WITH p AS ({pairs_sql}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM p),
+    und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+    w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+        ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT ne.n_edges, w.n_wedges, t.n_triangles,
+           CASE WHEN w.n_wedges > 0
+                THEN CAST(FLOOR((1e6 * 3 * t.n_triangles) / w.n_wedges) AS BIGINT)
+                ELSE 0 END AS clustering_micro
+    FROM ne, w, t
+    """
+
+
+_assemble_triangle_oracle()
