@@ -159,25 +159,59 @@ def decode_wav(blob: bytes) -> dict:
     }
 
 
+def decode_jpeg_header(blob: bytes) -> dict:
+    """REAL JPEG dimension decode via the marker walk (pure stdlib).
+
+    Dimensions live in the SOF segment header, so no entropy decoding or
+    codec library is needed: scan SOI, skip each marker segment by its
+    big-endian length, stop at any SOFn (C0-CF except the non-frame
+    markers C4/C8/CC) and read precision/height/width/components. This
+    is exactly what image curation needs for aspect/size filters —
+    full pixel decode stays behind a codec library."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            pos += 2
+            continue
+        ln = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            seg = blob[pos + 4 : pos + 2 + ln]
+            return {
+                "height": int.from_bytes(seg[1:3], "big"),
+                "width": int.from_bytes(seg[3:5], "big"),
+                "components": seg[5],
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        pos += 2 + ln
+    raise ValueError("no SOF marker found")
+
+
 def decode_image(blob: bytes) -> dict:
-    """Image decode: REAL for PNG (decode_png above — pure numpy/zlib);
-    deterministic fake for formats that need codec libraries (JPEG etc.,
-    no PIL/opencv in this container). The fake keys off blob length so
-    the DuckDB oracle can replay it with pure arithmetic."""
+    """Image decode: REAL for PNG (decode_png — pure numpy/zlib) and for
+    JPEG dimensions (decode_jpeg_header — stdlib marker walk);
+    deterministic fake for everything else (full JPEG pixel decode needs
+    a codec library; none ships in this container). The fake keys off
+    blob length so the DuckDB oracle can replay it with pure
+    arithmetic."""
     if blob[:8] == PNG_SIG:
         m = decode_png(blob)
         return {"width": m["width"], "height": m["height"], "format": "png"}
-    try:
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError("real decoder wiring reserved for image-capable env")
-    except ImportError:
-        n = len(blob)
-        return {
-            "width": n % 640 + 1,
-            "height": (n * 7) % 480 + 1,
-            "format": ("raw", "png", "jpeg")[n % 3],
-        }
+    if blob[:2] == b"\xff\xd8":
+        m = decode_jpeg_header(blob)
+        return {"width": m["width"], "height": m["height"], "format": "jpeg"}
+    n = len(blob)
+    return {
+        "width": n % 640 + 1,
+        "height": (n * 7) % 480 + 1,
+        "format": ("raw", "png", "jpeg")[n % 3],
+    }
 
 
 def _decode_meta_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

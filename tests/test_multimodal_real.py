@@ -163,3 +163,60 @@ def test_real_png_through_mapinpandas(spark):
     assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (6, 4, "png")
     assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (9, 2, "png")
     assert out[3]["format"] == "raw"  # len 12 -> fake path
+
+
+class TestJpegHeader:
+    @staticmethod
+    def _jpeg(width, height, progressive=False, components=3):
+        """Minimal structurally-valid JPEG header stream: SOI, APP0, DQT
+        (skipped segments), then SOF0/SOF2 with the frame dimensions."""
+        sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+        sof_body = (
+            b"\x08"
+            + height.to_bytes(2, "big")
+            + width.to_bytes(2, "big")
+            + bytes([components])
+            + b"\x01\x22\x00" * components
+        )
+        sof = sof_marker + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+        return b"\xff\xd8" + app0 + dqt + sof
+
+    def test_sof0_dims(self):
+        from osm2orc_spark.operators.multimodal import decode_jpeg_header
+
+        m = decode_jpeg_header(self._jpeg(640, 480))
+        assert (m["width"], m["height"], m["components"], m["progressive"]) == (
+            640, 480, 3, False,
+        )
+
+    def test_sof2_progressive(self):
+        from osm2orc_spark.operators.multimodal import decode_jpeg_header
+
+        m = decode_jpeg_header(self._jpeg(123, 45, progressive=True, components=1))
+        assert (m["width"], m["height"], m["progressive"]) == (123, 45, True)
+
+    def test_decode_image_dispatches_jpeg(self):
+        from osm2orc_spark.operators.multimodal import decode_image
+
+        m = decode_image(self._jpeg(32, 16))
+        assert (m["width"], m["height"], m["format"]) == (32, 16, "jpeg")
+
+    def test_not_jpeg_rejected(self):
+        import pytest
+
+        from osm2orc_spark.operators.multimodal import decode_jpeg_header
+
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg_header(b"\x00\x01rubbish")
+
+    def test_missing_sof_rejected(self):
+        import pytest
+
+        from osm2orc_spark.operators.multimodal import decode_jpeg_header
+
+        # SOI + APP0 only, then EOI: structurally fine, no frame header
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        with pytest.raises(ValueError, match="no SOF"):
+            decode_jpeg_header(b"\xff\xd8" + app0 + b"\xff\xd9")
