@@ -124,10 +124,15 @@ GATE_PRIORITY_R03: tuple[str, ...] = (
     "intersect_except_nations", "bag_setops_nations",
     "full_outer_nation_presence", "correlated_min_price_parts",
     "scalar_function_corpus",
-    # Multimodal plumbing (kernels are documented deterministic stubs).
+    # Multimodal plumbing (PNG/JPEG metadata kernels are real; pixel
+    # decode for codec formats is a documented deterministic stub).
     "multimodal_decode_meta", "multimodal_resize", "multimodal_frame_sample",
     "multimodal_audio_chunks",
 )
+# The r02 gate stopped at exactly 50 rows, so with >50 unverified names the
+# tail would miss again. Rows-only queries (no oracle) carry the weakest
+# driver signal — sort them after every oracle-backed unverified query so a
+# 50-slot gate is spent on hash-checkable rows first.
 
 
 def all_queries() -> dict[str, Query]:
@@ -144,10 +149,13 @@ def all_queries() -> dict[str, Query]:
     prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R03)}
 
     def key(name: str) -> tuple[int, int, int]:
-        if name in prio_index:  # errored/mismatched/unreached in r02: first
+        no_oracle = REGISTRY[name].oracle is None
+        if name in prio_index and not no_oracle:  # r02 errored/mismatched/unreached
             return (0, prio_index[name], 0)
-        if name not in DRIVER_VERIFIED:  # new this round: next
+        if name not in DRIVER_VERIFIED and not no_oracle:  # new this round
             return (1, 0, reg_index[name])
-        return (2, 0, reg_index[name])  # already driver-verified: last
+        if name not in DRIVER_VERIFIED:  # rows-only: weakest gate signal, last
+            return (2, prio_index.get(name, 10**6), reg_index[name])
+        return (3, 0, reg_index[name])  # already driver-verified: last
 
     return {name: REGISTRY[name] for name in sorted(REGISTRY, key=key)}
