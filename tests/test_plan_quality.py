@@ -263,3 +263,43 @@ def test_shuffle_shards_single_window_exchange(spark, sf_correctness):
     }
     assert len(exchanges) <= 1
     assert "rangepartitioning" not in plan  # a global sort would show this
+
+
+def test_ohlc_single_exchange_no_window_sort(spark, sf_correctness):
+    """OHLC bars must plan as ONE exchange with partial/final aggregates
+    (min_by/max_by are partial-aggregable) — no Window operator, whose
+    per-partition sort is the thing the operator exists to avoid."""
+    plan = plan_of(spark, sf_correctness, "ohlc_hourly_bars")
+    body = plan.split("===== Subqueries =====")[0]  # ignore subquery trees
+    assert "Window" not in body
+    assert body.count("HashAggregate") + body.count("SortAggregate") >= 2
+    # one data exchange for the groupBy + one for the final orderBy range
+    # partitioning — but never more (") Exchange" counts each node once;
+    # formatted explain also repeats nodes in the tree header)
+    assert body.count(") Exchange") <= 2
+
+
+def test_anomaly_zscore_stats_join_is_broadcast(spark, sf_correctness):
+    """The per-type sufficient-statistics table must come back as a
+    BROADCAST join onto the fact scan — shuffling events by event_type
+    (5 hot keys) would be the skewed-shuffle anti-pattern."""
+    plan = plan_of(spark, sf_correctness, "anomaly_zscore_events")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ppjoin_no_cartesian_and_partial_aggs(spark, sf_correctness):
+    plan = plan_of(spark, sf_correctness, "dedup_ppjoin")
+    assert "CartesianProduct" not in plan
+
+
+def test_event_windows_share_user_exchange(spark, sf_correctness):
+    """event_run_islands computes two row_numbers over (user_id) and
+    (user_id, event_type); the second must reuse the first's hash
+    partitioning rather than re-exchange."""
+    plan = plan_of(spark, sf_correctness, "event_run_islands")
+    body = plan.split("===== Subqueries =====")[0]
+    # exchanges: ONE hashpartitioning(user_id) shared by both windows AND
+    # the groupBy (its (user_id, event_type, isl) keys are a superset of
+    # the existing user_id partitioning), plus the final orderBy range
+    # partitioning
+    assert body.count(") Exchange") <= 2
