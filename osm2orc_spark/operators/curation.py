@@ -571,3 +571,54 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("bigint").alias("shard_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup observability report.
+# ---------------------------------------------------------------------------
+@register(
+    "curation_dedup_report",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT content_hash) AS n_unique,
+           CAST(FLOOR((1e6 * (COUNT(*) - COUNT(DISTINCT content_hash)))
+                      / COUNT(*)) AS BIGINT) AS dup_rate_micro
+    FROM h
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source exact-duplicate rate: docs vs distinct normalized "
+    "content hashes per source (same md5 normalization as dedup_exact), "
+    "dup share in micro units from exact integer counts. The "
+    "observability report a corpus build publishes per ingestion source; "
+    "one partial-aggregable exchange on source (COUNT DISTINCT expands "
+    "to a two-level aggregate Catalyst plans map-side-first).",
+    tags=("curation", "dedup", "eval"),
+)
+def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators.dedup import _norm_text
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.md5(F.encode(_norm_text(), "utf-8")).alias("content_hash")
+    )
+    n_docs = F.count(F.lit(1)).alias("n_docs")
+    n_unique = F.countDistinct("content_hash").alias("n_unique")
+    return (
+        docs.groupBy("source")
+        .agg(n_docs, n_unique)
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.floor((F.lit(1e6) * (F.col("n_docs") - F.col("n_unique"))) / F.col("n_docs"))
+            .cast("bigint")
+            .alias("dup_rate_micro"),
+        )
+        .orderBy("source")
+    )

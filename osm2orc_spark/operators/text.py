@@ -855,3 +855,46 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_covered").cast("double") / F.col("n_bigrams"),
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix + per-language recall.
+# ---------------------------------------------------------------------------
+@register(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH scored AS ({_lang_scores_sql()}),
+    cells AS (
+      SELECT lang, pred_lang, COUNT(*) AS n
+      FROM scored GROUP BY lang, pred_lang
+    ),
+    totals AS (SELECT lang, SUM(n) AS lang_total FROM cells GROUP BY lang)
+    SELECT c.lang, c.pred_lang, c.n,
+           CAST(FLOOR((1e6 * c.n) / t.lang_total) AS BIGINT) AS frac_micro
+    FROM cells c JOIN totals t USING (lang)
+    ORDER BY c.lang, c.pred_lang
+    """,
+    doc="Confusion matrix of the stopword language-ID against the labeled "
+    "lang column, with each cell's share of its true-language row "
+    "(micro units, one IEEE division from exact integer counts). The "
+    "classifier-eval shape every labeling pipeline needs: a |langs|^2 "
+    "aggregate after the per-row scorer, so the only data-sized work is "
+    "the scan itself.",
+    tags=("text", "eval"),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = lang_id_heuristic(spark, sf_dir)
+    cells = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    totals = cells.groupBy("lang").agg(F.sum("n").alias("lang_total"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.floor((F.lit(1e6) * F.col("n")) / F.col("lang_total"))
+            .cast("bigint")
+            .alias("frac_micro"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
