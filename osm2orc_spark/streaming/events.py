@@ -470,3 +470,69 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "value"
     )
     return run_to_memory(deduped, "stream_dedup_events_mem", output_mode="append")
+
+
+def ohlc_bars_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming twin of queries/sequences.py::ohlc_hourly_bars: the same
+    partial-aggregable min_by/max_by-over-string-key aggregates inside a
+    watermarked 1h tumbling window. No sort window exists in streaming at
+    all — this shape is the ONLY way to get open/close incrementally,
+    which is exactly why the batch variant uses it too (one plan, two
+    execution modes)."""
+    key = F.format_string(
+        "%020d-%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.col("ts"), F.col("event_type"), v.alias("v"), key.alias("k")
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("v", "k").cast("double").alias("open"),
+            F.max("v").cast("double").alias("high"),
+            F.min("v").cast("double").alias("low"),
+            F.max_by("v", "k").cast("double").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_ohlc_bars",
+    # Same oracle as the batch ohlc_hourly_bars: window(ts, '1 hour').start
+    # == date_trunc('hour', ts) for hour-aligned tumbling windows.
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(arg_min(CAST(value AS DECIMAL(18,2)),
+                        printf('%020d-%012d', epoch_us(ts), event_id)) AS DOUBLE) AS open,
+           CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
+           CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
+           CAST(arg_max(CAST(value AS DECIMAL(18,2)),
+                        printf('%020d-%012d', epoch_us(ts), event_id)) AS DOUBLE) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming OHLC bars: watermarked 1h tumbling windows with "
+    "min_by/max_by over the lexicographic (ts, event_id) key — the "
+    "incremental twin of ohlc_hourly_bars with the identical oracle. "
+    "Complete-mode memory sink over the bounded input.",
+    tags=("streaming", "sequence"),
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(ohlc_bars_stream(ev), "stream_ohlc_bars_mem")
