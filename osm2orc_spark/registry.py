@@ -124,10 +124,19 @@ GATE_PRIORITY_R03: tuple[str, ...] = (
     "intersect_except_nations", "bag_setops_nations",
     "full_outer_nation_presence", "correlated_min_price_parts",
     "scalar_function_corpus",
-    # Multimodal plumbing (PNG/JPEG metadata kernels are real; pixel
-    # decode for codec formats is a documented deterministic stub).
-    "multimodal_decode_meta", "multimodal_resize", "multimodal_frame_sample",
-    "multimodal_audio_chunks",
+    # r2/r3 streaming additions — registered last (module import order)
+    # but carrying more gate value than the multimodal plumbing checks.
+    "stream_dedup_events", "stream_ohlc_bars",
+    # Multimodal plumbing: decode-meta and resize gate this round; the
+    # other two are demoted below so real analytics queries fit the cap.
+    "multimodal_decode_meta", "multimodal_resize",
+)
+
+# Oracle-backed but lowest gate value (they certify mapInPandas plumbing
+# over the documented deterministic fake, already locally green) — sorted
+# after every other oracle-backed unverified query when slots run out.
+GATE_DEMOTED: tuple[str, ...] = (
+    "multimodal_frame_sample", "multimodal_audio_chunks",
 )
 # The r02 gate stopped at exactly 50 rows, so with >50 unverified names the
 # tail would miss again. Rows-only queries (no oracle) carry the weakest
@@ -153,7 +162,8 @@ def all_queries() -> dict[str, Query]:
         if name in prio_index and not no_oracle:  # r02 errored/mismatched/unreached
             return (0, prio_index[name], 0)
         if name not in DRIVER_VERIFIED and not no_oracle:  # new this round
-            return (1, 0, reg_index[name])
+            demoted = 1 if name in GATE_DEMOTED else 0
+            return (1, demoted, reg_index[name])
         if name not in DRIVER_VERIFIED:  # rows-only: weakest gate signal, last
             return (2, prio_index.get(name, 10**6), reg_index[name])
         return (3, 0, reg_index[name])  # already driver-verified: last
