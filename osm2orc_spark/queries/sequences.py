@@ -314,3 +314,59 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("z_micro")).desc(), "event_id")
         .limit(ZSCORE_TOP)
     )
+
+
+@register(
+    "hourly_spine_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT s.hour,
+           COALESCE(c.n, 0) AS n_purchases,
+           c.n IS NULL AS gap
+    FROM spine s LEFT JOIN counts c ON c.hour = s.hour
+    ORDER BY s.hour
+    """,
+    doc="Time-series densification (gap fill): a generated hourly spine "
+    "from min to max event hour, left-joined against per-hour purchase "
+    "counts so silent hours materialize as zero rows — the shape every "
+    "monitoring/forecasting pipeline needs, since a groupBy alone can't "
+    "represent absence. The spine comes from sequence()+explode on a "
+    "1-row bounds aggregate (no driver loop, no collect); the join "
+    "broadcasts the tiny count side only if the optimizer picks it — at "
+    "100 TB both sides stay distributed and the spine is trivially "
+    "parallel.",
+    tags=("sequence", "densify"),
+)
+def hourly_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    counts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(counts, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n_purchases"),
+            F.col("n").isNull().alias("gap"),
+        )
+        .orderBy("hour")
+    )
