@@ -42,11 +42,17 @@ from osm2orc_spark.tables import load
     "over clusters with no global sort.",
     tags=("curation", "dedup", "iterative"),
 )
-def curation_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_canonical_docs(
+    spark: SparkSession, sf_dir: str, *, quality: DataFrame | None = None
+) -> DataFrame:
     comp = dedup_components(spark, sf_dir)
-    quality = text_quality_scores(spark, sf_dir).select(
-        "doc_id", "quality_score"
-    )
+    # ``quality`` lets a composing pipeline (curation_training_mix) share
+    # ONE materialized scorer frame across consumers — Catalyst does not
+    # dedup identical scan+tokenize subtrees that appear under different
+    # joins, so without it the documents table is tokenized once per use.
+    if quality is None:
+        quality = text_quality_scores(spark, sf_dir)
+    quality = quality.select("doc_id", "quality_score")
     ranked = comp.join(quality, "doc_id").withColumn(
         "rn",
         F.row_number().over(
@@ -316,15 +322,17 @@ MAX_DUP_BIGRAM = 0.2
     "filter-pipeline shape every corpus build runs before tokenization.",
     tags=("curation", "text"),
 )
-def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_quality_filter(
+    spark: SparkSession, sf_dir: str, *, quality: DataFrame | None = None
+) -> DataFrame:
     from osm2orc_spark.operators.text import (
         text_quality_scores,
         text_repetition_scores,
     )
 
-    q = text_quality_scores(spark, sf_dir).select(
-        "doc_id", "n_tokens", "quality_score"
-    )
+    if quality is None:
+        quality = text_quality_scores(spark, sf_dir)
+    q = quality.select("doc_id", "n_tokens", "quality_score")
     r = text_repetition_scores(spark, sf_dir).select("doc_id", "dup_bigram_ratio")
     j = q.join(r, "doc_id", "left")
     reason = (
@@ -449,8 +457,19 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "dedup", "split", "iterative"),
 )
 def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    keep = curation_quality_filter(spark, sf_dir).filter("keep").select("doc_id")
-    cano = curation_canonical_docs(spark, sf_dir).select("doc_id")
+    from osm2orc_spark.operators.text import text_quality_scores
+
+    # ONE materialized quality frame feeds both the keep-gate and the
+    # canonical ranking: without sharing, the documents scan+tokenize
+    # subtree executes once per consumer (Catalyst plans identical
+    # subtrees independently).
+    quality = text_quality_scores(spark, sf_dir).persist()
+    keep = (
+        curation_quality_filter(spark, sf_dir, quality=quality)
+        .filter("keep")
+        .select("doc_id")
+    )
+    cano = curation_canonical_docs(spark, sf_dir, quality=quality).select("doc_id")
     surv = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang")
