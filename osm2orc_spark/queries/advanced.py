@@ -784,3 +784,78 @@ def approx_percentiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFr
         F.element_at(pcts, 2).alias("p90_approx"),
         F.element_at(pcts, 3).alias("p99_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM (recency / frequency / monetary) customer segmentation.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+    base AS (
+      SELECT o.o_custkey AS custkey,
+             date_diff('day', MAX(o.o_orderdate), r.ref_date) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders o CROSS JOIN ref r
+      GROUP BY o.o_custkey, r.ref_date
+    ),
+    scored AS (
+      SELECT custkey, recency_days, frequency,
+             CAST(monetary AS DOUBLE) AS monetary,
+             NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary ASC, custkey) AS m_score
+      FROM base
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    ORDER BY custkey
+    """,
+    doc="RFM segmentation: per-customer recency (days before the corpus "
+    "max order date — derived in-plan, no driver collect), order count, "
+    "and DECIMAL-exact spend, then NTILE(5) quintile scores (5 = best) "
+    "with custkey tie-breaks for total order, concatenated into the "
+    "classic 3-digit segment. Scale note: the three ntiles are GLOBAL "
+    "sorts of the customer dimension — fine for a dimension-sized frame; "
+    "at fact scale you'd derive quintile boundaries from sufficient "
+    "statistics instead and width-bucket against them broadcast.",
+    tags=("window", "eval"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    base = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("custkey"), "ref_date")
+        .agg(
+            F.datediff(F.first("ref_date"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(5).over(W.orderBy(F.desc("recency_days"), "custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.asc("frequency"), "custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.asc("monetary"), "custkey")).alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    ).orderBy("custkey")

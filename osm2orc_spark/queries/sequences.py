@@ -370,3 +370,81 @@ def hourly_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "event_cooccurrence_pmi",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr, event_type
+      FROM events
+    ),
+    n_groups AS (
+      SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, hr FROM g)
+    ),
+    singles AS (SELECT event_type, COUNT(*) AS n FROM g GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+      FROM g a JOIN g b
+        ON a.user_id = b.user_id AND a.hr = b.hr AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           CAST(FLOOR((1e6 * CAST(CAST(p.n_ab AS DECIMAL(38,0))
+                               * CAST(t.n AS DECIMAL(38,0)) AS DOUBLE))
+                      / CAST(CAST(sa.n AS DECIMAL(38,0))
+                             * CAST(sb.n AS DECIMAL(38,0)) AS DOUBLE))
+                AS BIGINT) AS pmi_ratio_micro
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN n_groups t
+    ORDER BY type_a, type_b
+    """,
+    doc="Pointwise-mutual-information co-occurrence of event types within "
+    "(user, hour) context groups: lift = P(a,b)/(P(a)P(b)) in micro "
+    "units, computed log-free from exact counts (DECIMAL(38,0) products, "
+    "ONE identical IEEE division in both engines). The feature-mining "
+    "shape behind association rules and word co-occurrence: the context "
+    "frame shuffles once on (user, hour), the pair self-join runs within "
+    "those tiny groups, and the |types| marginals broadcast back.",
+    tags=("sequence", "eval"),
+)
+def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).distinct()
+    n_groups = g.select("user_id", "hr").distinct().agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    singles = g.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select("user_id", "hr", F.col("event_type").alias("type_a"))
+    b = g.select("user_id", "hr", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "hr"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (F.lit(1e6) * (dec("n_ab") * dec("n_groups")).cast("double"))
+    den = (dec("na") * dec("nb")).cast("double")
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.floor(num / den).cast("bigint").alias("pmi_ratio_micro"),
+        )
+        .orderBy("type_a", "type_b")
+    )
