@@ -859,3 +859,85 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC classification by cumulative revenue share.
+# ---------------------------------------------------------------------------
+@register(
+    "part_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(revenue) AS total FROM rev),
+    c AS (
+      SELECT partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM rev
+    )
+    SELECT c.partkey,
+           CAST(c.revenue AS DOUBLE) AS revenue,
+           CAST(FLOOR((1e6 * CAST(c.cum AS DOUBLE)) / CAST(t.total AS DOUBLE))
+                AS BIGINT) AS cum_share_micro,
+           CASE WHEN FLOOR((1e6 * CAST(c.cum AS DOUBLE)) / CAST(t.total AS DOUBLE))
+                     <= 700000 THEN 'A'
+                WHEN FLOOR((1e6 * CAST(c.cum AS DOUBLE)) / CAST(t.total AS DOUBLE))
+                     <= 900000 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN tot t
+    ORDER BY c.partkey
+    """,
+    doc="Pareto/ABC inventory classification: parts ranked by "
+    "DECIMAL-exact revenue, running-total window over the (revenue DESC, "
+    "partkey) total order, cumulative share in micro units (one IEEE "
+    "division of exact decimals) cut at 70%/90%. The running-total shape "
+    "is a GLOBAL dimension-sized sort — the per-part aggregation "
+    "(map-side combinable over the fact table) is where the data-sized "
+    "work happens; the window sees |parts| rows only.",
+    tags=("window", "aggregate"),
+)
+def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = W.orderBy(F.desc("revenue"), "partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    share = F.floor(
+        (F.lit(1e6) * F.sum("revenue").over(w).cast("double"))
+        / F.col("total").cast("double")
+    ).cast("bigint")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "partkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            share.alias("cum_share_micro"),
+        )
+        .select(
+            "partkey",
+            "revenue",
+            "cum_share_micro",
+            F.when(F.col("cum_share_micro") <= 700000, "A")
+            .when(F.col("cum_share_micro") <= 900000, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy("partkey")
+    )
