@@ -448,3 +448,44 @@ def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "weekly_activity_profile",
+    oracle="""
+    WITH cells AS (
+      SELECT isodow(ts) AS dow, hour(ts) AS hod, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS total FROM cells)
+    SELECT c.dow, c.hod, c.n,
+           CAST(FLOOR((1e6 * c.n) / t.total) AS BIGINT) AS share_micro
+    FROM cells c CROSS JOIN tot t
+    ORDER BY c.dow, c.hod
+    """,
+    doc="Weekly activity heatmap: event counts per (ISO day-of-week 1-7, "
+    "hour-of-day 0-23) with global share in micro units — the seasonal "
+    "profile every telemetry dashboard draws. Exercises datetime-part "
+    "extraction (Spark weekday()+1 == DuckDB isodow). 168-cell "
+    "aggregate with map-side partial counts; the total is a broadcast "
+    "1-row frame.",
+    tags=("sequence", "aggregate"),
+)
+def weekly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).alias("dow"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hod",
+            "n",
+            F.floor((F.lit(1e6) * F.col("n")) / F.col("total"))
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+        .orderBy("dow", "hod")
+    )
