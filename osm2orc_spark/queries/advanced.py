@@ -941,3 +941,124 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order fulfillment lag distribution (order date -> first/last shipment).
+# ---------------------------------------------------------------------------
+@register(
+    "order_fulfillment_lag",
+    oracle="""
+    WITH lags AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS first_lag,
+             date_diff('day', o.o_orderdate, MAX(l.l_shipdate)) AS last_lag
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           MIN(first_lag) AS min_first_lag,
+           MAX(last_lag) AS max_last_lag,
+           CAST(FLOOR((1e6 * SUM(first_lag)) / COUNT(*)) AS BIGINT) AS avg_first_lag_micro,
+           CAST(FLOOR((1e6 * SUM(last_lag)) / COUNT(*)) AS BIGINT) AS avg_last_lag_micro
+    FROM lags
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Fulfillment-lag distribution per order priority: days from order "
+    "date to first and last line shipment, aggregated twice (per-order "
+    "min/max, then per-priority stats with exact-integer averages in "
+    "micro units). Two map-side-combinable aggregations; the orders join "
+    "shuffles both fact tables on orderkey once — the partitioning then "
+    "serves the per-order aggregate for free (orderkey is a superset "
+    "grouping key).",
+    tags=("aggregate", "temporal"),
+)
+def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lags = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(F.min("l_shipdate"), F.first("o_orderdate")).alias("first_lag"),
+            F.datediff(F.max("l_shipdate"), F.first("o_orderdate")).alias("last_lag"),
+        )
+    )
+    return (
+        lags.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("first_lag").alias("min_first_lag"),
+            F.max("last_lag").alias("max_last_lag"),
+            F.floor((F.lit(1e6) * F.sum("first_lag")) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_first_lag_micro"),
+            F.floor((F.lit(1e6) * F.sum("last_lag")) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_last_lag_micro"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog curve: interval counting via +1/-1 running sum.
+# ---------------------------------------------------------------------------
+@register(
+    "order_backlog_curve",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey, o.o_orderdate AS opened, MAX(l.l_shipdate) AS closed
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT date_trunc('month', opened) AS month, 1 AS delta FROM spans
+      UNION ALL
+      SELECT date_trunc('month', closed), -1 FROM spans
+    ),
+    by_month AS (
+      SELECT month, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY month
+    )
+    SELECT month, net,
+           CAST(SUM(net) OVER (ORDER BY month
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS open_backlog
+    FROM by_month
+    ORDER BY month
+    """,
+    doc="Concurrent-interval counting: each order contributes +1 at its "
+    "order month and -1 at its last-shipment month; the running sum of "
+    "monthly nets is the number of in-flight orders over time. The "
+    "sweep-line shape behind concurrency curves, active-session counts, "
+    "and inventory levels — the fact tables aggregate down to one row "
+    "per month BEFORE the (tiny) global running-sum window, so the "
+    "data-sized work is all map-side-combinable.",
+    tags=("window", "temporal"),
+)
+def order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("closed"))
+    )
+    deltas = spans.select(
+        F.date_trunc("month", "o_orderdate").alias("month"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(
+            F.date_trunc("month", "closed").alias("month"), F.lit(-1).alias("delta")
+        )
+    )
+    by_month = deltas.groupBy("month").agg(F.sum("delta").alias("net"))
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return by_month.select(
+        "month", "net", F.sum("net").over(w).alias("open_backlog")
+    ).orderBy("month")
