@@ -117,9 +117,16 @@ _DUCK_SHINGLES = """
 """
 
 
-def _jaccard_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard for candidate (doc_a, doc_b) pairs from shingle sets."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+def _jaccard_pairs(
+    cand: DataFrame, sh: DataFrame, threshold: float, sizes: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs from shingle sets.
+
+    ``sizes`` lets a caller that already materialized per-doc set sizes
+    (dedup_ppjoin computes them for its prefix bound) reuse that frame
+    instead of re-aggregating the shingle set."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -276,7 +283,10 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_pairs(cand, sh, JACCARD_THRESHOLD)
+    # Verification reuses the per-doc sizes the prefix bound already
+    # computed (rn==1 row carries n) instead of re-aggregating sh.
+    sizes = ranked.filter(F.col("rn") == 1).select("doc_id", "n")
+    return _jaccard_pairs(cand, sh, JACCARD_THRESHOLD, sizes=sizes)
 
 
 # ---------------------------------------------------------------------------

@@ -536,3 +536,94 @@ def ohlc_bars_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFr
 def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
     return run_to_memory(ohlc_bars_stream(ev), "stream_ohlc_bars_mem")
+
+
+def transitions_stream(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition emission via applyInPandasWithState:
+    state = the user's last (ts, event_id, event_type); each micro-batch
+    emits one row per observed (from_type, to_type) step.
+
+    The sequence-processing twin of queries/sequences.py's lag window —
+    in a stream there is no "window over all history", so the previous
+    element must live in keyed state. Rows within a batch are sorted by
+    (ts, event_id) inside the kernel; across batches the state carries
+    the boundary element, so the emitted steps equal the batch lag pairs
+    whenever micro-batches split on event-time order (the file source
+    delivers whole files in order; a kafka source would need watermarked
+    reordering upstream)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("from_type", T.StringType()),
+            T.StructField("to_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("last_id", T.LongType()),
+            T.StructField("last_type", T.StringType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        prev = state.get if state.exists else None
+        frames = [pdf for pdf in pdfs]
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.assign(_us=pdf["ts"].astype("int64") // 1000)
+        pdf = pdf.sort_values(["_us", "event_id"])
+        froms, tos = [], []
+        last_type = prev[2] if prev else None
+        for t in pdf["event_type"]:
+            if last_type is not None:
+                froms.append(last_type)
+                tos.append(t)
+            last_type = t
+        tail = pdf.iloc[-1]
+        state.update((int(tail["_us"]), int(tail["event_id"]), str(tail["event_type"])))
+        yield pd.DataFrame(
+            {"user_id": key[0], "from_type": froms, "to_type": tos}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+@register(
+    "stream_transitions",
+    # The stateful kernel emits per-user steps; the post-sink batch count
+    # equals the batch lag-window transition matrix.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS to_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM seq
+    WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY n DESC, from_type, to_type
+    """,
+    doc="Streaming Markov transitions: applyInPandasWithState keeps each "
+    "user's last event as keyed state and emits (from, to) steps "
+    "incrementally; the materialized steps then aggregate to the same "
+    "transition matrix as the batch lag window (identical oracle to "
+    "event_transitions).",
+    tags=("streaming", "sequence"),
+)
+def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    steps = run_to_memory(
+        transitions_stream(ev), "stream_transitions_mem", output_mode="update"
+    )
+    return (
+        steps.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "from_type", "to_type")
+    )
