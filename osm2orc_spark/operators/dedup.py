@@ -336,15 +336,13 @@ def _minhash_lsh_oracle(shingle_ctes: str) -> str:
     """
 
 
-def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
-    """Verified near-dup pairs from a (doc_id, shingle) DataFrame.
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh11) columnar MinHash signatures.
 
-    Columnar minhash: ONE md5 per shingle row -> 32-bit int v, then 12
-    cheap (a*v+b)%P permutation columns and ONE groupBy(doc_id) with 12
-    min() aggregates. Compared to a (doc, seed) row explosion this
-    shuffles 12x fewer rows and computes bands without a second shuffle;
-    compared to md5-per-seed it does 12x less hashing.
-    """
+    ONE md5 per shingle row -> 32-bit int v, then 12 cheap (a*v+b)%P
+    permutation columns and ONE groupBy(doc_id) with 12 min() aggregates.
+    Compared to a (doc, seed) row explosion this shuffles 12x fewer rows;
+    compared to md5-per-seed it does 12x less hashing."""
     v = (
         F.conv(F.substring(F.md5(F.encode("shingle", "utf-8")), 1, 8), 16, 10)
         .cast("bigint")
@@ -357,9 +355,15 @@ def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
             for s, (a, b) in enumerate(MINHASH_PERMS)
         ],
     )
-    minhash = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{s}").alias(f"mh{s}") for s in range(MINHASH_SEEDS)]
     )
+
+
+def _band_candidates(minhash: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs (doc_a < doc_b) from signatures:
+    bands computed in-row (no second shuffle), equi-join on
+    (band, band_val) buckets."""
     n_bands = MINHASH_SEEDS // LSH_BAND_ROWS
     band_structs = [
         F.struct(
@@ -379,12 +383,17 @@ def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
     ).select("doc_id", "bv.band", "bv.band_val")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
-    cand = (
+    return (
         a.join(b, ["band", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
+    """Verified near-dup pairs from a (doc_id, shingle) DataFrame."""
+    cand = _band_candidates(_minhash_signatures(sh))
     return _jaccard_pairs(cand, sh, JACCARD_THRESHOLD)
 
 
@@ -1192,3 +1201,112 @@ def dedup_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _assemble_spans_clean_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch calibration: estimated vs exact Jaccard per candidate.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS v
+      FROM shingles
+    ),
+    minhash AS (
+      SELECT doc_id,
+             {', '.join(f'MIN(({a} * v + {b}) % {MINHASH_P}) AS mh{s}' for s, (a, b) in enumerate(MINHASH_PERMS))}
+      FROM hashed
+      GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+          "SELECT doc_id, %d AS band, concat_ws(',', %s) AS band_val FROM minhash"
+          % (bn, ', '.join(f'mh{s}' for s in range(bn * LSH_BAND_ROWS, (bn + 1) * LSH_BAND_ROWS)))
+          for bn in range(MINHASH_SEEDS // LSH_BAND_ROWS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             {' + '.join(f'CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END' for s in range(MINHASH_SEEDS))} AS n_agree
+      FROM cand c
+      JOIN minhash sa ON sa.doc_id = c.doc_a
+      JOIN minhash sb ON sb.doc_id = c.doc_b
+    )
+    SELECT g.doc_a, g.doc_b, g.n_agree,
+           CAST((1000000 * g.n_agree) // {MINHASH_SEEDS} AS BIGINT) AS est_micro,
+           CAST(FLOOR((1e6 * COALESCE(i.n_inter, 0))
+                      / (za.n + zb.n - COALESCE(i.n_inter, 0))) AS BIGINT) AS exact_micro
+    FROM agree g
+    LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+    JOIN sizes za ON za.doc_id = g.doc_a
+    JOIN sizes zb ON zb.doc_id = g.doc_b
+    ORDER BY g.doc_a, g.doc_b
+    """,
+    doc="Sketch calibration for the MinHash near-dup pipeline: every LSH "
+    "band candidate pair (pre-verification, so sub-threshold pairs are "
+    "included) with its estimated Jaccard (matching permutations / "
+    f"{MINHASH_SEEDS}, exact integer micro units) next to its true "
+    "Jaccard (exact intersection counts, one IEEE division). This is the "
+    "eval a pipeline runs before trusting a sketch configuration: the "
+    "est-vs-exact gap across candidates bounds the banding's false-"
+    "positive cost. All arithmetic is BIGINT-exact except the one "
+    "shared-form exact-Jaccard division.",
+    tags=("dedup", "eval"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).persist()
+    sigs = _minhash_signatures(sh).persist()
+    cand = _band_candidates(sigs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    agree_expr = None
+    for s in range(MINHASH_SEEDS):
+        term = F.when(F.col(f"sa.mh{s}") == F.col(f"sb.mh{s}"), 1).otherwise(0)
+        agree_expr = term if agree_expr is None else agree_expr + term
+    agree = (
+        cand.join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", agree_expr.alias("n_agree"))
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    return (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.expr(f"CAST((1000000 * n_agree) div {MINHASH_SEEDS} AS BIGINT)").alias(
+                "est_micro"
+            ),
+            F.floor(
+                (F.lit(1e6) * ni) / (F.col("na") + F.col("nb") - ni)
+            )
+            .cast("bigint")
+            .alias("exact_micro"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
