@@ -99,49 +99,53 @@ DRIVER_VERIFIED_R02: frozenset[str] = frozenset({
     "text_bm25_topk",
 })
 
-DRIVER_VERIFIED: frozenset[str] = DRIVER_VERIFIED_R01 | DRIVER_VERIFIED_R02
-
-# Explicit gate order for round 3.  The round-2 driver gate ran exactly the
-# first 50 names; 11 errored on the regenerated events.parquet encoding
-# (TIMESTAMP micros where r1 data was TIMESTAMP(NANOS) — fixed in
-# tables._load_events), 3 streaming twins mismatched for the same reason
-# (micros misread as nanos compressed event-time 1000x), and 14 were never
-# reached.  Those go first, in that order; brand-new queries follow
-# automatically (bucket 1 in `key`), already-verified names run last.
-GATE_PRIORITY_R03: tuple[str, ...] = (
-    # Errored in r02 on the ts encoding change — highest priority re-gate.
+# Triple-green rows added by the round-3 gate (CORRECTNESS_r03.json):
+# 50/50 green, zero failures, zero errors.
+DRIVER_VERIFIED_R03: frozenset[str] = frozenset({
     "text_pii_redact", "zorder_key_events", "funnel_view_click_purchase",
     "cohort_monthly_retention", "rolling_hour_user_activity",
     "asof_join_last_purchase", "range_join_value_bands", "salted_hot_key_agg",
-    "approx_distinct_users_by_type", "percentiles_value_by_type",
-    "approx_percentiles_value_by_type",
-    # Streaming twins that mismatched on the same encoding bug.
-    "stream_hourly_rollup", "stream_session_windows",
-    "stream_purchase_attribution", "stream_user_totals",
-    # Never reached by the r02 gate (cap hit at 50).
-    "histogram_event_values", "window_rank_suite", "unpivot_order_measures",
-    "grouping_sets_orders", "cube_orders_priority_status",
-    "intersect_except_nations", "bag_setops_nations",
-    "full_outer_nation_presence", "correlated_min_price_parts",
-    "scalar_function_corpus",
-    # r2/r3 streaming additions — registered last (module import order)
-    # but carrying more gate value than the multimodal plumbing checks.
-    "stream_dedup_events", "stream_ohlc_bars",
-    # Multimodal plumbing: decode-meta and resize gate this round; the
-    # other two are demoted below so real analytics queries fit the cap.
-    "multimodal_decode_meta", "multimodal_resize",
+    "percentiles_value_by_type", "stream_hourly_rollup",
+    "stream_session_windows", "stream_purchase_attribution",
+    "stream_user_totals", "histogram_event_values", "window_rank_suite",
+    "unpivot_order_measures", "grouping_sets_orders",
+    "cube_orders_priority_status", "intersect_except_nations",
+    "bag_setops_nations", "full_outer_nation_presence",
+    "correlated_min_price_parts", "scalar_function_corpus",
+    "stream_dedup_events", "stream_ohlc_bars", "multimodal_decode_meta",
+    "multimodal_resize", "dedup_ppjoin", "fuzzy_name_match",
+    "dedup_duplicate_spans", "dedup_containment_pairs", "dedup_spans_clean",
+    "dedup_minhash_calibration", "ann_matryoshka_rerank", "ann_ivf_recall",
+    "ann_ivf_index_stats", "dedup_semantic_kmeans", "text_ngram_vocab",
+    "text_bigram_coverage", "lang_confusion_matrix", "corpus_shuffle_shards",
+    "curation_dedup_report", "pagerank_trade_graph", "dupgraph_triangle_stats",
+    "customer_rfm_segments", "part_abc_pareto", "order_fulfillment_lag",
+    "order_backlog_curve", "osm_way_bbox", "osm_relation_members",
+})
+
+DRIVER_VERIFIED: frozenset[str] = (
+    DRIVER_VERIFIED_R01 | DRIVER_VERIFIED_R02 | DRIVER_VERIFIED_R03
 )
 
-# Oracle-backed but lowest gate value (they certify mapInPandas plumbing
-# over the documented deterministic fake, already locally green) — sorted
-# after every other oracle-backed unverified query when slots run out.
-GATE_DEMOTED: tuple[str, ...] = (
+# Explicit gate order for round 4.  All 50 r3 gate slots came back green, so
+# only 13 registered queries have never had a driver row: 9 r3-new analytics
+# queries the 50-slot cap didn't reach, the 2 deliberately demoted multimodal
+# plumbing checks, and the 2 rows-only approx sketches (which errored in r2
+# and sort last by design — this round they gate ONCE, explicitly, ahead of
+# the verified tail, so they finally record a driver row of any kind).
+GATE_PRIORITY_R04: tuple[str, ...] = (
+    # Never-gated r3 analytics/sequence queries — highest value.
+    "event_transitions", "ohlc_hourly_bars", "event_run_islands",
+    "asof_join_next_event", "anomaly_zscore_events", "hourly_spine_fill",
+    "event_cooccurrence_pmi", "weekly_activity_profile", "stream_transitions",
+    # Demoted multimodal plumbing checks — gate them now that slots exist.
     "multimodal_frame_sample", "multimodal_audio_chunks",
+    # Rows-only sketches: never produced ANY driver row (r2 err on the ts
+    # bug; sorted last in r3). Explicitly promoted this once.
+    "approx_distinct_users_by_type", "approx_percentiles_value_by_type",
 )
-# The r02 gate stopped at exactly 50 rows, so with >50 unverified names the
-# tail would miss again. Rows-only queries (no oracle) carry the weakest
-# driver signal — sort them after every oracle-backed unverified query so a
-# 50-slot gate is spent on hash-checkable rows first.
+# Queries new in r4 follow automatically (bucket 1 in `key`); the 133
+# already-verified names run last.
 
 
 def all_queries() -> dict[str, Query]:
@@ -155,17 +159,18 @@ def all_queries() -> dict[str, Query]:
     from osm2orc_spark.streaming import events  # noqa: F401
 
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
-    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R03)}
+    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R04)}
 
     def key(name: str) -> tuple[int, int, int]:
-        no_oracle = REGISTRY[name].oracle is None
-        if name in prio_index and not no_oracle:  # r02 errored/mismatched/unreached
+        # The r4 priority list includes the two rows-only sketches on
+        # purpose — they gate regardless of oracle presence this round.
+        if name in prio_index:
             return (0, prio_index[name], 0)
+        no_oracle = REGISTRY[name].oracle is None
         if name not in DRIVER_VERIFIED and not no_oracle:  # new this round
-            demoted = 1 if name in GATE_DEMOTED else 0
-            return (1, demoted, reg_index[name])
+            return (1, 0, reg_index[name])
         if name not in DRIVER_VERIFIED:  # rows-only: weakest gate signal, last
-            return (2, prio_index.get(name, 10**6), reg_index[name])
+            return (2, 0, reg_index[name])
         return (3, 0, reg_index[name])  # already driver-verified: last
 
     return {name: REGISTRY[name] for name in sorted(REGISTRY, key=key)}
