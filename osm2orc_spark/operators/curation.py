@@ -464,23 +464,31 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree executes once per consumer (Catalyst plans identical
     # subtrees independently).
     quality = text_quality_scores(spark, sf_dir).persist()
-    keep = (
-        curation_quality_filter(spark, sf_dir, quality=quality)
-        .filter("keep")
-        .select("doc_id")
-    )
-    cano = curation_canonical_docs(spark, sf_dir, quality=quality).select("doc_id")
-    surv = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "lang")
-        .join(keep, "doc_id", "left_semi")
-        .join(cano, "doc_id", "left_semi")
-        # surv feeds BOTH the per-lang quota aggregate and the final
-        # quota join -- persist the survivor set (which embeds the
-        # quality-filter and canonical-docs subtrees) instead of
-        # evaluating that lineage twice.
-        .persist()
-    )
+    try:
+        keep = (
+            curation_quality_filter(spark, sf_dir, quality=quality)
+            .filter("keep")
+            .select("doc_id")
+        )
+        cano = curation_canonical_docs(spark, sf_dir, quality=quality).select("doc_id")
+        surv = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "lang")
+            .join(keep, "doc_id", "left_semi")
+            .join(cano, "doc_id", "left_semi")
+            # surv feeds BOTH the per-lang quota aggregate and the final
+            # quota join -- persist the survivor set (which embeds the
+            # quality-filter and canonical-docs subtrees) instead of
+            # evaluating that lineage twice. The survivor cache is a
+            # narrow two-column frame the returned plan reads twice, so
+            # it stays cached; the HEAVY cache (quality: text-derived
+            # columns over the full corpus) is released below once surv
+            # is materialized past it.
+            .persist()
+        )
+        surv.count()
+    finally:
+        quality.unpersist()
     w = surv.groupBy("lang").agg(
         F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * MIX_QUANT)
         .cast("bigint")

@@ -551,7 +551,12 @@ def dedup_components(
             break
         prev_sum = cur_sum
     und.unpersist()
-    singles = docs.join(paired, "doc_id", "left_anti").select(
+    # labels' doc_id set IS the paired set (propagation never adds nodes),
+    # and the fixpoint frame is checkpointed — so the singleton anti-join
+    # can run against labels and the paired cache can be released here
+    # instead of leaking for the session lifetime.
+    paired.unpersist()
+    singles = docs.join(labels, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("component")
     )
     return labels.unionByName(singles)

@@ -171,13 +171,21 @@ def decode_jpeg_header(blob: bytes) -> dict:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
-    while pos + 4 <= len(blob):
+    while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # The spec allows any number of 0xFF fill (padding) bytes before a
+        # marker; real encoders emit them. Skip to the last 0xFF of the run.
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
+            break
         marker = blob[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             pos += 2
             continue
+        if pos + 4 > len(blob):
+            break
         ln = int.from_bytes(blob[pos + 2 : pos + 4], "big")
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             seg = blob[pos + 4 : pos + 2 + ln]

@@ -270,9 +270,11 @@ ZSCORE_TOP = 20
     )
     SELECT q.event_id, q.event_type,
            CAST(q.v AS DOUBLE) AS value,
-           CAST(FLOOR((1e6 * CAST(stats.n * q.vq - stats.s AS DOUBLE))
-                      / SQRT(CAST(stats.n * stats.ss - stats.s * stats.s AS DOUBLE)))
-                AS BIGINT) AS z_micro
+           CASE WHEN CAST(stats.n * stats.ss - stats.s * stats.s AS DOUBLE) > 0
+                THEN CAST(FLOOR((1e6 * CAST(stats.n * q.vq - stats.s AS DOUBLE))
+                           / SQRT(CAST(stats.n * stats.ss - stats.s * stats.s AS DOUBLE)))
+                     AS BIGINT)
+                ELSE 0 END AS z_micro
     FROM q JOIN stats USING (event_type)
     ORDER BY abs(z_micro) DESC, q.event_id
     LIMIT {ZSCORE_TOP}
@@ -301,8 +303,14 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("vq") * F.col("vq")).alias("ss"),
     )
     num = (F.col("n") * F.col("vq") - F.col("s")).cast("double")
-    den = F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
-    z = F.floor((F.lit(1e6) * num) / den).cast("bigint")
+    var_n = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    # Zero-variance guard: 0/0 is NaN, and floor(NaN)->BIGINT diverges
+    # between engines (Spark yields 0, DuckDB errors/NULLs) — emit an
+    # identical literal 0 for degenerate groups instead.
+    z = (
+        F.when(var_n > 0, F.floor((F.lit(1e6) * num) / F.sqrt(var_n)).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+    )
     return (
         q.join(F.broadcast(stats), "event_type")
         .select(

@@ -373,8 +373,7 @@ def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_user_totals",
     # Exact oracle: the state kernel accumulates floor(value*1e6) as BIGINT,
-    # so the totals are integer-exact and order-independent. One input file
-    # -> one micro-batch -> exactly one update row per user (the final state).
+    # so the totals are integer-exact and order-independent.
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
@@ -383,15 +382,23 @@ def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     """,
     doc="applyInPandasWithState running totals driven over the bounded "
-    "input (update mode; last row per user = final state). Totals are "
-    "quantized to BIGINT micros inside the state kernel so the result is "
-    "integer-exact against the SQL oracle.",
+    "input (update mode). The memory sink accumulates one update row per "
+    "user per micro-batch, so the registered query reduces to the final "
+    "state per user (max n_events — running counts are strictly "
+    "increasing) rather than assuming the bounded input arrives as a "
+    "single micro-batch; a multi-file events directory works unchanged. "
+    "Totals are quantized to BIGINT micros inside the state kernel so "
+    "the result is integer-exact against the SQL oracle.",
     tags=("streaming",),
 )
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    return run_to_memory(
+    updates = run_to_memory(
         running_user_totals_stream(ev), "stream_user_totals_mem", output_mode="update"
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value_q", "n_events").alias("sum_value_q"),
     )
 
 
@@ -572,6 +579,11 @@ def transitions_stream(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         prev = state.get if state.exists else None
         frames = [pdf for pdf in pdfs]
+        if not frames:
+            # Timeout-based invocation (no input rows for the key): under
+            # NoTimeout this never fires, but a future eviction policy
+            # invokes the kernel with an empty iterator — emit nothing.
+            return
         pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
         pdf = pdf.assign(_us=pdf["ts"].astype("int64") // 1000)
         pdf = pdf.sort_values(["_us", "event_id"])

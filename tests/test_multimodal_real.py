@@ -220,3 +220,15 @@ class TestJpegHeader:
         app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
         with pytest.raises(ValueError, match="no SOF"):
             decode_jpeg_header(b"\xff\xd8" + app0 + b"\xff\xd9")
+
+    def test_fill_bytes_before_markers(self):
+        """JPEG permits runs of 0xFF fill (padding) bytes before any
+        marker; real camera encoders emit them. The walk must skip the
+        run, not reject it as misalignment."""
+        from osm2orc_spark.operators.multimodal import decode_jpeg_header
+
+        blob = self._jpeg(640, 480)
+        # inject a fill run between SOI and the first marker segment
+        padded = blob[:2] + b"\xff\xff\xff" + blob[2:]
+        m = decode_jpeg_header(padded)
+        assert (m["width"], m["height"]) == (640, 480)
