@@ -123,16 +123,18 @@ def main() -> None:
 
     spark.catalog.clearCache()  # drop warm-up persists before timing
 
-    # Two timed passes, min per query: the steady-state number survives
+    # Three timed passes, min per query: the steady-state number survives
     # transient co-tenant load spikes (observed 2-3x swings on shared
-    # hosts). Caches are cleared between passes so each pass recomputes
-    # every query from the parquet scans.
+    # hosts), and the recorded per-query spread ((max-min)/min over the
+    # passes) makes a real regression distinguishable from one noisy pass
+    # — min-of-2 could not tell the two apart (r3 verdict #4). Caches are
+    # cleared between passes so each pass recomputes from the parquet scans.
     # Per-query isolation: a single failing query records an "error:" marker
     # instead of crashing the whole bench (r02 lost its entire number to one
     # AnalysisException in the timed loop).
-    timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             if name not in qs:
                 continue
@@ -143,16 +145,22 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — survive co-tenant flakiness
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 continue
-            elapsed = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            passes.setdefault(name, []).append(time.perf_counter() - t0)
         spark.catalog.clearCache()
 
+    timings = {name: round(min(ts), 4) for name, ts in passes.items()}
+    spread = {
+        name: round((max(ts) - min(ts)) / min(ts) * 100, 1)
+        for name, ts in passes.items()
+        if len(ts) > 1
+    }
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "headline_query_wall_sec_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread_pct": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest": ingest_decode_metric(),
     }

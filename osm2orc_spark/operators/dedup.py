@@ -1108,6 +1108,91 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment_ppjoin",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / sa.n AS contain_a,
+           CAST(n_inter AS DOUBLE) / sb.n AS contain_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / sa.n >= {CONTAIN_THRESHOLD}
+       OR CAST(n_inter AS DOUBLE) / sb.n >= {CONTAIN_THRESHOLD}
+    """,
+    doc=f"EXACT asymmetric containment pairs (>= {CONTAIN_THRESHOLD} in "
+    "either direction) via the PPJoin prefix bound adapted to "
+    "containment: a pair with |A.and.B|/|A| >= t can miss at most "
+    "n_a - ceil(t*n_a) of A's shingles from the intersection, so one of "
+    "A's n_a - ceil(t*n_a) + 1 rarest shingles MUST appear in B — "
+    "candidates come from prefix(A) joined against the FULL shingle "
+    "list (indexing-prefix x probing-full, the asymmetric-threshold "
+    "PPJoin adaptation), which is lossless, unlike "
+    "dedup_containment_pairs' df-cap that can drop pairs sharing only "
+    "boilerplate shingles. Hot shingles stay cheap because a document's "
+    "prefix holds its RAREST shingles, so the join's per-key fan-out is "
+    "prefix_occurrences(s) x df(s) with prefix_occurrences ~ 0 for hot "
+    "s. The pigeonhole bound holds under ANY global shingle order; "
+    "rarest-first (df, shingle) ordering minimizes candidate count. All "
+    "prefix arithmetic is integer (ceil(0.9n) = (9n+9) div 10).",
+    tags=("dedup",),
+)
+def dedup_containment_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).persist()
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn("rn", F.row_number().over(w_doc.orderBy("df", "shingle")))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+    )
+    # p = n - ceil(t*n) + 1 with t = 9/10, all-integer so the bound is safe.
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(9*n + 9) div 10") + F.lit(1)
+    ).select(F.col("doc_id").alias("doc_p"), "shingle")
+    # Indexing prefix x probing FULL list: sound for either containment
+    # direction (the qualifying side's prefix hits the intersection).
+    cand = (
+        prefix.join(sh.select(F.col("doc_id").alias("doc_f"), "shingle"), "shingle")
+        .filter(F.col("doc_p") != F.col("doc_f"))
+        .select(
+            F.least("doc_p", "doc_f").alias("doc_a"),
+            F.greatest("doc_p", "doc_f").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = ranked.filter(F.col("rn") == 1).select("doc_id", "n")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / F.col("na")).alias("contain_a"),
+            (F.col("n_inter").cast("double") / F.col("nb")).alias("contain_b"),
+        )
+    )
+    return scored.filter(
+        (F.col("contain_a") >= CONTAIN_THRESHOLD)
+        | (F.col("contain_b") >= CONTAIN_THRESHOLD)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Span-cut application: remove every maximal duplicated range found by
 # dedup_duplicate_spans and reassemble the surviving tokens. This is the

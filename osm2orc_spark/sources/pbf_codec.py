@@ -147,11 +147,27 @@ def _decode_string_table(buf: bytes) -> list[str]:
 
 
 def _packed_varints(buf: bytes) -> list[int]:
-    out = []
-    pos = 0
-    while pos < len(buf):
-        v, pos = _read_varint(buf, pos)
-        out.append(v)
+    # varint read inlined (single-byte fast path): this loop runs per
+    # way/relation packed field, where values are predominantly < 128.
+    out: list[int] = []
+    append = out.append
+    pos, n = 0, len(buf)
+    while pos < n:
+        b = buf[pos]
+        pos += 1
+        if b < 0x80:
+            append(b)
+            continue
+        v = b & 0x7F
+        shift = 7
+        while True:
+            b = buf[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if b < 0x80:
+                break
+            shift += 7
+        append(v)
     return out
 
 
@@ -201,17 +217,31 @@ def _packed_svarints_list(buf: bytes, delta: bool = False) -> list[int]:
     (the PBF delta encoding for ids/coords/refs/memids/DenseInfo)."""
     if len(buf) < _NP_CUTOVER:
         out: list[int] = []
+        append = out.append
         pos = 0
         acc = 0
         n = len(buf)
         while pos < n:
-            v, pos = _read_varint(buf, pos)
+            b = buf[pos]
+            pos += 1
+            if b < 0x80:
+                v = b
+            else:
+                v = b & 0x7F
+                shift = 7
+                while True:
+                    b = buf[pos]
+                    pos += 1
+                    v |= (b & 0x7F) << shift
+                    if b < 0x80:
+                        break
+                    shift += 7
             s = (v >> 1) ^ -(v & 1)
             if delta:
                 acc += s
-                out.append(acc)
+                append(acc)
             else:
-                out.append(s)
+                append(s)
         return out
     v = _packed_varints_np(buf)
     s = (v >> np.uint64(1)).astype(np.int64) ^ -(
@@ -380,22 +410,58 @@ def _nano_to_decimal_str(nano: int) -> str:
     return f"{sign}{a // NANO}.{a % NANO:09d}"
 
 
-def _decode_info(buf: bytes, strings: list[str]) -> dict:
-    info = {"version": -1, "timestamp": None, "changeset": None, "uid": None, "user": None, "visible": True}
+# (version, timestamp, changeset, uid, user, visible)
+_INFO_DEFAULT = (-1, None, None, None, None, True)
+
+
+def _decode_info_generic(buf: bytes, strings: list[str]) -> tuple:
+    version, timestamp, changeset, uid, user, visible = _INFO_DEFAULT
     for fieldno, _, val in _fields(buf):
         if fieldno == 1:
-            info["version"] = val
+            version = val
         elif fieldno == 2:
-            info["timestamp"] = val
+            timestamp = val
         elif fieldno == 3:
-            info["changeset"] = val
+            changeset = val
         elif fieldno == 4:
-            info["uid"] = val
+            uid = val
         elif fieldno == 5:
-            info["user"] = strings[val]
+            user = strings[val]
         elif fieldno == 6:
-            info["visible"] = bool(val)
-    return info
+            visible = bool(val)
+    return (version, timestamp, changeset, uid, user, visible)
+
+
+def _decode_info(buf: bytes, strings: list[str]) -> tuple:
+    """Info message -> (version, timestamp, changeset, uid, user, visible).
+
+    Specialized tight loop: Info defines only varint fields 1-6, so every
+    field is a single-byte key followed by one varint — the generic
+    _fields generator (one resume per field, ~one third of way/relation
+    decode time) is skipped entirely. Any unexpected key byte falls back
+    to the generic walker."""
+    version, timestamp, changeset, uid, user, visible = _INFO_DEFAULT
+    pos, n = 0, len(buf)
+    while pos < n:
+        key = buf[pos]
+        pos += 1
+        if key >= 0x80 or key & 7:  # multi-byte key or non-varint wire
+            return _decode_info_generic(buf, strings)
+        v, pos = _read_varint(buf, pos)
+        f = key >> 3
+        if f == 1:
+            version = v
+        elif f == 2:
+            timestamp = v
+        elif f == 3:
+            changeset = v
+        elif f == 4:
+            uid = v
+        elif f == 5:
+            user = strings[v]
+        elif f == 6:
+            visible = bool(v)
+    return (version, timestamp, changeset, uid, user, visible)
 
 
 ENTITY_COLUMNS = (
@@ -474,43 +540,65 @@ def decode_primitive_block_columns(data: bytes) -> dict[str, list]:
     c_visible = cols["visible"]
 
     for group in groups:
-        for fieldno, _, val in _fields(group):
-            gbuf = bytes(val)
+        # Inlined PrimitiveGroup walk (every field is wire 2: repeated
+        # Node/DenseNodes/Way/Relation messages) — one generator resume
+        # per entity adds up at ~10k ways/relations per block-set.
+        posg, ng = 0, len(group)
+        while posg < ng:
+            keyg = group[posg]
+            posg += 1
+            if keyg >= 0x80:
+                keyg, posg = _read_varint(group, posg - 1)
+            fieldno, wireg = keyg >> 3, keyg & 7
+            if wireg != 2:
+                if wireg == 0:
+                    _, posg = _read_varint(group, posg)
+                elif wireg == 1:
+                    posg += 8
+                elif wireg == 5:
+                    posg += 4
+                else:
+                    raise ValueError(f"unsupported wire type {wireg}")
+                continue
+            lng = group[posg]
+            posg += 1
+            if lng >= 0x80:
+                lng, posg = _read_varint(group, posg - 1)
+            gbuf = group[posg : posg + lng]
+            posg += lng
             if fieldno == 1:  # plain Node
-                node = {"keys": [], "vals": [], "info": {}}
+                keys: list[int] = []
+                vals: list[int] = []
+                info = _INFO_DEFAULT
                 nid = lat = lon = None
                 for f2, _, v2 in _fields(gbuf):
                     if f2 == 1:
                         nid = _zigzag_decode(v2)
                     elif f2 == 2:
-                        node["keys"] = _packed_varints(bytes(v2))
+                        keys = _packed_varints(bytes(v2))
                     elif f2 == 3:
-                        node["vals"] = _packed_varints(bytes(v2))
+                        vals = _packed_varints(bytes(v2))
                     elif f2 == 4:
-                        node["info"] = _decode_info(bytes(v2), strings)
+                        info = _decode_info(bytes(v2), strings)
                     elif f2 == 8:
                         lat = _zigzag_decode(v2)
                     elif f2 == 9:
                         lon = _zigzag_decode(v2)
-                info = node["info"] or _decode_info(b"", strings)
                 c_id.append(nid)
                 c_type.append("node")
                 c_tags.append(
-                    {
-                        strings[k]: strings[v]
-                        for k, v in zip(node["keys"], node["vals"])
-                    }
+                    {strings[k]: strings[v] for k, v in zip(keys, vals)}
                 )
                 c_lat.append(coord(lat_offset, lat))
                 c_lon.append(coord(lon_offset, lon))
                 c_nds.append([])
                 c_members.append([])
-                c_changeset.append(info.get("changeset"))
-                c_ts.append(ts_ms(info.get("timestamp")))
-                c_uid.append(info.get("uid"))
-                c_user.append(info.get("user"))
-                c_version.append(info.get("version", -1))
-                c_visible.append(info.get("visible", True))
+                c_changeset.append(info[2])
+                c_ts.append(ts_ms(info[1]))
+                c_uid.append(info[3])
+                c_user.append(info[4])
+                c_version.append(info[0])
+                c_visible.append(info[5])
             elif fieldno == 2:  # DenseNodes
                 # Every packed field decodes vectorized; the delta encoding
                 # becomes one cumsum per array instead of per-row accumulators.
@@ -622,42 +710,71 @@ def decode_primitive_block_columns(data: bytes) -> dict[str, list]:
                 )
             elif fieldno in (3, 4):  # Way | Relation
                 eid = None
-                keys: list[int] = []
-                vals: list[int] = []
-                info = {}
+                keys = []
+                vals = []
+                info = _INFO_DEFAULT
                 refs: list[int] = []
                 roles: list[int] = []
                 memids: list[int] = []
                 types: list[int] = []
-                for f2, _, v2 in _fields(gbuf):
-                    if f2 == 1:
-                        eid = v2
-                    elif f2 == 2:
-                        keys = _packed_varints_list(bytes(v2))
-                    elif f2 == 3:
-                        vals = _packed_varints_list(bytes(v2))
-                    elif f2 == 4:
-                        info = _decode_info(bytes(v2), strings)
-                    elif f2 == 8 and fieldno == 3:
-                        refs = _packed_svarints_list(bytes(v2), delta=True)
-                    elif f2 == 8 and fieldno == 4:
-                        roles = _packed_varints_list(bytes(v2))
-                    elif f2 == 9:
-                        memids = _packed_svarints_list(bytes(v2), delta=True)
-                    elif f2 == 10:
-                        types = _packed_varints_list(bytes(v2))
+                # Inlined field walk (the _fields generator costs one
+                # resume per field across ~10k way/relation messages per
+                # block-set — a third of non-dense decode time). Way and
+                # Relation define only varint ids (wire 0) and packed/
+                # length-delimited payloads (wire 2).
+                pos2, n2 = 0, len(gbuf)
+                while pos2 < n2:
+                    # key and length bytes are single-byte in practice
+                    # (fields <= 10, payloads mostly < 128 bytes)
+                    key2 = gbuf[pos2]
+                    pos2 += 1
+                    if key2 >= 0x80:
+                        key2, pos2 = _read_varint(gbuf, pos2 - 1)
+                    f2, wire2 = key2 >> 3, key2 & 7
+                    if wire2 == 0:
+                        v2, pos2 = _read_varint(gbuf, pos2)
+                        if f2 == 1:
+                            eid = v2
+                    elif wire2 == 2:
+                        ln2 = gbuf[pos2]
+                        pos2 += 1
+                        if ln2 >= 0x80:
+                            ln2, pos2 = _read_varint(gbuf, pos2 - 1)
+                        v2 = gbuf[pos2 : pos2 + ln2]
+                        pos2 += ln2
+                        if f2 == 2:
+                            keys = _packed_varints_list(v2)
+                        elif f2 == 3:
+                            vals = _packed_varints_list(v2)
+                        elif f2 == 4:
+                            info = _decode_info(v2, strings)
+                        elif f2 == 8 and fieldno == 3:
+                            refs = _packed_svarints_list(v2, delta=True)
+                        elif f2 == 8:
+                            roles = _packed_varints_list(v2)
+                        elif f2 == 9:
+                            memids = _packed_svarints_list(v2, delta=True)
+                        elif f2 == 10:
+                            types = _packed_varints_list(v2)
+                    elif wire2 == 1:
+                        pos2 += 8
+                    elif wire2 == 5:
+                        pos2 += 4
+                    else:
+                        raise ValueError(f"unsupported wire type {wire2}")
                 c_id.append(eid)
                 c_tags.append(
                     {strings[k]: strings[v] for k, v in zip(keys, vals)}
                 )
                 c_lat.append(None)  # B3: NULL coords for ways/relations
                 c_lon.append(None)
-                c_changeset.append(info.get("changeset"))
-                c_ts.append(ts_ms(info.get("timestamp")))
-                c_uid.append(info.get("uid"))
-                c_user.append(info.get("user"))
-                c_version.append(info.get("version", -1))
-                c_visible.append(info.get("visible", True))
+                c_changeset.append(info[2])
+                t = info[1]
+                c_ts.append(None if t is None else t * date_granularity)
+                c_uid.append(info[3])
+                c_user.append(info[4])
+                c_version.append(info[0])
+                c_visible.append(info[5])
                 if fieldno == 3:
                     # refs decode already prefix-summed (delta=True)
                     c_type.append("way")

@@ -132,3 +132,24 @@ def test_rp_lsh_candidate_volume_subquadratic(spark, sf_correctness):
     pair_space = emb_n * (emb_n - 1) // 2
     assert n_cand < pair_space // 10, (n_cand, pair_space)
     assert n_cand >= QUERIES["embedding_near_dup_lsh"].fn(spark, sf_correctness).count()
+
+
+def test_containment_ppjoin_supersets_capped_variant(spark, sf_correctness):
+    """The prefix-filtered containment path is EXACT (lossless pigeonhole
+    bound), while dedup_containment_pairs' df-cap can drop pairs whose
+    shared shingles are all boilerplate-hot. So the exact result must
+    contain every capped-path pair with identical scores, and every extra
+    pair it finds must genuinely meet the threshold."""
+    exact = {
+        (r.doc_a, r.doc_b): (r.contain_a, r.contain_b)
+        for r in QUERIES["dedup_containment_ppjoin"].fn(spark, sf_correctness).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): (r.contain_a, r.contain_b)
+        for r in QUERIES["dedup_containment_pairs"].fn(spark, sf_correctness).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, scores in capped.items():
+        assert exact[pair] == scores
+    for pair, (ca, cb) in exact.items():
+        assert max(ca, cb) >= 0.9
