@@ -306,7 +306,7 @@ def _argmin_cid(qv_col: Column, cents: list[list[int]]) -> Column:
 
 
 def _lloyd_fit_ints(
-    spark: SparkSession, sf_dir: str, k: int, iters: int
+    spark: SparkSession, sf_dir: str, k: int, iters: int, fit_fraction: float = 1.0
 ) -> list[list[int]]:
     """Fit k integer centroids over the quantized embeddings.
 
@@ -314,9 +314,28 @@ def _lloyd_fit_ints(
     baked in as literals (broadcast-by-literal — zero shuffle), the
     update is ONE posexplode+groupBy pass whose k*d partial sums come
     back to the driver (O(k*d) rows — the same driver footprint MLlib's
-    KMeans uses for its centroid updates). At 100 TB, fit on a sample
-    and reuse the centroids; the dataflow is unchanged."""
+    KMeans uses for its centroid updates).
+
+    ``fit_fraction`` < 1 is the 100 TB posture made real: the fit runs
+    on the first ceil(fraction*n) vectors of the deterministic
+    (md5(vec_id), vec_id) ranking — the same ranking that seeds the
+    centroids, so seeds are always inside the sample and a SQL twin can
+    replay the exact sample with one ROW_NUMBER window (no engine RNG).
+    The per-partition top-m ranking scans once; every fit iteration then
+    touches only the sample, and callers assign the FULL corpus against
+    the returned centroids exactly as before."""
     emb = load(spark, sf_dir, "embeddings")
+    if not 0.0 < fit_fraction <= 1.0:
+        raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
+    if fit_fraction < 1.0:
+        m = max(k, math.ceil(fit_fraction * emb.count()))
+        fit_ids = (
+            emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+            .orderBy("h", "vec_id")
+            .limit(m)
+            .select("vec_id")
+        )
+        emb = emb.join(fit_ids, "vec_id")
     qe = emb.select("vec_id", _quant(F.col("embedding")).alias("qv")).persist()
     seed_rows = (
         emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
@@ -346,23 +365,36 @@ def _lloyd_fit_ints(
     return cents
 
 
-def _lloyd_cte_sql(k: int, iters: int, p: str) -> str:
+def _lloyd_cte_sql(k: int, iters: int, p: str, fit_m: int | None = None) -> str:
     """Unrolled-SQL twin of _lloyd_fit_ints over the ``qe`` CTE.
 
     Emits CTEs ``{p}cent0..{p}cent{iters}`` (cid, i, c) plus the final
     assignment ``{p}asg`` (vec_id, cid). Fixed iterations unroll to a
-    flat CTE chain — no recursion needed."""
-    parts = [
+    flat CTE chain — no recursion needed. ``fit_m`` (the concrete sample
+    size, computed by the caller so both engines share one integer)
+    replays fit_fraction sampling: the fit iterations run over the first
+    fit_m rows of the (md5(vec_id), vec_id) ranking, while the final
+    assignment still covers every vector."""
+    fit_src = "qe"
+    parts = []
+    if fit_m is not None:
+        fit_src = f"{p}qef"
+        parts.append(f"""{p}fit AS (
+      SELECT vec_id FROM embeddings
+      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {fit_m}
+    ),
+    {p}qef AS (SELECT q.* FROM qe q JOIN {p}fit USING (vec_id))""")
+    parts.append(
         f"""{p}init AS (
       SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
       FROM embeddings QUALIFY cid < {k}
     ),
     {p}cent0 AS (SELECT r.cid, q.i, q.v AS c FROM {p}init r JOIN qe q USING (vec_id))"""
-    ]
+    )
     for r in range(1, iters + 1):
         parts.append(f"""{p}d{r} AS (
       SELECT q.vec_id, c.cid, CAST(SUM((q.v - c.c) * (q.v - c.c)) AS BIGINT) AS d
-      FROM qe q JOIN {p}cent{r - 1} c ON c.i = q.i
+      FROM {fit_src} q JOIN {p}cent{r - 1} c ON c.i = q.i
       GROUP BY 1, 2
     ),
     {p}a{r} AS (
@@ -371,7 +403,7 @@ def _lloyd_cte_sql(k: int, iters: int, p: str) -> str:
     ),
     {p}u{r} AS (
       SELECT a.cid, q.i, CAST(SUM(q.v) AS BIGINT) AS s, COUNT(*) AS n
-      FROM {p}a{r} a JOIN qe q USING (vec_id) GROUP BY 1, 2
+      FROM {p}a{r} a JOIN {fit_src} q USING (vec_id) GROUP BY 1, 2
     ),
     {p}cent{r} AS (
       SELECT c.cid, c.i, COALESCE(u.s // u.n, c.c) AS c
@@ -439,8 +471,12 @@ def _lloyd_cte_sql(k: int, iters: int, p: str) -> str:
     "sample, reuse centroids; probe/score dataflow is unchanged.",
     tags=("similarity",),
 )
-def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS)
+def ann_ivf_kmeans(
+    spark: SparkSession, sf_dir: str, *, fit_fraction: float = 1.0
+) -> DataFrame:
+    cents = _lloyd_fit_ints(
+        spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS, fit_fraction=fit_fraction
+    )
     emb = load(spark, sf_dir, "embeddings")
     q_row = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
     q_id = q_row["vec_id"]

@@ -320,3 +320,51 @@ def test_approx_percentiles_within_rank_error(spark, sf_correctness):
             rank_lo, rank_hi = lo / n, hi / n
             eps = 1.0 / APPROX_PCT_ACC + 1.0 / n
             assert rank_lo - eps <= p <= rank_hi + eps, (et, p, est, rank_lo, rank_hi)
+
+
+def test_lloyd_fit_fraction_oracle_replay(spark, sf_correctness):
+    """fit_fraction<1 samples the fit set by the deterministic
+    (md5(vec_id), vec_id) ranking, so a DuckDB twin given the same
+    concrete sample size must reproduce the centroids bit-for-bit —
+    and the sampled fit must actually differ from the full fit's input
+    (it uses half the corpus)."""
+    import math
+
+    import duckdb
+
+    from osm2orc_spark.operators.similarity import (
+        _DUCK_QE,
+        _lloyd_cte_sql,
+        _lloyd_fit_ints,
+    )
+    from osm2orc_spark.tables import load
+
+    k, iters, frac = 8, 2, 0.5
+    n = load(spark, sf_correctness, "embeddings").count()
+    m = max(k, math.ceil(frac * n))
+    cents = _lloyd_fit_ints(spark, sf_correctness, k, iters, fit_fraction=frac)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_correctness}/embeddings.parquet')"
+    )
+    rows = con.sql(
+        f"WITH {_DUCK_QE}, {_lloyd_cte_sql(k, iters, 'km', fit_m=m)} "
+        f"SELECT cid, i, c FROM kmcent{iters} ORDER BY cid, i"
+    ).fetchall()
+    oracle_cents = [[0] * len(cents[0]) for _ in range(k)]
+    for cid, i, c in rows:
+        oracle_cents[cid][i - 1] = int(c)
+    assert cents == oracle_cents
+
+    full = _lloyd_fit_ints(spark, sf_correctness, k, iters)
+    assert cents != full  # the sample genuinely changes the fit input
+
+
+def test_ann_ivf_kmeans_fit_fraction_runs(spark, sf_correctness):
+    from osm2orc_spark.operators.similarity import TOP_K, ann_ivf_kmeans
+
+    rows = ann_ivf_kmeans(spark, sf_correctness, fit_fraction=0.5).collect()
+    assert 0 < len(rows) <= TOP_K
+    assert all(r.cosine <= 1.0 for r in rows)
