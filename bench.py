@@ -51,6 +51,8 @@ HEADLINE = [
     "dedup_ppjoin",
     "ohlc_hourly_bars",
     "anomaly_zscore_events",
+    # r4 addition: exact containment via the asymmetric prefix bound
+    "dedup_containment_ppjoin",
 ]
 
 

@@ -292,6 +292,15 @@ def test_ppjoin_no_cartesian_and_partial_aggs(spark, sf_correctness):
     assert "CartesianProduct" not in plan
 
 
+def test_containment_ppjoin_no_cartesian(spark, sf_correctness):
+    # prefix x full-list candidate generation must plan as a shingle
+    # equi-join (prefix side pruned by the rank filter) — never a
+    # cartesian or nested-loop join
+    plan = plan_of(spark, sf_correctness, "dedup_containment_ppjoin")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_event_windows_share_user_exchange(spark, sf_correctness):
     """event_run_islands computes two row_numbers over (user_id) and
     (user_id, event_type); the second must reuse the first's hash
