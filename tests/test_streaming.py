@@ -238,3 +238,37 @@ def test_cli_watch_once_drains_directory(spark, tmp_path):
     got = spark.read.orc(out)
     assert got.count() == 1788
     assert "_batch_id" in got.columns
+
+
+def test_user_totals_query_reduces_multi_batch_input(spark, sf_smoke, tmp_path):
+    """The registered stream_user_totals must be correct when the bounded
+    input arrives as SEVERAL files -> several micro-batches (the memory
+    sink then holds multiple update rows per user; the query reduces to
+    the final state instead of assuming one batch)."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.registry import all_queries
+    from osm2orc_spark.tables import load
+
+    # split events into 3 parquet files in a fresh sf-shaped directory
+    src = load(spark, sf_smoke, "events")
+    sf_dir = tmp_path / "sf_multi"
+    src.repartition(3).write.parquet(str(sf_dir / "events.parquet"))
+
+    out = {
+        r["user_id"]: r
+        for r in all_queries()["stream_user_totals"].fn(spark, str(sf_dir)).collect()
+    }
+    batch = {
+        r["user_id"]: r
+        for r in src.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("s_q"),
+        )
+        .collect()
+    }
+    assert set(out) == set(batch)
+    for uid, b in batch.items():
+        assert out[uid]["n_events"] == b["n"]
+        assert out[uid]["sum_value_q"] == b["s_q"]
