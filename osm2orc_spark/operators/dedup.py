@@ -540,10 +540,15 @@ def dedup_components(
         # Cut lineage and materialize the round: executor-local blocks for
         # single-node runs, a reliable checkpoint dir for clusters where
         # losing an executor must not kill the accumulated iterations.
+        # The checkpoint is LAZY and the convergence-sum collect is the
+        # action that materializes it — one job per round instead of an
+        # eager-checkpoint job followed by a separate aggregation job
+        # (the per-round driver round trips are the fixed cost that
+        # dominates this loop on shallow clusters).
         if checkpoint == "reliable":
-            new_labels = merged.checkpoint(eager=True)
+            new_labels = merged.checkpoint(eager=False)
         else:
-            new_labels = merged.localCheckpoint(eager=True)
+            new_labels = merged.localCheckpoint(eager=False)
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
