@@ -657,8 +657,10 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM tp) AS n_true,
            (SELECT COUNT(*) FROM cand) AS n_cand,
            (SELECT COUNT(*) FROM cand JOIN tp USING (vec_a, vec_b)) AS n_found,
-           CAST((SELECT COUNT(*) FROM cand JOIN tp USING (vec_a, vec_b)) AS DOUBLE)
-             / (SELECT COUNT(*) FROM tp) AS recall,
+           CASE WHEN (SELECT COUNT(*) FROM tp) > 0
+                THEN CAST((SELECT COUNT(*) FROM cand JOIN tp USING (vec_a, vec_b)) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM tp)
+                ELSE NULL END AS recall,
            CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
              / ((SELECT COUNT(*) FROM embeddings) * ((SELECT COUNT(*) FROM embeddings) - 1) / 2.0)
              AS cand_rate
@@ -715,7 +717,13 @@ def embedding_lsh_calibration(
             "n_true",
             "n_cand",
             "n_found",
-            (F.col("n_found").cast("double") / F.col("n_true")).alias("recall"),
+            # Explicit zero-true-pairs guard (identical CASE in the SQL
+            # twin): x/0 is engine-divergent territory — see the
+            # anomaly_zscore_events NaN lesson.
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_found").cast("double") / F.col("n_true"),
+            ).alias("recall"),
             (
                 F.col("n_cand").cast("double")
                 / (F.col("n_vec") * (F.col("n_vec") - 1) / F.lit(2.0))
