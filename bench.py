@@ -113,6 +113,10 @@ def ingest_decode_metric() -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Decode metric FIRST, before the Spark JVM exists: the codec is
+    # single-thread pure Python, and measuring it next to an idle
+    # 32-thread JVM added 10-20% noise to the recorded rate.
+    ingest = ingest_decode_metric()
     spark = get_spark(app_name="osm2orc_spark-bench")
     qs = all_queries()
 
@@ -170,7 +174,7 @@ def main() -> None:
         "queries": timings,
         "spread_pct": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "ingest": ingest_decode_metric(),
+        "ingest": ingest,
     }
     if errors:
         payload["errors"] = errors
