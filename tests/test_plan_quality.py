@@ -292,6 +292,14 @@ def test_ppjoin_no_cartesian_and_partial_aggs(spark, sf_correctness):
     assert "CartesianProduct" not in plan
 
 
+def test_rp_lsh_no_cartesian(spark, sf_correctness):
+    # candidate generation must be an equi-join on (c, cv) chunk values;
+    # the verify join keys on candidate pair ids — never a cartesian
+    plan = plan_of(spark, sf_correctness, "embedding_near_dup_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_containment_ppjoin_no_cartesian(spark, sf_correctness):
     # prefix x full-list candidate generation must plan as a shingle
     # equi-join (prefix side pruned by the rank filter) — never a
