@@ -22,7 +22,12 @@ from osm2orc_spark.operators.dedup import (
     _shingles,
     dedup_components,
 )
-from osm2orc_spark.operators.text import text_quality_scores
+from osm2orc_spark.operators.text import (
+    FEAT_BUCKETS,
+    _ngrams_uni_bi,
+    feature_bucket,
+    text_quality_scores,
+)
 from osm2orc_spark.registry import REGISTRY, register
 from osm2orc_spark.tables import load
 
@@ -649,3 +654,117 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection: importance resampling toward a target domain
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling"). Features are the shared hashed uni+bigram space from
+# operators/text.py; the target/raw bucket count models give each bucket
+# a smoothed probability-ratio score, and a document's importance weight
+# is the sum of its features' scores.
+# ---------------------------------------------------------------------------
+DSIR_TARGET_SOURCE = "src0"  # the curated-domain stand-in
+DSIR_K = 100  # documents selected
+DSIR_RQ = 1_000_000  # ratio quantization
+
+
+@register(
+    "curation_dsir_select",
+    oracle=None,  # assembled below (shares the _DUCK_FEATS fragment)
+    doc=f"DSIR data selection: rank every document by how much its hashed "
+    f"uni+bigram features look like the target domain (source = "
+    f"'{DSIR_TARGET_SOURCE}') relative to the raw pool, then select the "
+    f"top {DSIR_K}. Per-bucket score = floor({DSIR_RQ} * (target_count "
+    "+ 1) / (raw_count + 1)) — the add-one-smoothed probability ratio "
+    "in exact BIGINT arithmetic. The paper's log-likelihood-ratio "
+    "weight needs ln() (libm last-bit risk across engines); this sums "
+    "the quantized ratios instead — a deterministic importance "
+    "statistic with the same pipeline shape. (The constant "
+    "normalization (tot_raw+B)/(tot_target+B) multiplies every bucket "
+    "equally, so dropping it rescales all scores by one factor per "
+    "corpus; production can reintroduce ln-scores as a literal table "
+    "without touching the plan.) Scale shape: one ngram explode (the "
+    "same stream every tokenizer stat runs), two bucket-count "
+    f"aggregates over {FEAT_BUCKETS} keys, a {FEAT_BUCKETS}-row score "
+    "table BROADCAST into the feature stream, one groupBy(doc_id) "
+    "partial-agg sum, and a TakeOrdered top-k (no global sort window) "
+    "joined back as the selected flag. BIGINT bound: score <= RQ * "
+    "(tot_target + 1), so at corpus scale lower RQ or widen to "
+    "DECIMAL(38,0) — the sf0.1 bound is ~5e10, comfortably exact.",
+    tags=("curation", "split", "text"),
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_ngrams_uni_bi()).alias("ngram"),
+    ).select("doc_id", "source", feature_bucket(F.col("ngram"), "dsir").alias("b"))
+
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tgt = (
+        feats.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    score = raw.join(tgt, "b", "left").select(
+        "b",
+        F.expr(
+            f"CAST(({DSIR_RQ} * (coalesce(t_cnt, 0) + 1)) DIV (r_cnt + 1) AS BIGINT)"
+        ).alias("s"),
+    )
+    weights = (
+        feats.join(F.broadcast(score), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("s").cast("bigint").alias("weight"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        )
+    )
+    topk = (
+        weights.orderBy(F.desc("weight"), "doc_id")
+        .limit(DSIR_K)
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return weights.join(topk, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "weight",
+        "n_feats",
+        F.coalesce(F.col("sel"), F.lit(False)).alias("selected"),
+    )
+
+
+def _assemble_dsir_oracle() -> None:
+    from osm2orc_spark.operators.text import _DUCK_FEATS
+
+    feats_cte = _DUCK_FEATS.format(salt="dsir", buckets=FEAT_BUCKETS)
+    REGISTRY["curation_dsir_select"].oracle = f"""
+    WITH {feats_cte},
+    raw AS (SELECT b, COUNT(*) AS r_cnt FROM feats GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS t_cnt FROM feats
+            WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b),
+    score AS (
+      SELECT raw.b,
+             CAST(({DSIR_RQ} * (COALESCE(t_cnt, 0) + 1)) // (r_cnt + 1) AS BIGINT) AS s
+      FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+    ),
+    weights AS (
+      SELECT f.doc_id, f.source,
+             CAST(SUM(s.s) AS BIGINT) AS weight,
+             CAST(COUNT(*) AS BIGINT) AS n_feats
+      FROM feats f JOIN score s ON s.b = f.b
+      GROUP BY f.doc_id, f.source
+    ),
+    topk AS (
+      SELECT doc_id, TRUE AS sel FROM weights
+      QUALIFY ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) <= {DSIR_K}
+    )
+    SELECT w.doc_id, w.source, w.weight, w.n_feats,
+           COALESCE(t.sel, FALSE) AS selected
+    FROM weights w LEFT JOIN topk t ON t.doc_id = w.doc_id
+    """
+
+
+_assemble_dsir_oracle()

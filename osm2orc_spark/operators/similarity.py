@@ -1497,3 +1497,103 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prototype-distance data pruning (Sorscher et al. 2022, "Beyond neural
+# scaling laws"): rank every embedding by its cosine to its class
+# prototype (the per-label centroid) and mark the most prototypical
+# fraction for pruning — in the abundant-data regime the EASY (closest-
+# to-prototype) examples are the ones worth dropping.
+# ---------------------------------------------------------------------------
+PRUNE_NUM, PRUNE_DEN = 1, 5  # prune the top 1/5 most-prototypical per label
+
+
+@register(
+    "embedding_prototype_prune",
+    oracle=f"""
+    WITH {_DUCK_QE},
+    cent AS (
+      SELECT label, i, CAST(SUM(v) // COUNT(*) AS BIGINT) AS c
+      FROM qe GROUP BY label, i
+    ),
+    cnorm AS (SELECT label, CAST(SUM(c*c) AS BIGINT) AS n2c FROM cent GROUP BY label),
+    dots AS (
+      SELECT q.vec_id, q.label, CAST(SUM(q.v * c.c) AS BIGINT) AS dot
+      FROM qe q JOIN cent c ON c.label = q.label AND c.i = q.i
+      GROUP BY q.vec_id, q.label
+    ),
+    cosr AS (
+      SELECT d.vec_id, d.label,
+             CAST(d.dot AS DOUBLE) /
+               (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.n2c AS DOUBLE))) AS cos
+      FROM dots d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN cnorm cn ON cn.label = d.label
+    ),
+    ranked AS (
+      SELECT vec_id, label,
+             CAST(floor(cos * {QUANT}) AS BIGINT) AS cos_q6,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY label) AS n_label
+      FROM cosr
+    )
+    SELECT vec_id, label, cos_q6, CAST(rnk AS BIGINT) AS rnk,
+           rnk * {PRUNE_DEN} <= n_label * {PRUNE_NUM} AS prune
+    FROM ranked
+    """,
+    doc="Prototype-distance pruning: per-label centroids from the "
+    "quantized-integer embeddings (elementwise SUM DIV COUNT — the same "
+    "truncating arithmetic as the Lloyd's fit), cosine of every vector "
+    f"to its own label's prototype, then mark the top {PRUNE_NUM}/"
+    f"{PRUNE_DEN} most-prototypical per label (rank*den <= n*num — "
+    "integer-exact, no double quantile). Plan shape: the centroid build "
+    "is one posexplode + groupBy(label, dim) partial agg over label*dim "
+    "keys (tiny output); prototypes re-assemble to arrays, BROADCAST to "
+    "the corpus scan, and the scoring dot product is a JVM zip_with — "
+    "no join against the exploded corpus. The only corpus-sized shuffle "
+    "is the per-label rank window; at 100 TB that window shards the "
+    "same way curation's per-lang windows do (labels partition the "
+    "corpus), and a near-balanced label distribution keeps partitions "
+    "even.",
+    tags=("similarity", "curation"),
+)
+def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _quant(F.col("embedding")).alias("q")
+    )
+    el = emb.select("vec_id", "label", F.posexplode("q").alias("i", "v"))
+    cent_elems = el.groupBy("label", "i").agg(
+        F.expr("CAST(SUM(v) DIV COUNT(1) AS BIGINT)").alias("c")
+    )
+    cent = cent_elems.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        _cosine(
+            _dot(F.col("q"), F.col("cvec")),
+            _dot(F.col("q"), F.col("q")),
+            _dot(F.col("cvec"), F.col("cvec")),
+        ).alias("cos"),
+    )
+    w = W.partitionBy("label").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            F.floor(F.col("cos") * QUANT).cast("bigint").alias("cos_q6"),
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            F.count(F.lit(1)).over(W.partitionBy("label")).alias("n_label"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "cos_q6",
+            "rnk",
+            (F.col("rnk") * PRUNE_DEN <= F.col("n_label") * PRUNE_NUM).alias("prune"),
+        )
+    )

@@ -898,3 +898,127 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed uni+bigram feature space: the fasttext/DSIR feature extractor.
+# Every word and every adjacent word pair hashes (salted md5, 32-bit
+# prefix) into one of FEAT_BUCKETS buckets. Shared by the linear quality
+# classifier below and curation_dsir_select (operators/curation.py).
+# ---------------------------------------------------------------------------
+FEAT_BUCKETS = 4096
+
+
+def _ngrams_uni_bi():
+    """Array of unigrams ++ bigrams over the shared whitespace tokens."""
+    return F.expr(
+        "concat("
+        "  split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '),"
+        "  CASE WHEN size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) >= 2 THEN"
+        "    transform(sequence(1, size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) - 1),"
+        "      i -> concat(element_at(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), i),"
+        "                  ' ',"
+        "                  element_at(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), i + 1)))"
+        "  ELSE array() END)"
+    )
+
+
+def feature_bucket(ngram_col, salt: str):
+    """Salted 32-bit md5 prefix -> bucket in [0, FEAT_BUCKETS)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit(salt + ":"), ngram_col), "utf-8")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % FEAT_BUCKETS
+    )
+
+
+# DuckDB twin of the exploded (doc_id, source, bucket) feature stream.
+# {salt} is interpolated by the registering operator.
+_DUCK_FEATS = """
+  t AS (
+    SELECT doc_id, source,
+           string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+    FROM documents
+  ),
+  feats AS (
+    SELECT doc_id, source,
+           CAST(concat('0x', substr(md5('{salt}:' || ngram), 1, 8)) AS BIGINT) % {buckets} AS b
+    FROM (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               toks,
+               list_transform(generate_series(1, len(toks) - 1),
+                              g -> toks[g] || ' ' || toks[g + 1])
+             )) AS ngram
+      FROM t
+    )
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier over hashed features (fasttext-style).
+# ---------------------------------------------------------------------------
+CLS_WEIGHT_RANGE = 2001  # weights in [-1000, 1000]
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH {_DUCK_FEATS.format(salt="qcls", buckets=FEAT_BUCKETS)},
+    weighted AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('qw:' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {CLS_WEIGHT_RANGE} - 1000 AS w
+      FROM feats
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(w) AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_feats
+      FROM weighted GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_feats, score > 0 AS keep FROM scored
+    """,
+    doc="Model-based quality filter: a linear classifier over hashed "
+    f"uni+bigram features ({FEAT_BUCKETS} buckets), the fasttext-style "
+    "gate LLM corpus builds run after heuristic filters. Each feature "
+    "bucket carries one weight; a document's score is the sum of its "
+    "feature weights and keep = score > 0. The weights here are a "
+    "deterministic md5-derived stand-in (the container has no trained "
+    "model); production swaps in learned weights — as a broadcast "
+    "bucket->weight table or, as here, a pure expression — without "
+    "touching the plan shape. Everything is integer arithmetic on "
+    "builtin expressions: tokenize, hash, sum, one groupBy(doc_id) with "
+    "map-side partial aggregation. No weight-table join is needed when "
+    "the weight is a function of the bucket, so the whole classifier is "
+    "scan + one shuffle on doc_id at any corpus size.",
+    tags=("text", "curation"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(_ngrams_uni_bi()).alias("ngram"))
+    b = feature_bucket(F.col("ngram"), "qcls")
+    w = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.concat(F.lit("qw:"), b.cast("string")), "utf-8")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % CLS_WEIGHT_RANGE
+        - 1000
+    )
+    return (
+        ex.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").cast("bigint").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        )
+        .select("doc_id", "score", "n_feats", (F.col("score") > 0).alias("keep"))
+    )

@@ -320,3 +320,35 @@ def test_event_windows_share_user_exchange(spark, sf_correctness):
     # the existing user_id partitioning), plus the final orderBy range
     # partitioning
     assert body.count(") Exchange") <= 2
+
+
+def test_dsir_score_table_broadcast(spark, sf_correctness):
+    """curation_dsir_select joins the 4096-row bucket-score table into the
+    corpus-sized feature stream; that join must be a broadcast hash join
+    (never a shuffled join keyed on the feature stream), and the top-k
+    selection must be a TakeOrdered, not a global sort window."""
+    plan = plan_of(spark, sf_correctness, "curation_dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_quality_classifier_single_shuffle_jvm_side(spark, sf_correctness):
+    """text_quality_classifier is scan + explode + ONE groupBy(doc_id):
+    exactly one exchange, partial aggregation before it, no Python."""
+    plan = plan_of(spark, sf_correctness, "text_quality_classifier")
+    body = plan.split("===== Subqueries =====")[0]
+    assert body.count(") Exchange") == 1
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert "EvalPython" not in plan
+
+
+def test_prototype_prune_centroids_broadcast(spark, sf_correctness):
+    """embedding_prototype_prune must broadcast the 10-row prototype table
+    to the corpus scan (zip_with scoring, no join against the exploded
+    corpus) — the corpus-sized joins are all BroadcastHashJoin."""
+    plan = plan_of(spark, sf_correctness, "embedding_prototype_prune")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
