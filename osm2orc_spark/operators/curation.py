@@ -768,3 +768,88 @@ def _assemble_dsir_oracle() -> None:
 
 
 _assemble_dsir_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Epoch-based source mixing: replicate each source a fractional number
+# of epochs (LLaMA/GPT-3-style sampling-proportion tables). A source at
+# 2.45 epochs emits every doc twice plus a 45% deterministic subset a
+# third time; a source at 0.6 epochs emits only 60% of its docs once —
+# up- and down-sampling fall out of the same arithmetic.
+# ---------------------------------------------------------------------------
+EPOCH_MILLIS: dict[str, int] = {"src0": 2450, "src1": 1800, "src2": 1300}
+EPOCH_DEFAULT_MILLIS = 600
+
+
+def _epoch_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {m}" for s, m in EPOCH_MILLIS.items()
+    )
+    return f"CASE source {whens} ELSE {EPOCH_DEFAULT_MILLIS} END"
+
+
+@register(
+    "curation_epoch_mix",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             {_epoch_case_sql()} AS em,
+             CAST(concat('0x', substr(md5('em:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS h
+      FROM documents
+    ),
+    copies AS (
+      SELECT doc_id, source,
+             em // 1000 + CASE WHEN h < em % 1000 THEN 1 ELSE 0 END AS n
+      FROM base
+    )
+    SELECT doc_id, source, CAST(g AS BIGINT) AS epoch_idx
+    FROM copies CROSS JOIN unnest(generate_series(1, n)) AS u(g)
+    """,
+    doc="Epoch-mix expansion: per-source epoch targets in millis "
+    f"({EPOCH_MILLIS}, default {EPOCH_DEFAULT_MILLIS} = 0.6 epochs) "
+    "become per-doc copy counts — floor(epochs) full passes plus one "
+    "more for the md5-ranked fractional subset; targets under 1.0 "
+    "downsample by the same rule (0 or 1 copies). The output is the "
+    "replicated training stream with an epoch_idx per copy (what a "
+    "sampler materializes before shard shuffling). All integer "
+    "arithmetic; membership in the fractional epoch is a salted md5 "
+    "threshold so both engines agree bit-for-bit. Scale shape: pure "
+    "per-row expressions plus one sequence-explode — no shuffle at all; "
+    "the fan-out factor is the mixture's average epoch count, and the "
+    "explode streams (never materializes a doc's copies together "
+    "beyond the row batch).",
+    tags=("curation", "split"),
+)
+def curation_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    em = F.lit(EPOCH_DEFAULT_MILLIS)
+    for s, m in reversed(EPOCH_MILLIS.items()):
+        em = F.when(F.col("source") == s, m).otherwise(em)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit("em:"), F.col("doc_id").cast("string")), "utf-8")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    n = F.expr("em DIV 1000") + F.when(F.col("h") < F.expr("em % 1000"), 1).otherwise(0)
+    return (
+        docs.select("doc_id", "source", em.alias("em"), h.alias("h"))
+        .select("doc_id", "source", n.alias("n"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(F.col("n") >= 1, F.expr("sequence(1, n)")).otherwise(
+                    F.expr("array()")
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "source", F.col("g").cast("bigint").alias("epoch_idx"))
+    )

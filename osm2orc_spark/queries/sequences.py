@@ -497,3 +497,89 @@ def weekly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build: collapse each user's per-event value band into
+# validity intervals [valid_from, valid_to) with a current-row flag —
+# the slowly-changing-dimension shape every warehouse load runs when
+# deriving dimension history from an event stream.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_user_value_bands",
+    oracle="""
+    WITH banded AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 20 THEN 'low'
+                  WHEN value < 60 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, ts, event_id, band,
+             LAG(band) OVER w AS prev_band,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_user
+      FROM banded
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, band, ts AS valid_from, rn, n_user
+      FROM seq WHERE prev_band IS NULL OR band <> prev_band
+    )
+    SELECT user_id, band, valid_from,
+           LEAD(valid_from) OVER cw AS valid_to,
+           CAST(COALESCE(LEAD(rn) OVER cw, n_user + 1) - rn AS BIGINT) AS n_events,
+           LEAD(valid_from) OVER cw IS NULL AS is_current
+    FROM changes
+    WINDOW cw AS (PARTITION BY user_id ORDER BY valid_from, rn)
+    """,
+    doc="SCD2 (type-2 slowly-changing-dimension) build from the event "
+    "stream: classify each event into a value band, keep only "
+    "change-points (band differs from the previous event's band via "
+    "lag), then interval-ize with lead — valid_from/valid_to half-open "
+    "ranges, per-interval event count from row_number differences, and "
+    "is_current on the open interval. Every window partitions by "
+    "user_id with the same (ts, event_id) total order, so Catalyst "
+    "plans ONE exchange for the whole derivation; the change-point "
+    "filter shrinks the stream before the second (lead) window sorts "
+    "it. At 100 TB this is the standard dimension-history load: shuffle "
+    "once by the dimension key, never globally.",
+    tags=("sequence", "window"),
+)
+def scd2_user_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "band",
+        F.lag("band").over(w).alias("prev_band"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n_user"),
+    )
+    changes = seq.filter(
+        F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band"))
+    ).select("user_id", "band", F.col("ts").alias("valid_from"), "rn", "n_user")
+    cw = W.partitionBy("user_id").orderBy("valid_from", "rn")
+    return changes.select(
+        "user_id",
+        "band",
+        "valid_from",
+        F.lead("valid_from").over(cw).alias("valid_to"),
+        (
+            F.coalesce(F.lead("rn").over(cw), F.col("n_user") + 1) - F.col("rn")
+        )
+        .cast("bigint")
+        .alias("n_events"),
+        F.lead("valid_from").over(cw).isNull().alias("is_current"),
+    )

@@ -352,3 +352,24 @@ def test_prototype_prune_centroids_broadcast(spark, sf_correctness):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_scd2_shares_user_exchange(spark, sf_correctness):
+    """scd2_user_value_bands derives lag/row_number/count and the interval
+    lead window all partitioned by user_id: ONE hashpartitioning(user_id)
+    exchange for the whole build (the change-point filter between the two
+    window groups preserves partitioning)."""
+    plan = plan_of(spark, sf_correctness, "scd2_user_value_bands")
+    body = plan.split("===== Subqueries =====")[0]
+    assert body.count(") Exchange") == 1
+    assert "EvalPython" not in plan
+
+
+def test_epoch_mix_no_shuffle(spark, sf_correctness):
+    """curation_epoch_mix is scan + per-row expressions + sequence-explode:
+    zero exchanges — the replication never shuffles."""
+    plan = plan_of(spark, sf_correctness, "curation_epoch_mix")
+    body = plan.split("===== Subqueries =====")[0]
+    assert body.count(") Exchange") == 0
+    assert "Generate explode" in body or "Generate" in body
+    assert "EvalPython" not in plan
