@@ -53,6 +53,10 @@ HEADLINE = [
     "anomaly_zscore_events",
     # r4 addition: exact containment via the asymmetric prefix bound
     "dedup_containment_ppjoin",
+    # r4 data-selection suite: DSIR importance resampling and
+    # prototype-distance pruning — the corpus-selection scale paths
+    "curation_dsir_select",
+    "embedding_prototype_prune",
 ]
 
 

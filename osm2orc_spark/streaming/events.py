@@ -639,3 +639,126 @@ def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "from_type", "to_type")
     )
+
+
+def scd2_intervals_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD2 build via applyInPandasWithState: state = each
+    user's OPEN interval (current band, valid_from, event count); a band
+    change emits the closed interval and opens a new one.
+
+    The incremental twin of queries/sequences.py scd2_user_value_bands:
+    batch mode interval-izes change-points with lead(); a stream cannot
+    see the next change, so the open interval lives in keyed state and
+    only CLOSED intervals are emitted. Same ordering caveat as
+    transitions_stream: micro-batches must split on event-time order
+    (file source delivers whole files; rows are sorted inside each
+    batch and the state carries the boundary)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("band", T.StringType()),
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("band", T.StringType()),
+            T.StructField("from_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        frames = [pdf for pdf in pdfs]
+        if not frames:
+            return  # timeout invocation under a future eviction policy
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.assign(_us=pdf["ts"].astype("int64") // 1000)
+        pdf = pdf.sort_values(["_us", "event_id"])
+        band, from_us, n = state.get if state.exists else (None, 0, 0)
+        bands, v_from, v_to, counts = [], [], [], []
+        for b, us in zip(pdf["band"], pdf["_us"]):
+            if band is None:
+                band, from_us, n = b, int(us), 1
+            elif b == band:
+                n += 1
+            else:
+                bands.append(band)
+                v_from.append(from_us)
+                v_to.append(int(us))
+                counts.append(n)
+                band, from_us, n = b, int(us), 1
+        state.update((band, int(from_us), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "band": bands,
+                "valid_from": pd.to_datetime(v_from, unit="us"),
+                "valid_to": pd.to_datetime(v_to, unit="us"),
+                "n_events": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    banded = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    return banded.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+@register(
+    "stream_scd2_intervals",
+    # Closed intervals only: the stream cannot close the last interval
+    # (it stays in state), so the oracle is the batch SCD2 derivation
+    # QUALIFYed to rows with a successor.
+    oracle="""
+    WITH banded AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 20 THEN 'low'
+                  WHEN value < 60 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, ts, event_id, band,
+             LAG(band) OVER w AS prev_band,
+             ROW_NUMBER() OVER w AS rn
+      FROM banded
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, band, ts AS valid_from, rn
+      FROM seq WHERE prev_band IS NULL OR band <> prev_band
+    )
+    SELECT user_id, band, valid_from,
+           LEAD(valid_from) OVER cw AS valid_to,
+           CAST(LEAD(rn) OVER cw - rn AS BIGINT) AS n_events
+    FROM changes
+    WINDOW cw AS (PARTITION BY user_id ORDER BY valid_from, rn)
+    QUALIFY LEAD(valid_from) OVER cw IS NOT NULL
+    """,
+    doc="Streaming SCD2: applyInPandasWithState keeps each user's open "
+    "validity interval in keyed state and emits an interval exactly "
+    "once, when the band change closes it — the incremental dimension- "
+    "history load. Oracle = the batch scd2_user_value_bands derivation "
+    "restricted to closed intervals (the open tail lives in state, not "
+    "the sink).",
+    tags=("streaming", "sequence", "window"),
+)
+def stream_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(
+        scd2_intervals_stream(ev), "stream_scd2_mem", output_mode="update"
+    )

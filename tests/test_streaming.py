@@ -272,3 +272,57 @@ def test_user_totals_query_reduces_multi_batch_input(spark, sf_smoke, tmp_path):
     for uid, b in batch.items():
         assert out[uid]["n_events"] == b["n"]
         assert out[uid]["sum_value_q"] == b["s_q"]
+
+
+def test_scd2_stream_closes_intervals_across_batches(spark, sf_smoke, tmp_path):
+    """stream_scd2_intervals carries the open interval in state across
+    micro-batch boundaries: with the bounded input split into THREE
+    time-sliced files (delivered oldest-first via staggered mtimes), the
+    emitted closed intervals must still equal the batch derivation —
+    including intervals that span a batch boundary."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.registry import all_queries
+    from osm2orc_spark.tables import load
+
+    src = load(spark, sf_smoke, "events")
+    lo, hi = src.agg(F.min("ts"), F.max("ts")).first()
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    sf_dir = tmp_path / "sf_sliced"
+    ev_dir = sf_dir / "events.parquet"
+    slices = [
+        src.filter(F.col("ts") <= F.lit(cut1)),
+        src.filter((F.col("ts") > F.lit(cut1)) & (F.col("ts") <= F.lit(cut2))),
+        src.filter(F.col("ts") > F.lit(cut2)),
+    ]
+    for i, sl in enumerate(slices):
+        part = sf_dir / f"slice{i}"
+        sl.coalesce(1).write.parquet(str(part))
+        [pq] = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        ev_dir.mkdir(exist_ok=True)
+        dst = ev_dir / f"{i}.parquet"
+        os.rename(part / pq, dst)
+        # FileStreamSource orders a fresh listing by modification time:
+        # stagger mtimes so slices arrive oldest-first, one per trigger.
+        t = _time.time() - 300 + i * 60
+        os.utime(dst, (t, t))
+
+    q = all_queries()["stream_scd2_intervals"]
+    df = q.fn(spark, str(sf_dir))
+    # the sliced dir only has events.parquet -> register just that view
+    import duckdb
+
+    from tests.oracle_harness import _normalize
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    ddf = con.sql(q.oracle).df()
+    spdf = df.toPandas()
+    assert len(spdf) == len(ddf)
+    assert _normalize(spdf) == _normalize(ddf)
