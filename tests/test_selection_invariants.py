@@ -1,0 +1,122 @@
+"""Semantic invariants for the r4 data-selection suite — properties the
+hash-equality oracle can't express (the oracle proves Spark == DuckDB;
+these prove the statistic does what the method claims)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm2orc_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_dsir_enriches_target_source(spark, sf_correctness):
+    """The selected subset must over-represent the target domain: DSIR's
+    whole point is that docs sharing the target's n-gram profile rank
+    higher, and the target's own docs share it maximally."""
+    from osm2orc_spark.operators.curation import DSIR_K, DSIR_TARGET_SOURCE
+
+    out = QUERIES["curation_dsir_select"].fn(spark, sf_correctness)
+    rows = out.collect()
+    n = len(rows)
+    n_sel = sum(r["selected"] for r in rows)
+    assert n_sel == min(DSIR_K, n)
+    corpus_share = sum(r["source"] == DSIR_TARGET_SOURCE for r in rows) / n
+    sel_share = (
+        sum(r["source"] == DSIR_TARGET_SOURCE for r in rows if r["selected"]) / n_sel
+    )
+    assert sel_share > corpus_share, (
+        f"selected target share {sel_share:.3f} <= corpus share {corpus_share:.3f}"
+    )
+
+
+def test_prototype_prune_marks_exact_fifth_per_label(spark, sf_correctness):
+    """prune = rnk*5 <= n marks exactly floor(n/5) per label, and the
+    pruned set is the TOP of the cosine ranking (most prototypical)."""
+    out = QUERIES["embedding_prototype_prune"].fn(spark, sf_correctness)
+    per_label = (
+        out.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("prune").cast("int")).alias("n_pruned"),
+            F.max(F.when(F.col("prune"), F.col("rnk"))).alias("max_pruned_rnk"),
+        )
+        .collect()
+    )
+    assert per_label
+    for r in per_label:
+        assert r["n_pruned"] == r["n"] // 5
+        if r["n_pruned"]:
+            assert r["max_pruned_rnk"] == r["n_pruned"]  # contiguous top block
+
+
+def test_epoch_mix_copy_counts_follow_targets(spark, sf_correctness):
+    """Per-source replication totals must land inside the floor/ceil epoch
+    envelope: n*floor(epochs) <= copies <= n*ceil(epochs), with the
+    fractional epoch a strict subset when 0 < frac < 1."""
+    from osm2orc_spark.operators.curation import (
+        EPOCH_DEFAULT_MILLIS,
+        EPOCH_MILLIS,
+    )
+    from osm2orc_spark.tables import load
+
+    out = QUERIES["curation_epoch_mix"].fn(spark, sf_correctness)
+    copies = {
+        r["source"]: r["c"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    docs = {
+        r["source"]: r["n"]
+        for r in load(spark, sf_correctness, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(copies) <= set(docs)
+    for src, n in docs.items():
+        em = EPOCH_MILLIS.get(src, EPOCH_DEFAULT_MILLIS)
+        lo, hi = n * (em // 1000), n * (-(-em // 1000))
+        c = copies.get(src, 0)
+        assert lo <= c <= hi, f"{src}: {c} outside [{lo}, {hi}]"
+    # fractional subsets should be strict somewhere (h is ~uniform)
+    assert any(
+        copies.get(s, 0) > n * (EPOCH_MILLIS.get(s, EPOCH_DEFAULT_MILLIS) // 1000)
+        for s, n in docs.items()
+    )
+
+
+def test_scd2_intervals_partition_user_history(spark, sf_correctness):
+    """Per user: intervals tile the history — exactly one is_current,
+    n_events sums to the user's event count, and consecutive intervals
+    never share a band (change-points only)."""
+    from osm2orc_spark.tables import load
+
+    out = QUERIES["scd2_user_value_bands"].fn(spark, sf_correctness)
+    agg = (
+        out.groupBy("user_id")
+        .agg(
+            F.sum(F.col("is_current").cast("int")).alias("n_current"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .collect()
+    )
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in load(spark, sf_correctness, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert agg
+    for r in agg:
+        assert r["n_current"] == 1
+        assert r["total_events"] == ev_counts[r["user_id"]]
+    # no adjacent same-band intervals
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("valid_from")
+    adj = out.select(
+        "user_id", "band", F.lag("band").over(w).alias("prev")
+    ).filter(F.col("band") == F.col("prev"))
+    assert adj.count() == 0
