@@ -702,16 +702,16 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_ngrams_uni_bi()).alias("ngram"),
     ).select("doc_id", "source", feature_bucket(F.col("ngram"), "dsir").alias("b"))
 
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
-    tgt = (
-        feats.filter(F.col("source") == DSIR_TARGET_SOURCE)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t_cnt"))
-    )
-    score = raw.join(tgt, "b", "left").select(
+    # ONE aggregate produces both count models (raw = COUNT(*), target =
+    # conditional count) -- the naive two-aggregate + join form evaluates
+    # the tokenize+explode subtree twice and shuffles twice on b.
+    score = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.count_if(F.col("source") == DSIR_TARGET_SOURCE).alias("t_cnt"),
+    ).select(
         "b",
         F.expr(
-            f"CAST(({DSIR_RQ} * (coalesce(t_cnt, 0) + 1)) DIV (r_cnt + 1) AS BIGINT)"
+            f"CAST(({DSIR_RQ} * (t_cnt + 1)) DIV (r_cnt + 1) AS BIGINT)"
         ).alias("s"),
     )
     weights = (
@@ -742,13 +742,11 @@ def _assemble_dsir_oracle() -> None:
     feats_cte = _DUCK_FEATS.format(salt="dsir", buckets=FEAT_BUCKETS)
     REGISTRY["curation_dsir_select"].oracle = f"""
     WITH {feats_cte},
-    raw AS (SELECT b, COUNT(*) AS r_cnt FROM feats GROUP BY b),
-    tgt AS (SELECT b, COUNT(*) AS t_cnt FROM feats
-            WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b),
     score AS (
-      SELECT raw.b,
-             CAST(({DSIR_RQ} * (COALESCE(t_cnt, 0) + 1)) // (r_cnt + 1) AS BIGINT) AS s
-      FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+      SELECT b,
+             CAST(({DSIR_RQ} * (COUNT(*) FILTER (WHERE source = '{DSIR_TARGET_SOURCE}') + 1))
+                  // (COUNT(*) + 1) AS BIGINT) AS s
+      FROM feats GROUP BY b
     ),
     weights AS (
       SELECT f.doc_id, f.source,
