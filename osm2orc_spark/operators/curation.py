@@ -25,6 +25,7 @@ from osm2orc_spark.operators.dedup import (
 from osm2orc_spark.operators.text import (
     FEAT_BUCKETS,
     _ngrams_uni_bi,
+    _toks as _text_toks,
     feature_bucket,
     text_quality_scores,
 )
@@ -695,11 +696,13 @@ DSIR_RQ = 1_000_000  # ratio quantization
     tags=("curation", "split", "text"),
 )
 def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", _text_toks().alias("t")
+    )
     feats = docs.select(
         "doc_id",
         "source",
-        F.explode(_ngrams_uni_bi()).alias("ngram"),
+        F.explode(_ngrams_uni_bi("t")).alias("ngram"),
     ).select("doc_id", "source", feature_bucket(F.col("ngram"), "dsir").alias("b"))
 
     # ONE aggregate produces both count models (raw = COUNT(*), target =

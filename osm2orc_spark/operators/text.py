@@ -909,17 +909,20 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 FEAT_BUCKETS = 4096
 
 
-def _ngrams_uni_bi():
-    """Array of unigrams ++ bigrams over the shared whitespace tokens."""
+def _ngrams_uni_bi(toks: str = "t"):
+    """Array of unigrams ++ bigrams over a MATERIALIZED token-array column.
+
+    Callers must project ``_toks().alias(toks)`` first: building bigrams
+    straight off the split() expression re-tokenizes the whole document
+    once per array element inside the transform lambda (O(tokens^2) per
+    doc — measured 15s for DSIR at sf0.1 vs ~2s with the column form)."""
     return F.expr(
-        "concat("
-        "  split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '),"
-        "  CASE WHEN size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) >= 2 THEN"
-        "    transform(sequence(1, size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) - 1),"
-        "      i -> concat(element_at(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), i),"
-        "                  ' ',"
-        "                  element_at(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), i + 1)))"
-        "  ELSE array() END)"
+        f"concat("
+        f"  {toks},"
+        f"  CASE WHEN size({toks}) >= 2 THEN"
+        f"    transform(sequence(1, size({toks}) - 1),"
+        f"      i -> concat({toks}[i-1], ' ', {toks}[i]))"
+        f"  ELSE array() END)"
     )
 
 
@@ -1001,8 +1004,10 @@ CLS_WEIGHT_RANGE = 2001  # weights in [-1000, 1000]
     tags=("text", "curation"),
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    ex = docs.select("doc_id", F.explode(_ngrams_uni_bi()).alias("ngram"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("t")
+    )
+    ex = docs.select("doc_id", F.explode(_ngrams_uni_bi("t")).alias("ngram"))
     b = feature_bucket(F.col("ngram"), "qcls")
     w = (
         F.conv(
