@@ -373,3 +373,15 @@ def test_epoch_mix_no_shuffle(spark, sf_correctness):
     assert body.count(") Exchange") == 0
     assert "Generate explode" in body or "Generate" in body
     assert "EvalPython" not in plan
+
+
+def test_hamming_topk_two_takeordered_no_explode(spark, sf_correctness):
+    """ann_topk_hamming packs sign bits with a JVM aggregate (no explode
+    of the corpus), broadcasts the one-row query, and ranks both stages
+    with TakeOrdered — never a global sort of the corpus."""
+    plan = plan_of(spark, sf_correctness, "ann_topk_hamming")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    # the only join is the broadcast one-row query side (BNLJ is fine
+    # there); a corpus-sized CartesianProduct is not
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
