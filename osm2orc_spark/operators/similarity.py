@@ -1716,3 +1716,40 @@ def ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
+
+
+@register(
+    "ann_hamming_recall",
+    oracle="__DEFERRED_HAMMING_RECALL__",
+    doc=f"Recall@{TOP_K} of the binary-quantization pipeline "
+    "(ann_topk_hamming) vs the exact brute-force top-k for the same "
+    "query — the compression-quality eval that decides whether the "
+    "32x-packed tier can serve first-pass retrieval. Same composition "
+    "as ann_ivf_recall: both 10-row TakeOrdered results joined, the "
+    "oracle embeds both registered SQL twins as CTEs.",
+    tags=("similarity", "eval"),
+)
+def ann_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    ham = ann_topk_hamming(spark, sf_dir).select("vec_id")
+    return exact.join(ham, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / F.lit(float(TOP_K))).alias("recall"),
+    )
+
+
+def _assemble_hamming_recall_oracle() -> None:
+    from osm2orc_spark.registry import REGISTRY
+
+    exact_sql = REGISTRY["ann_topk_bruteforce"].oracle
+    ham_sql = REGISTRY["ann_topk_hamming"].oracle
+    REGISTRY["ann_hamming_recall"].oracle = f"""
+    WITH exact_top AS ({exact_sql}),
+    ham_top AS ({ham_sql})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / {TOP_K} AS recall
+    FROM exact_top e JOIN ham_top h ON h.vec_id = e.vec_id
+    """
+
+
+_assemble_hamming_recall_oracle()
