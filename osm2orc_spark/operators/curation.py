@@ -854,3 +854,100 @@ def curation_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("g").cast("bigint").alias("epoch_idx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination report: the test-set-owner's view of the same
+# shingle overlap curation_decontaminate scrubs from the train side.
+# ---------------------------------------------------------------------------
+@register(
+    "curation_contamination_report",
+    oracle=f"""
+    WITH {{shingles}},
+    {{split}}
+    , te AS (
+      SELECT s.doc_id AS test_doc_id, s.shingle
+      FROM shingles s JOIN split_assign a
+        ON a.doc_id = s.doc_id AND a.split = 'test'
+    ),
+    tr AS (
+      SELECT s.doc_id AS train_doc_id, s.shingle
+      FROM shingles s JOIN split_assign a
+        ON a.doc_id = s.doc_id AND a.split = 'train'
+    ),
+    j AS (
+      SELECT te.test_doc_id, te.shingle, tr.train_doc_id
+      FROM te LEFT JOIN tr ON tr.shingle = te.shingle
+    ),
+    agg AS (
+      SELECT test_doc_id,
+             CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_shingles,
+             CAST(COUNT(DISTINCT CASE WHEN train_doc_id IS NOT NULL THEN shingle END) AS BIGINT) AS n_contaminated,
+             CAST(COUNT(DISTINCT train_doc_id) AS BIGINT) AS n_train_docs_hit
+      FROM j GROUP BY test_doc_id
+    )
+    SELECT test_doc_id, n_shingles, n_contaminated, n_train_docs_hit,
+           CAST(floor((1000000 * n_contaminated) / n_shingles) AS BIGINT) AS contamination_micro
+    FROM agg
+    """,
+    doc="Per-test-document contamination report (the GPT-3-appendix-style "
+    "analysis a benchmark owner publishes): for every test-split "
+    "document, how many of its word 3-shingles appear anywhere in the "
+    "training split, how many distinct train documents hit it, and the "
+    "contaminated-shingle ratio in micro units (one IEEE division from "
+    "exact integer counts). The doc-centric dual of "
+    "curation_decontaminate — same md5-bucket split rule, same shingle "
+    "join — aggregated from the test side. Scale: the test side is "
+    "tiny; at 100 TB this runs as a broadcast of the test shingle set "
+    "probed by one pass over train shingles with partial counts keyed "
+    "by (test_doc, shingle).",
+    tags=("curation", "dedup", "eval"),
+)
+def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    tagged = sh.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    te = tagged.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "shingle"
+    )
+    tr = tagged.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    agg = (
+        te.join(tr, "shingle", "left")
+        .groupBy("test_doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shingles"),
+            F.countDistinct(
+                F.when(F.col("train_doc_id").isNotNull(), F.col("shingle"))
+            ).alias("n_contaminated"),
+            F.countDistinct("train_doc_id").alias("n_train_docs_hit"),
+        )
+    )
+    return agg.select(
+        "test_doc_id",
+        "n_shingles",
+        "n_contaminated",
+        "n_train_docs_hit",
+        F.floor((F.lit(1000000) * F.col("n_contaminated")) / F.col("n_shingles"))
+        .cast("bigint")
+        .alias("contamination_micro"),
+    )
+
+
+def _assemble_contamination_oracle() -> None:
+    REGISTRY["curation_contamination_report"].oracle = (
+        REGISTRY["curation_contamination_report"]
+        .oracle.replace("{shingles}", _DUCK_SHINGLES)
+        .replace("{split}", _DUCK_SPLIT)
+    )
+
+
+_assemble_contamination_oracle()
