@@ -385,3 +385,13 @@ def test_hamming_topk_two_takeordered_no_explode(spark, sf_correctness):
     # there); a corpus-sized CartesianProduct is not
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_contamination_report_shingle_equijoin(spark, sf_correctness):
+    """curation_contamination_report joins test x train shingle streams:
+    must plan as a shingle equi-join with partial aggregation — never a
+    cartesian/nested-loop join."""
+    plan = plan_of(spark, sf_correctness, "curation_contamination_report")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
