@@ -516,9 +516,19 @@ def dedup_components(
         )
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    und = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    und = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        # Persist the edge list ALREADY hash-partitioned on the join key:
+        # every propagation hop joins on doc_a, so the cached layout
+        # satisfies the join's distribution requirement and only the
+        # (much smaller) labels frame is exchanged per hop. At local
+        # scale AQE broadcasts the tiny frames either way; on a cluster
+        # this halves per-iteration shuffle volume.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_a")
+        .persist()
+    )
     # Iterate ONLY over nodes that have at least one edge: isolated docs
     # can never change label, so propagating them through every round
     # would shuffle the whole corpus per iteration for nothing. At 100 TB
