@@ -57,6 +57,9 @@ HEADLINE = [
     # prototype-distance pruning — the corpus-selection scale paths
     "curation_dsir_select",
     "embedding_prototype_prune",
+    # r4: the composed IVF-PQ tier — cluster pruning + ADC codes + exact
+    # re-rank in one join-free scan stage
+    "ann_ivfpq_probe",
 ]
 
 

@@ -1204,6 +1204,179 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: the two index tiers composed — IVF cluster blocking restricts
+# the scan to the probed clusters, PQ-ADC scores only those members from
+# 8 codes + a literal LUT, and the shortlist is exact-cosine re-ranked.
+# This is the production big-index layout (FAISS IVFPQ, by_residual=false
+# flavor: codes quantize raw vectors, not residuals, so the codebooks are
+# shared with ann_pq_adc and the whole fit has the same DuckDB twin).
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ivfpq_probe",
+    oracle=f"""
+    WITH {_DUCK_QE},
+    {_lloyd_cte_sql(N_CENTROIDS, IVF_KM_ITERS, "km")},
+    {_pq_lloyd_cte_sql(IVF_KM_ITERS)},
+    qid AS (SELECT MIN(vec_id) AS q FROM embeddings),
+    qdist AS (
+      SELECT c.cid, CAST(SUM((q.v - c.c) * (q.v - c.c)) AS BIGINT) AS d
+      FROM kmcent{IVF_KM_ITERS} c
+      JOIN qe q ON q.i = c.i
+      JOIN qid ON q.vec_id = qid.q
+      GROUP BY c.cid
+    ),
+    probe AS (
+      SELECT cid FROM qdist QUALIFY ROW_NUMBER() OVER (ORDER BY d, cid) <= {N_PROBE}
+    ),
+    lut AS (
+      SELECT b.m, b.cid, CAST(SUM(s.v * b.c) AS BIGINT) AS dv
+      FROM book{IVF_KM_ITERS} b
+      JOIN qs s ON s.m = b.m AND s.il = b.il
+      JOIN qid ON s.vec_id = qid.q
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a.vec_id, a.cid FROM kmasg a JOIN probe USING (cid), qid
+      WHERE a.vec_id != qid.q
+    ),
+    approx AS (
+      SELECT c.vec_id, c.cid, CAST(SUM(l.dv) AS BIGINT) AS approx_dot
+      FROM cand c
+      JOIN pqasg p ON p.vec_id = c.vec_id
+      JOIN lut l ON l.m = p.m AND l.cid = p.cid
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT vec_id, cid, approx_dot FROM approx
+      ORDER BY approx_dot DESC, vec_id LIMIT {PQ_SHORTLIST}
+    ),
+    dots AS (
+      SELECT s.vec_id, s.cid, s.approx_dot, CAST(SUM(e.v * qq.v) AS BIGINT) AS dot
+      FROM shortlist s
+      JOIN qe e ON e.vec_id = s.vec_id
+      JOIN qe qq ON qq.i = e.i
+      JOIN qid ON qq.vec_id = qid.q
+      GROUP BY 1, 2, 3
+    )
+    SELECT d.vec_id, em.label, d.cid, d.approx_dot,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN embeddings em ON em.vec_id = d.vec_id
+    JOIN norms na ON na.vec_id = d.vec_id
+    JOIN qid ON true
+    JOIN norms nq ON nq.vec_id = qid.q
+    ORDER BY cosine DESC, d.vec_id
+    LIMIT {TOP_K}
+    """,
+    doc="IVF-PQ composed retrieval — the production big-index "
+    f"architecture: {N_CENTROIDS} IVF centroids (deterministic integer "
+    f"Lloyd's) block the corpus, the query probes its {N_PROBE} nearest "
+    f"cells, and ONLY probed members are ADC-scored from their {PQ_M} "
+    "PQ codes via the literal query LUT, then the shortlist is "
+    "exact-cosine re-ranked. On Spark the whole pre-shortlist pipeline "
+    "is ONE narrow scan stage: cluster id and ADC score are both "
+    "literal-argmin/LUT expressions (centroids and codebooks baked into "
+    "the plan), so there is no join and no shuffle before the "
+    "TakeOrdered shortlist. At 100 TB this is the shape that wins: the "
+    "index scan touches 8 codes + 1 cid per vector (vs 64 floats), "
+    "cluster pruning drops (k - nprobe)/k of rows at the scan filter, "
+    "and exact re-rank reads full vectors for only PQ_SHORTLIST rows. "
+    "Codes quantize raw vectors (FAISS by_residual=false), sharing "
+    "codebooks — and the DuckDB twin — with ann_pq_adc.",
+    tags=("similarity",),
+)
+def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS)
+    books = _pq_lloyd_fit(spark, sf_dir, IVF_KM_ITERS)
+    emb = load(spark, sf_dir, "embeddings")
+    q_row = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
+    q_id = q_row["vec_id"]
+    qq = [math.floor(float(x) * QUANT) for x in q_row["embedding"]]
+    # Probe selection + ADC LUT are O(k*d) driver math over exact ints.
+    qdist = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qq, c)), cid)
+        for cid, c in enumerate(cents)
+    )
+    probe = [cid for _, cid in qdist[:N_PROBE]]
+    lut = [
+        [
+            sum(qq[m * PQ_D + i] * books[m][c][i] for i in range(PQ_D))
+            for c in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+    qv = _quant(F.col("embedding"))
+
+    def code(m: int) -> Column:
+        return _argmin_cid(F.slice(qv, m * PQ_D + 1, PQ_D), books[m])
+
+    approx = sum(
+        F.element_at(_int_array_lit(lut[m]), code(m) + 1) for m in range(PQ_M)
+    ).cast("bigint")
+    shortlist = (
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            _argmin_cid(qv, cents).alias("cid"),
+            approx.alias("approx_dot"),
+        )
+        .filter(F.col("cid").isin(probe) & (F.col("vec_id") != q_id))
+        .orderBy(F.desc("approx_dot"), "vec_id")
+        .limit(PQ_SHORTLIST)
+    )
+    qb = _int_array_lit(qq)
+    qa = _quant(F.col("embedding"))
+    return (
+        shortlist.select(
+            "vec_id",
+            "label",
+            "cid",
+            "approx_dot",
+            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "ann_ivfpq_recall",
+    oracle="__DEFERRED_IVFPQ_RECALL__",
+    doc=f"Recall@{TOP_K} of the composed IVF-PQ tier vs the exact "
+    "brute-force top-k — quantifies what the double approximation "
+    "(cluster pruning + 8-code ADC) costs for this corpus, the same "
+    "eval discipline as ann_ivf_recall / ann_hamming_recall. Both "
+    "result sets are deterministic, so the overlap is exact.",
+    tags=("similarity", "eval"),
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    ivfpq = ann_ivfpq_probe(spark, sf_dir).select("vec_id")
+    return exact.join(ivfpq, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / F.lit(float(TOP_K))).alias("recall"),
+    )
+
+
+def _assemble_ivfpq_recall_oracle() -> None:
+    from osm2orc_spark.registry import REGISTRY
+
+    exact_sql = REGISTRY["ann_topk_bruteforce"].oracle
+    ivfpq_sql = REGISTRY["ann_ivfpq_probe"].oracle
+    REGISTRY["ann_ivfpq_recall"].oracle = f"""
+    WITH exact_top AS ({exact_sql}),
+    ivfpq_top AS ({ivfpq_sql})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / {TOP_K} AS recall
+    FROM exact_top e JOIN ivfpq_top p ON p.vec_id = e.vec_id
+    """
+
+
+_assemble_ivfpq_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka / prefix-dimension ANN: score the corpus on the first
 # MRL_DIMS dimensions only (4x less arithmetic and -- with a truncated
 # column laid out separately -- 4x less I/O), shortlist, then re-rank the

@@ -395,3 +395,16 @@ def test_contamination_report_shingle_equijoin(spark, sf_correctness):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ivfpq_probe_no_join_before_shortlist(spark, sf_correctness):
+    """ann_ivfpq_probe's cluster id and ADC score are literal-argmin/LUT
+    expressions over the scan — the plan must contain NO join at all
+    (centroids, codebooks, probe set, and query are baked in as
+    literals) and rank both the shortlist and the re-rank with
+    TakeOrdered, never a global sort."""
+    plan = plan_of(spark, sf_correctness, "ann_ivfpq_probe")
+    assert "Join" not in plan
+    assert "Exchange" not in plan  # TakeOrdered collects; nothing shuffles
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "EvalPython" not in plan
