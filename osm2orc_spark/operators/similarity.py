@@ -901,6 +901,79 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH qe AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+      FROM embeddings
+    ),
+    g AS (
+      SELECT dim,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(v AS DECIMAL(38,0))) AS s,
+             SUM(CAST(v * v AS DECIMAL(38,0))) AS ss,
+             CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_n,
+             MIN(v) AS min_q, MAX(v) AS max_q
+      FROM qe GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_micro,
+           CAST(FLOOR(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) AS BIGINT) AS var_micro2,
+           zero_n,
+           CAST(zero_n AS DOUBLE) / CAST(n AS DOUBLE) AS zero_frac,
+           min_q, max_q,
+           min_q = max_q AS is_constant
+    FROM g
+    ORDER BY dim
+    """,
+    doc="Per-dimension embedding QC — the report run before building any "
+    "retrieval index: mean, variance, zero fraction, range, and a "
+    "constant-dimension flag for each of the 64 dims. Collapsed or dead "
+    "dimensions (var ~ 0, zero_frac ~ 1) waste index bits and distort "
+    "cosine geometry; this catches them corpus-wide. Determinism: values "
+    "quantize to BIGINT micros, (n, sum, sum-of-squares) accumulate in "
+    "DECIMAL(38,0) (order-independent, overflow-safe at corpus row "
+    "counts), and the only IEEE steps are identical final expressions in "
+    "both engines (the anomaly_zscore_events discipline). One "
+    "posexplode + groupBy(dim): 64 groups, map-side partial aggregation "
+    "reduces the exchange to 64 rows per partition regardless of corpus "
+    "size — scan-bound at 100 TB.",
+    tags=("similarity", "eval"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.select(F.posexplode(_quant(F.col("embedding"))).alias("pos", "v"))
+    g = qe.groupBy((F.col("pos") + 1).cast("bigint").alias("dim")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("ss"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("bigint").alias("zero_n"),
+        F.min("v").alias("min_q"),
+        F.max("v").alias("max_q"),
+    )
+    return g.select(
+        "dim",
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
+        .cast("bigint")
+        .alias("mean_micro"),
+        F.floor(
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        )
+        .cast("bigint")
+        .alias("var_micro2"),
+        "zero_n",
+        (F.col("zero_n").cast("double") / F.col("n").cast("double")).alias("zero_frac"),
+        "min_q",
+        "max_q",
+        (F.col("min_q") == F.col("max_q")).alias("is_constant"),
+    ).orderBy("dim")
+
+
 def _int8_codes(emb: DataFrame) -> DataFrame:
     """(vec_id, label, q8 array<bigint>) int8 code vectors — the shared
     front-end of embedding_int8_quantize and the int8 ANN probe."""
