@@ -1251,12 +1251,6 @@ def _pq_lloyd_cte_sql(iters: int) -> str:
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_lloyd_fit(spark, sf_dir, IVF_KM_ITERS)
     emb = load(spark, sf_dir, "embeddings")
-    qv = _quant(F.col("embedding"))
-
-    # per-subspace code: argmin over the PQ_K literal integer centroids
-    def code(m: int) -> Column:
-        return _argmin_cid(F.slice(qv, m * PQ_D + 1, PQ_D), books[m])
-
     q_row = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
     q_id = q_row["vec_id"]
     qq = [math.floor(float(x) * QUANT) for x in q_row["embedding"]]
@@ -1269,12 +1263,36 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for m in range(PQ_M)
     ]
-    approx = sum(
-        F.element_at(_int_array_lit(lut[m]), code(m) + 1) for m in range(PQ_M)
-    ).cast("bigint")
-    shortlist = (
+    # Same projection discipline as ann_ivfpq_probe: quantize once,
+    # materialize each subspace's distance array once, then argmin+LUT —
+    # with literals as parsed SQL text, not py4j-built Columns.
+    qv_sql = f"transform(embedding, x -> cast(floor(cast(x as double) * {QUANT}) as bigint))"
+    darr = (
         emb.filter(F.col("vec_id") != q_id)
-        .select("vec_id", "label", "embedding", approx.alias("approx_dot"))
+        .select("vec_id", "label", "embedding", F.expr(qv_sql).alias("qvv"))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            *[
+                F.expr(
+                    _sqdist_arr_sql(f"slice(qvv, {m * PQ_D + 1}, {PQ_D})", books[m])
+                ).alias(f"dm{m}")
+                for m in range(PQ_M)
+            ],
+        )
+    )
+    approx_sql = " + ".join(
+        f"element_at({_arr_sql(lut[m])}, cast(array_position(dm{m}, array_min(dm{m})) as int))"
+        for m in range(PQ_M)
+    )
+    shortlist = (
+        darr.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.expr(f"cast({approx_sql} as bigint)").alias("approx_dot"),
+        )
         .orderBy(F.desc("approx_dot"), "vec_id")
         .limit(PQ_SHORTLIST)
     )
