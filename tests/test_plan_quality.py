@@ -408,3 +408,22 @@ def test_ivfpq_probe_no_join_before_shortlist(spark, sf_correctness):
     assert "Exchange" not in plan  # TakeOrdered collects; nothing shuffles
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "EvalPython" not in plan
+
+
+def test_pq_adc_join_free_scan(spark, sf_correctness):
+    """ann_pq_adc codes + ADC-scores the corpus with literal expressions
+    only — no join, no exchange before the TakeOrdered shortlist, and
+    the interpreted distance arrays live in their own projection."""
+    plan = plan_of(spark, sf_correctness, "ann_pq_adc")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_dim_stats_partial_agg(spark, sf_correctness):
+    """embedding_dim_stats must partial-aggregate map-side (64 groups per
+    partition cross the exchange, not the exploded element stream)."""
+    plan = plan_of(spark, sf_correctness, "embedding_dim_stats")
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
