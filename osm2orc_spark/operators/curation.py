@@ -521,6 +521,110 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_mix_report",
+    oracle=None,  # assembled below from the quality-filter + canonical oracles
+    doc="The per-language funnel card for curation_training_mix — the "
+    "observability artifact a corpus build publishes next to the mix "
+    "itself: docs in, dropped by the quality gate, dropped as non-"
+    "canonical near-dup members, surviving, the temperature quota, and "
+    "how many the quota actually selects (min(quota, survivors)). "
+    "Every number reuses the registered primitives' arithmetic "
+    "verbatim (same quality gate, same canonical set, same "
+    "sqrt-quota integers), so the card provably describes the mix "
+    "rather than re-deriving it. Plan: the shared quality frame "
+    "feeds both eliminations, one groupBy(lang) with map-side "
+    "partials, quota math over the |langs|-row aggregate — no "
+    "corpus-sized shuffle beyond the primitives' own.",
+    tags=("curation", "eval"),
+)
+def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators.text import text_quality_scores
+
+    quality = text_quality_scores(spark, sf_dir).persist()
+    try:
+        keep = curation_quality_filter(spark, sf_dir, quality=quality).select(
+            "doc_id", "keep"
+        )
+        cano = (
+            curation_canonical_docs(spark, sf_dir, quality=quality)
+            .select("doc_id")
+            .withColumn("is_cano", F.lit(True))
+        )
+        docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+        j = (
+            docs.join(keep, "doc_id")
+            .join(cano, "doc_id", "left")
+            .select("lang", "keep", F.coalesce("is_cano", F.lit(False)).alias("is_cano"))
+        )
+        agg = (
+            j.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_quality_fail"),
+                F.sum(F.when(F.col("keep") & ~F.col("is_cano"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_dup_removed"),
+                F.sum(F.when(F.col("keep") & F.col("is_cano"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_survivors"),
+            )
+            .persist()
+        )
+        agg.count()
+    finally:
+        quality.unpersist()
+    q = F.floor(F.sqrt(F.col("n_survivors").cast("double")) * MIX_QUANT).cast("bigint")
+    w = agg.withColumn("q", q)
+    out = (
+        w.crossJoin(F.broadcast(w.agg(F.sum("q").alias("sum_q"))))
+        .select(
+            "lang",
+            "n_total",
+            "n_quality_fail",
+            "n_dup_removed",
+            "n_survivors",
+            F.expr(f"CAST(({MIX_TARGET} * q) DIV sum_q AS BIGINT)").alias("quota"),
+        )
+        .withColumn("n_selected", F.least("quota", "n_survivors"))
+        .orderBy("lang")
+    )
+    return out
+
+
+def _assemble_mix_report_oracle() -> None:
+    qf_sql = REGISTRY["curation_quality_filter"].oracle
+    cano_sql = REGISTRY["curation_canonical_docs"].oracle
+    REGISTRY["curation_mix_report"].oracle = f"""
+    WITH qf AS ({qf_sql}),
+    cano AS ({cano_sql}),
+    j AS (
+      SELECT d.lang, qf.keep,
+             d.doc_id IN (SELECT doc_id FROM cano) AS is_cano
+      FROM documents d JOIN qf ON qf.doc_id = d.doc_id
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+             CAST(SUM(CASE WHEN keep AND NOT is_cano THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_removed,
+             CAST(SUM(CASE WHEN keep AND is_cano THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+      FROM j GROUP BY lang
+    ),
+    wq AS (
+      SELECT lang, CAST(FLOOR(SQRT(CAST(n_survivors AS DOUBLE)) * {MIX_QUANT}) AS BIGINT) AS q
+      FROM agg
+    )
+    SELECT a.lang, a.n_total, a.n_quality_fail, a.n_dup_removed, a.n_survivors,
+           CAST(({MIX_TARGET} * wq.q) // (SELECT SUM(q) FROM wq) AS BIGINT) AS quota,
+           CAST(LEAST(({MIX_TARGET} * wq.q) // (SELECT SUM(q) FROM wq), a.n_survivors) AS BIGINT) AS n_selected
+    FROM agg a JOIN wq USING (lang)
+    ORDER BY a.lang
+    """
+
+
 def _assemble_training_mix_oracle() -> None:
     qf_sql = REGISTRY["curation_quality_filter"].oracle
     cano_sql = REGISTRY["curation_canonical_docs"].oracle
@@ -552,6 +656,7 @@ def _assemble_training_mix_oracle() -> None:
 
 
 _assemble_training_mix_oracle()
+_assemble_mix_report_oracle()
 
 
 # ---------------------------------------------------------------------------
