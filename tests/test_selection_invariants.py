@@ -120,3 +120,27 @@ def test_scd2_intervals_partition_user_history(spark, sf_correctness):
         "user_id", "band", F.lag("band").over(w).alias("prev")
     ).filter(F.col("band") == F.col("prev"))
     assert adj.count() == 0
+
+
+def test_mix_report_describes_training_mix(spark, sf_correctness):
+    """The funnel card's n_selected must equal the ACTUAL per-language
+    row counts of curation_training_mix, and its quota column the mix's
+    quota — the 'provably describes the mix' claim, checked end to end."""
+    rep = QUERIES["curation_mix_report"].fn(spark, sf_correctness).collect()
+    mix = (
+        QUERIES["curation_training_mix"]
+        .fn(spark, sf_correctness)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("quota").alias("quota"))
+        .collect()
+    )
+    mix_by_lang = {r["lang"]: r for r in mix}
+    assert rep
+    for r in rep:
+        m = mix_by_lang.get(r["lang"])
+        assert (m["n"] if m else 0) == r["n_selected"]
+        if m is not None:
+            assert m["quota"] == r["quota"]
+        assert r["n_total"] == (
+            r["n_quality_fail"] + r["n_dup_removed"] + r["n_survivors"]
+        )
