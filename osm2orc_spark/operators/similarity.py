@@ -1768,11 +1768,19 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS)
     emb = load(spark, sf_dir, "embeddings")
     qe = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
-    asg = qe.select(
-        "vec_id",
-        "qv",
-        _argmin_cid(F.col("qv"), cents).alias("cid"),
-        _dot(F.col("qv"), F.col("qv")).alias("n2"),
+    # Distance array in its own projection (evaluated once, argmin reads
+    # it twice), literals as parsed SQL text — and the assignment frame
+    # persisted, since BOTH sides of the within-cluster self-join and
+    # the final keeper join read it (3x recompute otherwise).
+    asg = (
+        qe.select("vec_id", "qv", F.expr(_sqdist_arr_sql("qv", cents)).alias("dsd"))
+        .select(
+            "vec_id",
+            "qv",
+            F.expr("cast(array_position(dsd, array_min(dsd)) - 1 as int)").alias("cid"),
+            _dot(F.col("qv"), F.col("qv")).alias("n2"),
+        )
+        .persist()
     )
     a, b = asg.alias("a"), asg.alias("b")
     near = (
