@@ -1,0 +1,90 @@
+"""Regenerate PLANS.md: formatted physical plans of the scale-path queries.
+
+Run from the repo root: ``python scripts/gen_plans.py``. Plans are taken
+at sf0.01 (structure is SF-independent; AQE finalizes sizes at runtime).
+The properties called out in each note are asserted by
+tests/test_plan_quality.py so they cannot silently regress.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from osm2orc_spark.registry import all_queries  # noqa: E402
+from osm2orc_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+NOTES = {
+    "q1_pricing_summary": (
+        "TPC-H Q1: scan -> partial hash agg -> one exchange -> final agg. "
+        "PushedFilters carry the shipdate predicate into the parquet scan; "
+        "ReadSchema prunes to the 7 needed columns."
+    ),
+    "dedup_minhash_lsh": (
+        "MinHash-LSH: columnar signature build (no explode), banded candidate "
+        "equi-join, exact-Jaccard verify on candidates only."
+    ),
+    "dedup_ppjoin": (
+        "PPJoin: one doc_id exchange shared by both rank windows; prefix + "
+        "length filters prune candidates before the verify joins; partial "
+        "aggs everywhere."
+    ),
+    "embedding_near_dup_lsh": (
+        "RP-LSH (64-bit/8x8 chunks): signature build in one projection, chunk "
+        "equi-join candidates, exact-cosine verify only on candidates."
+    ),
+    "ann_ivfpq_probe": (
+        "Composed IVF-PQ: NO join, NO exchange before the TakeOrdered "
+        "shortlist - cluster id + ADC score are literal expressions over the "
+        "scan; exact re-rank reads only the shortlist."
+    ),
+    "anomaly_zscore_events": (
+        "Broadcast-stats scoring: the |types|-row sufficient-stats aggregate "
+        "broadcasts back onto the fact scan - the fact table is never "
+        "shuffled."
+    ),
+    "curation_dsir_select": (
+        "DSIR: hashed-feature explode with ONE groupBy(doc_id) exchange; "
+        "4096-row score table broadcast; TakeOrdered top-k joined back as "
+        "the flag."
+    ),
+    "ohlc_hourly_bars": (
+        "OHLC without sort windows: partial-aggregable min_by/max_by over a "
+        "lexicographic key - one exchange of pre-combined rows."
+    ),
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="gen_plans")
+    qs = all_queries()
+    out = [
+        "# Physical plans of the scale-path queries",
+        "",
+        "`df.explain('formatted')` at sf0.01 (structure is SF-independent; AQE",
+        "finalizes sizes at runtime). Regenerate with `python scripts/gen_plans.py`",
+        "if queries change. What to look for in each plan is noted inline;",
+        "`tests/test_plan_quality.py` asserts these properties so they cannot",
+        "silently regress.",
+        "",
+    ]
+    for name, note in NOTES.items():
+        df = qs[name].fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
