@@ -91,6 +91,84 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_S = 3600
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH m AS (
+      SELECT e.event_id, p.event_id AS pid, p.ts AS pts,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY p.ts DESC, p.event_id DESC
+             ) AS rn
+      FROM events e
+      JOIN events p
+        ON p.user_id = e.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts <= e.ts
+      WHERE e.event_type <> 'purchase'
+    ),
+    best AS (SELECT * FROM m WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN CAST(FLOOR(epoch(e.ts)) AS BIGINT) - CAST(FLOOR(epoch(b.pts)) AS BIGINT)
+                     <= {ASOF_TOLERANCE_S}
+                THEN b.pid END AS asof_purchase_id,
+           CASE WHEN CAST(FLOOR(epoch(e.ts)) AS BIGINT) - CAST(FLOOR(epoch(b.pts)) AS BIGINT)
+                     <= {ASOF_TOLERANCE_S}
+                THEN CAST(FLOOR(epoch(e.ts)) AS BIGINT) - CAST(FLOOR(epoch(b.pts)) AS BIGINT)
+           END AS gap_seconds
+    FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+    LEFT JOIN best b ON b.event_id = e.event_id
+    """,
+    doc=f"Tolerance-bounded as-of join (pandas merge_asof(tolerance=...) "
+    f"semantics): each non-purchase event keeps its latest at-or-before "
+    f"purchase ONLY if it happened within {ASOF_TOLERANCE_S}s; staler "
+    "matches become NULL, and every left row survives (attribution "
+    "windows, sensor alignment, trade-vs-quote matching all need the "
+    "bound — an unbounded as-of silently attributes to arbitrarily old "
+    "events). Same single user_id exchange union+window plan as "
+    "asof_join_last_purchase; the tolerance is a post-window predicate, "
+    "so the scale shape is unchanged. Gap arithmetic is "
+    "floor-epoch-seconds in both engines.",
+    tags=("join", "asof"),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    others = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", F.coalesce("purchase_id", "event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = purchases.unionByName(others).select(
+        "*",
+        F.last("purchase_id", ignorenulls=True).over(w).alias("asof_pid"),
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("asof_pts"),
+    )
+    gap = F.col("ts").cast("long") - F.col("asof_pts").cast("long")
+    ok = F.col("asof_pid").isNotNull() & (gap <= ASOF_TOLERANCE_S)
+    return tagged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(ok, F.col("asof_pid")).alias("asof_purchase_id"),
+        F.when(ok, gap).alias("gap_seconds"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Range (theta) join against a tiny derived band table.
 # ---------------------------------------------------------------------------
