@@ -354,8 +354,6 @@ def _lloyd_fit_ints(
     clusters keep their previous centroid), so the centroids are
     bit-identical to the distributed formulation — assignment of the
     FULL corpus stays a distributed literal-argmin scan."""
-    import hashlib
-
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1098,7 +1096,9 @@ PQ_K = 16  # codes per subspace -> 8 x 4-bit codes per vector (16x smaller)
 PQ_SHORTLIST = 50  # ADC shortlist size before exact re-rank
 
 
-def _pq_lloyd_fit(spark: SparkSession, sf_dir: str, iters: int) -> list[list[list[int]]]:
+def _pq_lloyd_fit(
+    spark: SparkSession, sf_dir: str, iters: int, fit_fraction: float = 1.0
+) -> list[list[list[int]]]:
     """Per-subspace deterministic integer Lloyd's: books[m][cid] is the
     PQ_D-int centroid of code cid in subspace m.
 
@@ -1108,17 +1108,26 @@ def _pq_lloyd_fit(spark: SparkSession, sf_dir: str, iters: int) -> list[list[lis
     arithmetic the unrolled DuckDB twin replays: per-subspace
     first-minimum argmin, int64 sums, truncate-toward-zero updates,
     empty codes keep their previous centroid. Seeds are the md5-ranked
-    PQ_K vec_ids' subvectors (one ranking shared across subspaces)."""
-    import hashlib
-
+    PQ_K vec_ids' subvectors (one ranking shared across subspaces).
+    ``fit_fraction`` < 1 trains on the first ceil(fraction*n) vectors of
+    the (md5(vec_id), vec_id) ranking, cut SPARK-side so the driver only
+    collects the bounded sample — the same 100 TB posture as
+    _lloyd_fit_ints, replayable by _pq_lloyd_cte_sql(fit_m)."""
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", _quant(F.col("embedding")).alias("qv")).collect()
-    ranked = sorted(
-        (hashlib.md5(str(r["vec_id"]).encode()).hexdigest(), r["vec_id"], r["qv"])
-        for r in rows
+    if not 0.0 < fit_fraction <= 1.0:
+        raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
+    sel = emb.select(
+        "vec_id",
+        F.md5(F.col("vec_id").cast("string")).alias("h"),
+        _quant(F.col("embedding")).alias("qv"),
     )
+    if fit_fraction < 1.0:
+        m = max(PQ_K, math.ceil(fit_fraction * emb.count()))
+        sel = sel.orderBy("h", "vec_id").limit(m)
+    rows = sel.collect()
+    ranked = sorted((r["h"], r["vec_id"], r["qv"]) for r in rows)
     X = np.array([qv for _, _, qv in ranked], dtype=np.int64)
     # books[m][cid] seeds from the md5-ranked first PQ_K vectors' subvectors
     books = [X[:PQ_K, m * PQ_D : (m + 1) * PQ_D].copy() for m in range(PQ_M)]
@@ -1141,11 +1150,22 @@ def _pq_lloyd_fit(spark: SparkSession, sf_dir: str, iters: int) -> list[list[lis
     return [[[int(v) for v in c] for c in bm] for bm in books]
 
 
-def _pq_lloyd_cte_sql(iters: int) -> str:
+def _pq_lloyd_cte_sql(iters: int, fit_m: int | None = None) -> str:
     """Unrolled-SQL twin of _pq_lloyd_fit over ``qe``: emits ``qs``
     (vec_id, m, il, v), ``book0..book{iters}`` (m, cid, il, c) and the
-    final per-subspace code assignment ``pqasg`` (vec_id, m, cid)."""
-    parts = [
+    final per-subspace code assignment ``pqasg`` (vec_id, m, cid).
+    ``fit_m`` replays fit_fraction sampling: training iterations run over
+    the first fit_m rows of the (md5(vec_id), vec_id) ranking, while the
+    final code assignment still covers every vector."""
+    fit_src = "qs"
+    parts = []
+    if fit_m is not None:
+        fit_src = "pqqsf"
+        parts.append(f"""pqfit AS (
+      SELECT vec_id FROM embeddings
+      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {fit_m}
+    )""")
+    parts.append(
         f"""qs AS (
       SELECT vec_id, (i - 1) // {PQ_D} AS m, (i - 1) % {PQ_D} AS il, v FROM qe
     ),
@@ -1156,11 +1176,13 @@ def _pq_lloyd_cte_sql(iters: int) -> str:
     book0 AS (
       SELECT r.cid, s.m, s.il, s.v AS c FROM pqinit r JOIN qs s USING (vec_id)
     )"""
-    ]
+    )
+    if fit_m is not None:
+        parts.append("""pqqsf AS (SELECT q.* FROM qs q JOIN pqfit USING (vec_id))""")
     for r in range(1, iters + 1):
         parts.append(f"""pd{r} AS (
       SELECT s.vec_id, s.m, b.cid, CAST(SUM((s.v - b.c) * (s.v - b.c)) AS BIGINT) AS d
-      FROM qs s JOIN book{r - 1} b ON b.m = s.m AND b.il = s.il
+      FROM {fit_src} s JOIN book{r - 1} b ON b.m = s.m AND b.il = s.il
       GROUP BY 1, 2, 3
     ),
     pa{r} AS (
@@ -1169,7 +1191,7 @@ def _pq_lloyd_cte_sql(iters: int) -> str:
     ),
     pu{r} AS (
       SELECT a.cid, s.m, s.il, CAST(SUM(s.v) AS BIGINT) AS sv, COUNT(*) AS n
-      FROM pa{r} a JOIN qs s ON s.vec_id = a.vec_id AND s.m = a.m
+      FROM pa{r} a JOIN {fit_src} s ON s.vec_id = a.vec_id AND s.m = a.m
       GROUP BY 1, 2, 3
     ),
     book{r} AS (

@@ -368,3 +368,44 @@ def test_ann_ivf_kmeans_fit_fraction_runs(spark, sf_correctness):
     rows = ann_ivf_kmeans(spark, sf_correctness, fit_fraction=0.5).collect()
     assert 0 < len(rows) <= TOP_K
     assert all(r.cosine <= 1.0 for r in rows)
+
+
+def test_pq_lloyd_fit_fraction_oracle_replay(spark, sf_correctness):
+    """The PQ codebook fit's fit_fraction sampling must replay bit-for-bit
+    in the DuckDB twin given the same concrete sample size, and the
+    sampled fit must genuinely differ from the full fit."""
+    import math
+
+    import duckdb
+
+    from osm2orc_spark.operators.similarity import (
+        _DUCK_QE,
+        PQ_D,
+        PQ_K,
+        PQ_M,
+        _pq_lloyd_cte_sql,
+        _pq_lloyd_fit,
+    )
+    from osm2orc_spark.tables import load
+
+    iters, frac = 2, 0.5
+    n = load(spark, sf_correctness, "embeddings").count()
+    m = max(PQ_K, math.ceil(frac * n))
+    books = _pq_lloyd_fit(spark, sf_correctness, iters, fit_fraction=frac)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_correctness}/embeddings.parquet')"
+    )
+    rows = con.sql(
+        f"WITH {_DUCK_QE}, {_pq_lloyd_cte_sql(iters, fit_m=m)} "
+        f"SELECT m, cid, il, c FROM book{iters} ORDER BY m, cid, il"
+    ).fetchall()
+    oracle = [[[0] * PQ_D for _ in range(PQ_K)] for _ in range(PQ_M)]
+    for sm, cid, il, c in rows:
+        oracle[sm][cid][il] = int(c)
+    assert books == oracle
+
+    full = _pq_lloyd_fit(spark, sf_correctness, iters)
+    assert books != full  # the sample genuinely changes the fit input
