@@ -557,23 +557,25 @@ def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(cano, "doc_id", "left")
             .select("lang", "keep", F.coalesce("is_cano", F.lit(False)).alias("is_cano"))
         )
-        agg = (
-            j.groupBy("lang")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_total"),
-                F.sum(F.when(~F.col("keep"), 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_quality_fail"),
-                F.sum(F.when(F.col("keep") & ~F.col("is_cano"), 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_dup_removed"),
-                F.sum(F.when(F.col("keep") & F.col("is_cano"), 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_survivors"),
-            )
-            .persist()
+        agg_df = j.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_quality_fail"),
+            F.sum(F.when(F.col("keep") & ~F.col("is_cano"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_removed"),
+            F.sum(F.when(F.col("keep") & F.col("is_cano"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_survivors"),
         )
-        agg.count()
+        # Materialize the |langs|-row funnel to the driver and rebuild it
+        # as a local frame: the downstream quota math reads it three times
+        # (w, sum_q, final select), and a persist here leaked cached
+        # partitions for the rest of the session (r4 advice) — a
+        # collect of a handful of per-language rows is bounded at any
+        # corpus size and leaves nothing cached.
+        agg = spark.createDataFrame(agg_df.collect(), schema=agg_df.schema)
     finally:
         quality.unpersist()
     q = F.floor(F.sqrt(F.col("n_survivors").cast("double")) * MIX_QUANT).cast("bigint")

@@ -1003,7 +1003,8 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(dim AS BIGINT) AS dim,
            CAST(n AS BIGINT) AS n,
            CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_micro,
-           CAST(FLOOR(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) AS BIGINT) AS var_micro2,
+           CAST(FLOOR((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS var_micro2,
            zero_n,
            CAST(zero_n AS DOUBLE) / CAST(n AS DOUBLE) AS zero_frac,
            min_q, max_q,
@@ -1019,7 +1020,12 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantize to BIGINT micros, (n, sum, sum-of-squares) accumulate in "
     "DECIMAL(38,0) (order-independent, overflow-safe at corpus row "
     "counts), and the only IEEE steps are identical final expressions in "
-    "both engines (the anomaly_zscore_events discipline). One "
+    "both engines (the anomaly_zscore_events discipline). The variance "
+    "numerator n*ss - s*s is an IEEE DOUBLE step from the start — each "
+    "exact decimal operand casts to double, then multiply/subtract in "
+    "identical order in both engines — because a DECIMAL(38,0) product "
+    "would overflow 38 digits (Spark NULLs, DuckDB falls back to double: "
+    "silent divergence) well below 100 TB row counts. One "
     "posexplode + groupBy(dim): 64 groups, map-side partial aggregation "
     "reduces the exchange to 64 rows per partition regardless of corpus "
     "size — scan-bound at 100 TB.",
@@ -1042,9 +1048,17 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
         .cast("bigint")
         .alias("mean_micro"),
+        # DOUBLE from the start: a decimal n*ss / s*s product overflows
+        # precision 38 at large n (Spark -> NULL, DuckDB -> double
+        # fallback — silent cross-engine divergence).  Casting each exact
+        # decimal operand to double and doing IEEE mult/sub in the same
+        # order as the SQL twin is bit-deterministic at any corpus size.
         F.floor(
-            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
-            / (F.col("n") * F.col("n")).cast("double")
+            (
+                F.col("n").cast("double") * F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
         )
         .cast("bigint")
         .alias("var_micro2"),
@@ -1842,9 +1856,13 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     qe = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
     # Distance array in its own projection (evaluated once, argmin reads
-    # it twice), literals as parsed SQL text — and the assignment frame
-    # persisted, since BOTH sides of the within-cluster self-join and
-    # the final keeper join read it (3x recompute otherwise).
+    # it twice), literals as parsed SQL text.  NOT persisted: the r5
+    # measurement showed caching the wide qv frame COSTS more than it
+    # saves (4.7s cached vs 3.5-4.2s uncached at sf0.1) — the self-join's
+    # two sides share one exchange via ReusedExchange regardless, and the
+    # third read is a narrow scan + literal argmin that recomputes faster
+    # than the cache round-trips 64-element arrays.  This also closes the
+    # r4-advice cache leak (the persist was never released).
     asg = (
         qe.select("vec_id", "qv", F.expr(_sqdist_arr_sql("qv", cents)).alias("dsd"))
         .select(
@@ -1853,7 +1871,6 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(array_position(dsd, array_min(dsd)) - 1 as int)").alias("cid"),
             _dot(F.col("qv"), F.col("qv")).alias("n2"),
         )
-        .persist()
     )
     a, b = asg.alias("a"), asg.alias("b")
     near = (

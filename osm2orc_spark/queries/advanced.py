@@ -675,22 +675,51 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # approx_count_distinct: sketch-based distinct (engine-specific values).
 # ---------------------------------------------------------------------------
+HLL_RSD = 0.05  # approx_count_distinct relative standard deviation
+HLL_BOUND = 3 * HLL_RSD  # 3-sigma acceptance band for the bounded contract
+
+
 @register(
     "approx_distinct_users_by_type",
-    oracle=None,  # HLL sketches are engine-specific; no cross-engine value
-    # equality exists. tests/test_advanced.py bounds the estimate against
-    # the exact distinct count instead (rsd 0.05 => assert within 5%).
-    doc="approx_count_distinct(user_id) per event_type (HyperLogLog++, "
-    "rsd=0.05). The sketch is mergeable, so the plan is partial sketches "
-    "map-side + merge on the 5 event_type groups — constant memory per "
-    "task regardless of cardinality, the reason this beats exact "
-    "count(distinct) at 100 TB.",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    doc=f"approx_count_distinct(user_id) per event_type (HyperLogLog++, "
+    f"rsd={HLL_RSD}) under the bounded-invariant contract (r4 verdict #3): "
+    "HLL sketch values are engine-specific, so instead of the raw estimate "
+    "the query emits the exact distinct count (DuckDB-computable) plus a "
+    f"within_bound boolean — |estimate - exact| <= ceil({HLL_BOUND}*exact), "
+    "a 3-sigma band of the sketch's published rsd. The oracle emits TRUE, "
+    "so any estimator drift outside its guarantee now BREAKS the value "
+    "hash — the sketch finally has a checkable driver contract. The "
+    "exact twin lives only in this verification harness; the production "
+    "scale path is the sketch alone: mergeable partial sketches map-side "
+    "+ merge per group, constant memory per task regardless of "
+    "cardinality, the reason it replaces exact count(distinct) at 100 TB.",
     tags=("agg", "approx"),
 )
 def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.ceil(F.col("exact_users") * F.lit(HLL_BOUND)).cast("bigint"),
+                )
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -838,30 +867,60 @@ def rolling_hour_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_PCT_ACC = 1000  # percentile_approx accuracy knob (err <= 1/acc)
 
 
+APPROX_PCTS = (0.5, 0.9, 0.99)  # percentile targets of the bounded contract
+
+
 @register(
     "approx_percentiles_value_by_type",
-    oracle=None,  # quantile sketches are engine-specific (Spark GK vs
-    # DuckDB t-digest); tests/test_advanced.py bounds each estimate
-    # against the exact percentile's rank-error guarantee instead.
-    doc=f"percentile_approx(value, [p50 p90 p99], accuracy="
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n_vals,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+    doc=f"percentile_approx(value, {list(APPROX_PCTS)}, accuracy="
     f"{APPROX_PCT_ACC}) per event_type — the Greenwald-Khanna mergeable "
-    "quantile sketch. Like the HLL variant, the plan is partial sketches "
-    "map-side + a merge per group: constant memory per task and ONE "
-    "shuffle of sketch bytes (not values), which is why it replaces "
-    "exact percentiles (full sort per group) at 100 TB. Rank error is "
-    f"bounded by 1/{APPROX_PCT_ACC} of the group size.",
+    "quantile sketch — under the bounded-invariant contract (r4 verdict "
+    "#3): sketch values are engine-specific (Spark GK vs DuckDB "
+    "t-digest), so the query emits per group the exact value count plus "
+    "one boolean per percentile asserting the estimate's RANK lies "
+    f"within the published guarantee (eps = 1/{APPROX_PCT_ACC} of the "
+    "group, +1 row slack for ties): count(value < est) <= p*n + eps*n + 1 "
+    "AND count(value <= est) >= p*n - eps*n - 1. The oracle emits TRUE, "
+    "so estimator drift outside the GK bound breaks the value hash. The "
+    "rank-check pass (broadcast 5-row estimates joined back to events) "
+    "is verification harness; the production scale path is the sketch "
+    "alone — partial sketches map-side + one merge per group, constant "
+    "memory per task, ONE shuffle of sketch bytes (not values), which is "
+    "why it replaces exact percentiles (full sort per group) at 100 TB.",
     tags=("agg", "approx"),
 )
 def approx_percentiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    pcts = F.percentile_approx(
-        "value", [0.5, 0.9, 0.99], APPROX_PCT_ACC
-    ).alias("pcts")
-    return ev.groupBy("event_type").agg(
-        F.element_at(pcts, 1).alias("p50_approx"),
-        F.element_at(pcts, 2).alias("p90_approx"),
-        F.element_at(pcts, 3).alias("p99_approx"),
+    est = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", list(APPROX_PCTS), APPROX_PCT_ACC).alias("pcts")
     )
+    j = ev.join(F.broadcast(est), "event_type")
+    aggs = [F.count("value").alias("n_vals")]
+    for i in range(len(APPROX_PCTS)):
+        e = F.element_at("pcts", i + 1)
+        aggs.append(
+            F.sum(F.when(F.col("value") < e, 1).otherwise(0)).alias(f"lt{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("value") <= e, 1).otherwise(0)).alias(f"le{i}")
+        )
+    counts = j.groupBy("event_type").agg(*aggs)
+    eps = 1.0 / APPROX_PCT_ACC
+    n = F.col("n_vals").cast("double")
+    oks = [
+        (
+            (F.col(f"lt{i}").cast("double") <= F.lit(p) * n + F.lit(eps) * n + 1)
+            & (F.col(f"le{i}").cast("double") >= F.lit(p) * n - F.lit(eps) * n - 1)
+        ).alias(f"p{int(p * 100)}_ok")
+        for i, p in enumerate(APPROX_PCTS)
+    ]
+    return counts.select("event_type", "n_vals", *oks)
 
 
 # ---------------------------------------------------------------------------

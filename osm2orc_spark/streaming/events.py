@@ -585,7 +585,11 @@ def transitions_stream(events: DataFrame) -> DataFrame:
             # invokes the kernel with an empty iterator — emit nothing.
             return
         pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
-        pdf = pdf.assign(_us=pdf["ts"].astype("int64") // 1000)
+        # Pin the unit explicitly: Arrow may hand applyInPandasWithState
+        # datetime64[ns] OR datetime64[us] depending on pandas/Arrow
+        # version; a bare astype("int64")//1000 silently produces
+        # 1000x-off epochs under [us] delivery (r4 advice).
+        pdf = pdf.assign(_us=pdf["ts"].astype("datetime64[us]").astype("int64"))
         pdf = pdf.sort_values(["_us", "event_id"])
         froms, tos = [], []
         last_type = prev[2] if prev else None
@@ -678,7 +682,11 @@ def scd2_intervals_stream(events: DataFrame) -> DataFrame:
         if not frames:
             return  # timeout invocation under a future eviction policy
         pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
-        pdf = pdf.assign(_us=pdf["ts"].astype("int64") // 1000)
+        # Pin the unit explicitly: Arrow may hand applyInPandasWithState
+        # datetime64[ns] OR datetime64[us] depending on pandas/Arrow
+        # version; a bare astype("int64")//1000 silently produces
+        # 1000x-off epochs under [us] delivery (r4 advice).
+        pdf = pdf.assign(_us=pdf["ts"].astype("datetime64[us]").astype("int64"))
         pdf = pdf.sort_values(["_us", "event_id"])
         band, from_us, n = state.get if state.exists else (None, 0, 0)
         bands, v_from, v_to, counts = [], [], [], []
