@@ -1029,10 +1029,17 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join -- persist it once (at 100 TB: a MEMORY_AND_DISK checkpoint)
     # instead of re-running read+tokenize+explode per consumer.
     spans = spans.persist()
+    # ">= 2 distinct docs" computed as min(doc_id) != max(doc_id): exactly
+    # equivalent, but min/max are plain partial aggregates — 2 longs of
+    # state per span, full map-side combine — where countDistinct plans
+    # the two-phase distinct machinery over (span, doc_id) pairs.  At
+    # sf0.1 this is ~7% wall; at 100 TB it is the difference between
+    # shuffling per-span long pairs and shuffling per-span doc-id sets
+    # (r4 verdict #5: this stage had the steepest 10x-step scaling).
     dup = (
         spans.groupBy("span")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
         .select("span")
     )
     hits = spans.join(dup, "span").select("doc_id", "pos")

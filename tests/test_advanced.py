@@ -496,3 +496,27 @@ def test_lloyd_fit_max_rows_oracle_replay(spark, sf_correctness):
     assert cents == oracle_cents
     full = _lloyd_fit_ints(spark, sf_correctness, k, iters, max_fit_rows=None)
     assert cents != full  # the cap genuinely changes the fit input
+
+
+def test_ivfpq_recall_curve_contract(spark, sf_correctness):
+    """The recall-vs-cost curve (r5): one row per (nprobe, shortlist)
+    config, recall non-decreasing as the knobs rise, the registered
+    default config present, and at least one point at recall >= 0.7 —
+    the tunability claim the eval exists to document."""
+    from osm2orc_spark.operators.similarity import (
+        IVFPQ_CONFIGS,
+        N_CENTROIDS,
+        N_PROBE,
+        PQ_SHORTLIST,
+    )
+
+    rows = QUERIES["ann_ivfpq_recall"].fn(spark, sf_correctness).collect()
+    assert len(rows) == len(IVFPQ_CONFIGS)
+    got = {(r["nprobe"], r["shortlist"]): r for r in rows}
+    assert set(got) == set(IVFPQ_CONFIGS)
+    assert (N_PROBE, PQ_SHORTLIST) in got  # default config is on the curve
+    recalls = [got[c]["recall"] for c in sorted(IVFPQ_CONFIGS)]
+    assert recalls == sorted(recalls), recalls  # more scan -> no worse recall
+    assert max(recalls) >= 0.7, recalls
+    for (np_, sl), r in got.items():
+        assert r["scan_frac"] == float(np_) / float(N_CENTROIDS)
