@@ -1026,9 +1026,11 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos0", "span"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span")
     # The span explode feeds BOTH the corpus-wide group-by and the hit
-    # join -- persist it once (at 100 TB: a MEMORY_AND_DISK checkpoint)
-    # instead of re-running read+tokenize+explode per consumer.
-    spans = spans.persist()
+    # join, but is deliberately NOT persisted (r5 measurement: 1.36s
+    # uncached vs 1.60s cached at sf0.1): the exploded frame is ~SPAN_N x
+    # the corpus bytes, so at 100 TB caching it costs a write+read of 8x
+    # the input where recomputing costs one extra scan+tokenize of the
+    # raw text — recompute wins at every scale here.
     # ">= 2 distinct docs" computed as min(doc_id) != max(doc_id): exactly
     # equivalent, but min/max are plain partial aggregates — 2 longs of
     # state per span, full map-side combine — where countDistinct plans

@@ -123,29 +123,51 @@ DRIVER_VERIFIED_R03: frozenset[str] = frozenset({
     "order_backlog_curve", "osm_way_bbox", "osm_relation_members",
 })
 
-DRIVER_VERIFIED: frozenset[str] = (
-    DRIVER_VERIFIED_R01 | DRIVER_VERIFIED_R02 | DRIVER_VERIFIED_R03
-)
-
-# Explicit gate order for round 4.  All 50 r3 gate slots came back green, so
-# only 13 registered queries have never had a driver row: 9 r3-new analytics
-# queries the 50-slot cap didn't reach, the 2 deliberately demoted multimodal
-# plumbing checks, and the 2 rows-only approx sketches (which errored in r2
-# and sort last by design — this round they gate ONCE, explicitly, ahead of
-# the verified tail, so they finally record a driver row of any kind).
-GATE_PRIORITY_R04: tuple[str, ...] = (
-    # Never-gated r3 analytics/sequence queries — highest value.
+# Triple-green rows added by the round-4 gate (CORRECTNESS_r04.json):
+# 48/50 green; the 2 non-green rows were the rows-only approx sketches
+# (err: no_oracle — they ran but had nothing to hash against; r5 gives
+# them bounded-invariant oracles and re-gates them below).
+DRIVER_VERIFIED_R04: frozenset[str] = frozenset({
     "event_transitions", "ohlc_hourly_bars", "event_run_islands",
     "asof_join_next_event", "anomaly_zscore_events", "hourly_spine_fill",
     "event_cooccurrence_pmi", "weekly_activity_profile", "stream_transitions",
-    # Demoted multimodal plumbing checks — gate them now that slots exist.
     "multimodal_frame_sample", "multimodal_audio_chunks",
-    # Rows-only sketches: never produced ANY driver row (r2 err on the ts
-    # bug; sorted last in r3). Explicitly promoted this once.
-    "approx_distinct_users_by_type", "approx_percentiles_value_by_type",
+    "dedup_containment_ppjoin", "embedding_lsh_calibration",
+    "embedding_dim_stats", "ann_ivfpq_probe", "ann_ivfpq_recall",
+    "embedding_prototype_prune", "ann_topk_hamming", "ann_hamming_recall",
+    "text_quality_classifier", "curation_mix_report", "curation_dsir_select",
+    "curation_epoch_mix", "curation_contamination_report",
+    "asof_join_tolerance", "scd2_user_value_bands", "stream_scd2_intervals",
+})
+
+DRIVER_VERIFIED: frozenset[str] = (
+    DRIVER_VERIFIED_R01 | DRIVER_VERIFIED_R02 | DRIVER_VERIFIED_R03
+    | DRIVER_VERIFIED_R04
 )
-# Queries new in r4 follow automatically (bucket 1 in `key`); the 133
-# already-verified names run last.
+
+# Explicit gate order for round 5.  Every registered query has a driver row
+# and all oracle-backed ones are triple-green, so r5's slots go to queries
+# whose CONTRACT or IMPLEMENTATION changed this round — they must re-earn
+# their green — with the remaining ~37 slots falling through to verified
+# re-confirmations.
+GATE_PRIORITY_R05: tuple[str, ...] = (
+    # The two sketches: now oracle-backed via bounded-invariant contracts
+    # (exact anchors + within-guarantee booleans the oracle pins to TRUE).
+    "approx_distinct_users_by_type", "approx_percentiles_value_by_type",
+    # Output contract changed: recall-vs-cost curve over (nprobe, shortlist).
+    "ann_ivfpq_recall",
+    # Oracle SQL changed (fit_m=MAX_FIT_ROWS absolute fit cap threaded
+    # through the Lloyd CTE twins) and/or impl changed (persist removal).
+    "ann_ivf_kmeans", "ann_pq_adc", "ann_ivfpq_probe", "dedup_semantic_kmeans",
+    # Variance numerator moved to IEEE double in both engines.
+    "embedding_dim_stats",
+    # min/max dup filter replaced countDistinct; spans_clean composes it.
+    "dedup_duplicate_spans", "dedup_spans_clean",
+    # Bounded driver-side funnel materialization replaced the leaked persist.
+    "curation_mix_report",
+    # Timestamp-unit pinning in the applyInPandasWithState kernels.
+    "stream_transitions", "stream_scd2_intervals",
+)
 
 
 def all_queries() -> dict[str, Query]:
@@ -159,11 +181,10 @@ def all_queries() -> dict[str, Query]:
     from osm2orc_spark.streaming import events  # noqa: F401
 
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
-    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R04)}
+    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R05)}
 
     def key(name: str) -> tuple[int, int, int]:
-        # The r4 priority list includes the two rows-only sketches on
-        # purpose — they gate regardless of oracle presence this round.
+        # The r5 priority list re-gates contract/impl-changed queries first.
         if name in prio_index:
             return (0, prio_index[name], 0)
         no_oracle = REGISTRY[name].oracle is None
