@@ -427,3 +427,46 @@ def test_dim_stats_partial_agg(spark, sf_correctness):
     plan = plan_of(spark, sf_correctness, "embedding_dim_stats")
     assert "partial" in plan.lower()
     assert "EvalPython" not in plan
+
+
+def test_fit_sample_cut_is_take_ordered(spark, sf_correctness):
+    """The bounded Lloyd's-fit training cut (r5) must compile to
+    TakeOrderedAndProject over the scan — per-partition top-m then a
+    driver merge of m rows, NO exchange and NO global sort.  A plan
+    regression here turns the bounded collect back into a full-corpus
+    sort at 100 TB."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators.similarity import MAX_FIT_ROWS, _quant
+    from osm2orc_spark.tables import load
+
+    emb = load(spark, sf_correctness, "embeddings")
+    sel = (
+        emb.select(
+            "vec_id",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            _quant(F.col("embedding")).alias("qv"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(MAX_FIT_ROWS)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sel.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_duplicate_spans_dup_filter_is_plain_agg(spark, sf_correctness):
+    """The >=2-distinct-docs filter (r5) is min(doc_id) != max(doc_id):
+    the plan must carry partial aggregation and must NOT contain the
+    Expand node the two-phase distinct aggregate plans — the point of
+    the rewrite is 2 longs of agg state per span instead of per-(span,
+    doc_id) distinct machinery."""
+    plan = plan_of(spark, sf_correctness, "dedup_duplicate_spans")
+    assert "Expand" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
