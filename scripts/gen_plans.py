@@ -58,6 +58,20 @@ NOTES = {
         "OHLC without sort windows: partial-aggregable min_by/max_by over a "
         "lexicographic key - one exchange of pre-combined rows."
     ),
+    "dedup_duplicate_spans": (
+        "Substring dedup (r5 form): the >=2-distinct-docs filter is "
+        "min(doc_id) != max(doc_id) - plain partial min/max aggregation, NO "
+        "Expand node (the two-phase distinct machinery), 2 longs of agg "
+        "state per span at any scale; hit join + gaps-and-islands window "
+        "partition by doc_id."
+    ),
+    "ann_ivfpq_recall": (
+        "Recall-vs-cost curve (r5): three (nprobe, shortlist) configs share "
+        "ONE bounded codebook fit (TakeOrdered md5-ranked sample, "
+        "max_fit_rows cap); each config is the same join-free scan-stage "
+        "shape as ann_ivfpq_probe, unioned with the exact top-k overlap "
+        "aggregates."
+    ),
 }
 
 
