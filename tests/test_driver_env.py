@@ -56,3 +56,18 @@ def test_python_udf_query_runs_from_foreign_cwd(tmp_path):
     marker = [l for l in proc.stdout.splitlines() if l.startswith("DRIVER_SIM_ROWS")]
     assert marker, proc.stdout[-2000:]
     assert int(marker[0].split()[1]) > 0
+
+
+def test_bench_headline_names_all_registered():
+    """bench.py skips unknown names silently (per-query isolation), so a
+    renamed registry entry would silently drop out of the headline metric
+    and the round-over-round comparison would quietly lose a query.
+    Every HEADLINE name must resolve."""
+    import bench
+
+    from osm2orc_spark.registry import all_queries
+
+    qs = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dupes
