@@ -17,9 +17,11 @@ Scale notes: brute-force is O(n*q) with a broadcast query side — the
 right plan for one query against any corpus size. All-pairs is O(n^2);
 the IVF variant bounds it by cluster: centroid assignment is a broadcast
 cross join (centroids are tiny), probing touches only nprobe clusters.
-On a real 100 TB corpus the centroid set comes from a sampled k-means
-(MLlib KMeans fits here); a fixed deterministic centroid subset is used
-so the oracle can replay the exact pipeline.
+On a real 100 TB corpus the centroid set comes from a sampled k-means:
+the deterministic integer Lloyd's fit below trains on an md5-ranked
+sample hard-capped at MAX_FIT_ROWS, so the driver collect is bounded at
+any corpus size and the DuckDB oracle replays the exact pipeline
+(ann_ivf_probe additionally keeps a fixed-centroid-subset variant).
 """
 
 from __future__ import annotations
@@ -861,8 +863,8 @@ def embedding_lsh_calibration(
     doc="IVF-style probed ANN: assign every vector to its best of 8 "
     "deterministic centroids (broadcast cross join — centroids are tiny), "
     "probe the query's 2 best clusters, score only those members. The "
-    "production variant swaps the fixed centroid subset for MLlib KMeans "
-    "on a sample; the probe/assign dataflow is identical.",
+    "production variant is ann_ivf_kmeans: same probe/assign dataflow with "
+    "centroids from the bounded-sample integer Lloyd's fit.",
     tags=("similarity",),
 )
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
