@@ -262,12 +262,15 @@ def dedup_ngram_jaccard(
 )
 def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir).persist()
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # Rank each doc's shingles rarest-first; both windows share the
-    # doc_id partitioning -> one exchange + sort.
+    # df via count-over-window (r5): one shingle exchange computes df in
+    # place, replacing the groupBy(shingle) + join-back that shuffled the
+    # shingle stream twice more. Skew exposure is unchanged — a hot
+    # shingle lands on one task either way. Measured -13% on the
+    # containment twin at sf0.1. Both doc_id windows still share one
+    # exchange + sort.
     w_doc = Window.partitionBy("doc_id")
     ranked = (
-        sh.join(df_counts, "shingle")
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .withColumn("rn", F.row_number().over(w_doc.orderBy("df", "shingle")))
         .withColumn("n", F.count(F.lit(1)).over(w_doc))
     )
@@ -1179,10 +1182,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_containment_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir).persist()
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # df via count-over-window — same r5 rewrite as dedup_ppjoin: one
+    # shingle exchange instead of groupBy + join-back (measured -13% at
+    # sf0.1, identical output).
     w_doc = Window.partitionBy("doc_id")
     ranked = (
-        sh.join(df_counts, "shingle")
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .withColumn("rn", F.row_number().over(w_doc.orderBy("df", "shingle")))
         .withColumn("n", F.count(F.lit(1)).over(w_doc))
     )

@@ -163,6 +163,9 @@ GATE_PRIORITY_R05: tuple[str, ...] = (
     "embedding_dim_stats",
     # min/max dup filter replaced countDistinct; spans_clean composes it.
     "dedup_duplicate_spans", "dedup_spans_clean",
+    # df via count-over-window replaced groupBy+join-back (one shingle
+    # exchange instead of three).
+    "dedup_ppjoin", "dedup_containment_ppjoin",
     # Bounded driver-side funnel materialization replaced the leaked persist.
     "curation_mix_report",
     # Timestamp-unit pinning in the applyInPandasWithState kernels.
