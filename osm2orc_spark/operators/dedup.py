@@ -996,11 +996,12 @@ SPAN_N = 8
     GROUP BY doc_id, grp
     """,
     doc=f"Maximal duplicated token ranges per document: {SPAN_N}-token "
-    "shingles grouped corpus-wide (HAVING >= 2 distinct docs), hits "
-    "joined back and merged into maximal ranges via the gaps-and-islands "
-    "window (pos - row_number). Plan: one shingle explode feeds the "
-    "span group-by (uniform shuffle key) and the hit join; the island "
-    "merge partitions by doc_id. Consecutive-position merging turns "
+    "shingles, windows occurring in >= 2 distinct docs (min(doc_id) != "
+    "max(doc_id) over a span window — no distinct machinery, no "
+    "join-back, one span exchange), hits merged into maximal ranges via "
+    "the gaps-and-islands window (pos - row_number). Plan: ONE shingle "
+    "explode, ONE exchange on span (uniform shuffle key), ONE exchange "
+    "on doc_id for the island merge. Consecutive-position merging turns "
     "overlapping fixed-n shingle hits into the same maximal spans a "
     "suffix-array pass reports, without any global index. At 100 TB "
     "every stage is a standard shuffle; the span dictionary never "
@@ -1028,26 +1029,21 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos0", "span"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span")
-    # The span explode feeds BOTH the corpus-wide group-by and the hit
-    # join, but is deliberately NOT persisted (r5 measurement: 1.36s
-    # uncached vs 1.60s cached at sf0.1): the exploded frame is ~SPAN_N x
-    # the corpus bytes, so at 100 TB caching it costs a write+read of 8x
-    # the input where recomputing costs one extra scan+tokenize of the
-    # raw text — recompute wins at every scale here.
-    # ">= 2 distinct docs" computed as min(doc_id) != max(doc_id): exactly
-    # equivalent, but min/max are plain partial aggregates — 2 longs of
-    # state per span, full map-side combine — where countDistinct plans
-    # the two-phase distinct machinery over (span, doc_id) pairs.  At
-    # sf0.1 this is ~7% wall; at 100 TB it is the difference between
-    # shuffling per-span long pairs and shuffling per-span doc-id sets
-    # (r4 verdict #5: this stage had the steepest 10x-step scaling).
-    dup = (
-        spans.groupBy("span")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    # ">= 2 distinct docs" as min(doc_id) != max(doc_id) computed OVER A
+    # WINDOW on span (r5, second pass): the single span exchange both
+    # ranks and filters, replacing the groupBy + join-back that shuffled
+    # the exploded stream twice AND re-ran the explode for the probe side
+    # (2.71s -> 1.54s at sf0.1, identical output; the earlier
+    # countDistinct->min/max rewrite composes with this — still no
+    # distinct Expand, still 2 longs of state per span).  With one
+    # consumer of the explode there is nothing left to persist, which
+    # also retires the 8x-corpus-bytes cache this operator used to carry.
+    hits = (
+        spans.withColumn("mn", F.min("doc_id").over(W.partitionBy("span")))
+        .withColumn("mx", F.max("doc_id").over(W.partitionBy("span")))
         .filter(F.col("mn") != F.col("mx"))
-        .select("span")
+        .select("doc_id", "pos")
     )
-    hits = spans.join(dup, "span").select("doc_id", "pos")
     grp = (F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))).alias("grp")
     islands = hits.select("doc_id", "pos", grp)
     return islands.groupBy("doc_id", "grp").agg(
