@@ -461,12 +461,18 @@ def test_fit_sample_cut_is_take_ordered(spark, sf_correctness):
     assert "Exchange" not in plan
 
 
-def test_duplicate_spans_dup_filter_is_plain_agg(spark, sf_correctness):
-    """The >=2-distinct-docs filter (r5) is min(doc_id) != max(doc_id):
-    the plan must carry partial aggregation and must NOT contain the
-    Expand node the two-phase distinct aggregate plans — the point of
-    the rewrite is 2 longs of agg state per span instead of per-(span,
-    doc_id) distinct machinery."""
+def test_duplicate_spans_dup_filter_is_skew_safe_agg(spark, sf_correctness):
+    """The >=2-distinct-docs filter (r6) is min(doc_id) != max(doc_id)
+    via groupBy + semi-join back, NOT a window over span: groupBy gets
+    map-side combine (partial_min/partial_max must appear in the plan),
+    so a hot boilerplate span ships ~one row per task instead of landing
+    every occurrence in one unsplittable window partition.  No Expand
+    node (no two-phase distinct machinery), and the join-back must be a
+    semi join on span — the skew-splittable/broadcastable shape."""
     plan = plan_of(spark, sf_correctness, "dedup_duplicate_spans")
     assert "Expand" not in plan
-    assert "partial_min" in plan or "HashAggregate" in plan
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "LeftSemi" in plan
+    # the only Window node allowed is the doc_id-partitioned island merge
+    # (row_number over doc_id) — never a window partitioned by span
+    assert "windowspecdefinition(span" not in plan
