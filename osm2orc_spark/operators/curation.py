@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from osm2orc_spark.operators.cache import release_with
 from osm2orc_spark.operators.dedup import (
     _DUCK_SHINGLES,
     _shingles,
@@ -513,11 +514,12 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc("doc_id"),
         )
     )
-    return (
+    return release_with(
         surv.join(F.broadcast(quota), "lang")
         .withColumn("rn", rn)
         .filter(F.col("rn") <= F.col("quota"))
-        .select("doc_id", "lang", "quota")
+        .select("doc_id", "lang", "quota"),
+        surv,
     )
 
 

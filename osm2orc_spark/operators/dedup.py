@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from osm2orc_spark.operators.cache import release_with
 from osm2orc_spark.operators.guards import guard_quadratic
 from osm2orc_spark.registry import register
 from osm2orc_spark.tables import load
@@ -223,7 +224,7 @@ def dedup_ngram_jaccard(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_pairs(cand, sh, JACCARD_THRESHOLD)
+    return release_with(_jaccard_pairs(cand, sh, JACCARD_THRESHOLD), sh)
 
 
 # ---------------------------------------------------------------------------
@@ -298,7 +299,9 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verification reuses the per-doc sizes the prefix bound already
     # computed (rn==1 row carries n) instead of re-aggregating sh.
     sizes = ranked.filter(F.col("rn") == 1).select("doc_id", "n")
-    return _jaccard_pairs(cand, sh, JACCARD_THRESHOLD, sizes=sizes)
+    return release_with(
+        _jaccard_pairs(cand, sh, JACCARD_THRESHOLD, sizes=sizes), sh
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -425,7 +428,7 @@ def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: consumed by minhash, sizes, and both verify-join sides.
     sh = _shingles(spark, sf_dir).persist()
-    return _minhash_lsh_pairs(sh)
+    return release_with(_minhash_lsh_pairs(sh), sh)
 
 
 # ---------------------------------------------------------------------------
@@ -478,7 +481,7 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     sh = sh_raw.join(F.broadcast(hot), "shingle", "left_anti").persist()
-    return _minhash_lsh_pairs(sh)
+    return release_with(_minhash_lsh_pairs(sh), sh, sh_raw)
 
 
 # ---------------------------------------------------------------------------
@@ -517,7 +520,11 @@ def dedup_components(
             "checkpoint='reliable' requires spark.sparkContext.setCheckpointDir "
             "(an HDFS/S3 path on a real cluster) before calling dedup_components"
         )
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # Hold the upstream result object for the whole function: its shingle
+    # cache is scoped to it (release_with) and must survive until the
+    # propagation loop below has materialized the edge list.
+    lsh_pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = lsh_pairs.select("doc_a", "doc_b")
     docs = load(spark, sf_dir, "documents").select("doc_id")
     und = (
         pairs.unionByName(
@@ -764,9 +771,10 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    return release_with(
         cand.select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX),
+        sigs,
     )
 
 
@@ -1145,9 +1153,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_inter").cast("double") / F.col("nb")).alias("contain_b"),
         )
     )
-    return scored.filter(
-        (F.col("contain_a") >= CONTAIN_THRESHOLD)
-        | (F.col("contain_b") >= CONTAIN_THRESHOLD)
+    return release_with(
+        scored.filter(
+            (F.col("contain_a") >= CONTAIN_THRESHOLD)
+            | (F.col("contain_b") >= CONTAIN_THRESHOLD)
+        ),
+        sh_raw,
     )
 
 
@@ -1232,9 +1243,12 @@ def dedup_containment_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_inter").cast("double") / F.col("nb")).alias("contain_b"),
         )
     )
-    return scored.filter(
-        (F.col("contain_a") >= CONTAIN_THRESHOLD)
-        | (F.col("contain_b") >= CONTAIN_THRESHOLD)
+    return release_with(
+        scored.filter(
+            (F.col("contain_a") >= CONTAIN_THRESHOLD)
+            | (F.col("contain_b") >= CONTAIN_THRESHOLD)
+        ),
+        sh,
     )
 
 
@@ -1426,7 +1440,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", agree_expr.alias("n_agree"))
     )
     ni = F.coalesce(F.col("n_inter"), F.lit(0))
-    return (
+    return release_with(
         agree.join(inter, ["doc_a", "doc_b"], "left")
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
@@ -1443,5 +1457,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("exact_micro"),
         )
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+        sh,
+        sigs,
     )

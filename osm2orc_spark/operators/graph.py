@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from osm2orc_spark.operators.cache import release_with
 from osm2orc_spark.registry import register
 from osm2orc_spark.tables import load
 
@@ -112,10 +113,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(150000) + F.expr("(85 * cs) div 100")).cast("bigint").alias("pr"),
             )
         )
-    return (
+    return release_with(
         ranks.orderBy(F.desc("pr"), "node")
         .limit(PR_TOP)
-        .select("node", F.col("pr").alias("pr_scaled"))
+        .select("node", F.col("pr").alias("pr_scaled")),
+        dedges,
     )
 
 
@@ -141,7 +143,10 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2orc_spark.operators.dedup import dedup_minhash_lsh
 
-    e = dedup_minhash_lsh(spark, sf_dir).select(
+    # Hold the upstream result: its shingle cache is scoped to it and
+    # must stay warm while this query's plan materializes e.
+    lsh_pairs = dedup_minhash_lsh(spark, sf_dir)
+    e = lsh_pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).persist()
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -163,10 +168,12 @@ def dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ),
     ).otherwise(F.lit(0).cast("bigint"))
-    return (
+    return release_with(
         edges.crossJoin(wedges)
         .crossJoin(tri)
-        .select("n_edges", "n_wedges", "n_triangles", cc.alias("clustering_micro"))
+        .select("n_edges", "n_wedges", "n_triangles", cc.alias("clustering_micro")),
+        e,
+        lsh_pairs,
     )
 
 

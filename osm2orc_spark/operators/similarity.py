@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from osm2orc_spark.operators.cache import release_with
 from osm2orc_spark.operators.guards import guard_quadratic
 from osm2orc_spark.registry import register
 from osm2orc_spark.tables import load
@@ -622,9 +623,10 @@ _DUCK_RP_CAND = f"""
 def _rp_sigs_and_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Quantized vectors + RP-LSH same-chunk candidate pairs.
 
-    Returns ``(sigs, cand)``: ``sigs`` is the persisted
-    ``(vec_id, q, chs)`` frame (quantized vector + chunk values, one
-    narrow scan, no shuffle), ``cand`` the distinct ``(vec_a, vec_b)``
+    Returns ``(sigs, cand)``: ``sigs`` is the ``(vec_id, q, chs)``
+    frame (quantized vector + chunk values, one narrow scan, no shuffle;
+    persist + release scoping belong to the caller — see the note at the
+    construction site), ``cand`` the distinct ``(vec_a, vec_b)``
     same-chunk pairs from an equi-join on ``(c, cv)``. Signature bits are
     sign(dot(quantized vec, ±1 plane)) in exact BIGINT arithmetic, so both
     engines agree bit-for-bit; chunk values are built per-chunk (values
@@ -652,10 +654,13 @@ def _rp_sigs_and_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
             for t in range(RP_CHUNK_BITS)
         )
         struct_sqls.append(f"struct({c} AS c, ({bits}) AS cv)")
+    # NOT persisted here: the caller persists sigs and scopes the release
+    # to its own returned result (release_with) — cache substitution
+    # matches by logical plan, so cand (built below from the unpersisted
+    # object) still reads the cache once the caller persists.
     sigs = (
         emb.select("vec_id", _quant(F.col("embedding")).alias("q"))
         .select("vec_id", "q", F.expr("array(" + ", ".join(struct_sqls) + ")").alias("chs"))
-        .persist()
     )
     chunks = sigs.select("vec_id", F.explode("chs").alias("ch")).select(
         "vec_id", "ch.c", "ch.cv"
@@ -705,10 +710,11 @@ def _rp_sigs_and_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs, cand = _rp_sigs_and_candidates(spark, sf_dir)
+    sigs = sigs.persist()
     ea = sigs.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
     eb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
     qa, qb = F.col("qa"), F.col("qb")
-    return (
+    return release_with(
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
@@ -716,7 +722,8 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
         )
-        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .filter(F.col("cosine") >= NEAR_DUP_COS),
+        sigs,
     )
 
 
@@ -771,6 +778,7 @@ def embedding_lsh_calibration(
         allow_quadratic=allow_quadratic,
     )
     sigs, cand = _rp_sigs_and_candidates(spark, sf_dir)
+    sigs = sigs.persist()
     a = sigs.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
     b = sigs.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
     qa, qb = F.col("qa"), F.col("qb")
@@ -792,7 +800,7 @@ def embedding_lsh_calibration(
     n_found = cand.join(truth, ["vec_a", "vec_b"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_found")
     )
-    return (
+    return release_with(
         n_vec.crossJoin(n_true)
         .crossJoin(n_cand)
         .crossJoin(n_found)
@@ -812,7 +820,9 @@ def embedding_lsh_calibration(
                 F.col("n_cand").cast("double")
                 / (F.col("n_vec") * (F.col("n_vec") - 1) / F.lit(2.0))
             ).alias("cand_rate"),
-        )
+        ),
+        truth,
+        sigs,
     )
 
 
@@ -901,7 +911,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid")
     )
     qa, qb = _quant(F.col("embedding")), _quant(F.col("q_emb"))
-    return (
+    return release_with(
         assign.join(F.broadcast(probe), "cid")
         .join(emb, "vec_id")
         .crossJoin(F.broadcast(q))
@@ -913,7 +923,8 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "vec_id")
-        .limit(TOP_K)
+        .limit(TOP_K),
+        ccos,
     )
 
 

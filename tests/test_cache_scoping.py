@@ -1,0 +1,96 @@
+"""Invariant: every persist() is paired with a release.
+
+The r5 review found five shingle ``persist()`` sites leaking into the
+session cache after the query returned (~8x corpus bytes per operator in
+a long-lived session).  The house rule, enforced here over EVERY module
+in the package (test_constant_parity style — a static sweep no new code
+can silently dodge):
+
+  a variable assigned from ``....persist()`` inside a function must, in
+  that same function, either be ``.unpersist()``-ed (the materialize →
+  ``finally`` pattern for eagerly-executed frames) or be passed to
+  ``release_with(...)`` (cache lifetime scoped to the returned lazy
+  result's object lifetime — see ``operators/cache.py``).
+
+Plus a runtime check: running a cache-scoped query end-to-end and then
+dropping the result leaves ZERO persistent RDDs in the session.
+"""
+
+from __future__ import annotations
+
+import ast
+import gc
+import pathlib
+
+import pytest
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "osm2orc_spark"
+
+
+def _persist_targets(fn: ast.FunctionDef) -> set[str]:
+    """Names assigned from a call chain ending in .persist()."""
+    out: set[str] = set()
+    for node in ast.walk(fn):
+        if not isinstance(node, ast.Assign):
+            continue
+        v = node.value
+        if (
+            isinstance(v, ast.Call)
+            and isinstance(v.func, ast.Attribute)
+            and v.func.attr == "persist"
+        ):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    out.add(tgt.id)
+    return out
+
+
+def _released_names(fn: ast.FunctionDef) -> set[str]:
+    """Names that are unpersist()ed or passed to release_with() in fn."""
+    out: set[str] = set()
+    for node in ast.walk(fn):
+        if not isinstance(node, ast.Call):
+            continue
+        f = node.func
+        if isinstance(f, ast.Attribute) and f.attr == "unpersist":
+            if isinstance(f.value, ast.Name):
+                out.add(f.value.id)
+        if isinstance(f, ast.Name) and f.id == "release_with":
+            for arg in node.args[1:]:
+                if isinstance(arg, ast.Name):
+                    out.add(arg.id)
+    return out
+
+
+def test_every_persist_site_has_a_paired_release():
+    offenders: list[str] = []
+    for path in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        for fn in ast.walk(tree):
+            if not isinstance(fn, ast.FunctionDef):
+                continue
+            unreleased = _persist_targets(fn) - _released_names(fn)
+            for name in sorted(unreleased):
+                offenders.append(f"{path.relative_to(PKG.parent)}:{fn.name}:{name}")
+    assert not offenders, (
+        "persist() without a paired unpersist()/release_with() — the cache "
+        f"leaks into the session after the query returns: {offenders}"
+    )
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["dedup_ppjoin", "dedup_minhash_lsh_dfcap", "simhash_near_dup"],
+)
+def test_scoped_caches_release_on_result_drop(spark, sf_correctness, qname):
+    from osm2orc_spark.registry import all_queries
+
+    spark.catalog.clearCache()
+    df = all_queries()[qname].fn(spark, sf_correctness)
+    df.count()  # materialize: the scoped persists are now live blocks
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    del df
+    gc.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0, (
+        f"{qname}: dropping the result did not release its scoped caches"
+    )
