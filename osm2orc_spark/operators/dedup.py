@@ -489,6 +489,14 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _MINHASH_PAIRS_ORACLE_BODY = None  # filled after dedup_minhash_lsh registers
 
+# Hard cap for the driver union-find path: 2^20 directed edges is ~16 MB
+# of (long, long) rows — bounded driver memory at ANY corpus size, the
+# same posture as similarity.MAX_FIT_ROWS. Above it, the distributed
+# min-label fixpoint runs; the cutover is decided by the MEASURED edge
+# count (und is persisted either way, so the count is one cheap job on
+# data the fixpoint would materialize regardless).
+CC_COLLECT_MAX_EDGES = 1 << 20
+
 
 @register(
     "dedup_components",
@@ -498,20 +506,29 @@ _MINHASH_PAIRS_ORACLE_BODY = None  # filled after dedup_minhash_lsh registers
     oracle="__DEFERRED__",
     doc="Duplicate-cluster assignment: every document labeled with the min "
     "doc_id of its near-duplicate connected component (LSH-verified pairs "
-    "as edges; docs with no pair are their own component). Spark side is "
-    "iterative min-label propagation — each round is one join + one "
-    "groupBy-min on the label frame, persisted per round with lineage cut "
-    "per round (localCheckpoint locally; pass checkpoint='reliable' for a "
-    "fault-tolerant checkpoint dir on preemptible clusters, where "
-    "executor-local blocks die with the executor), converging in "
-    "O(component diameter) rounds "
-    "(near-dup clusters are shallow, 3-5 rounds in practice). This is the "
-    "standard distributed CC shape (GraphFrames/Pregel); only the "
-    "per-round convergence scalar touches the driver, never row data.",
+    "as edges; docs with no pair are their own component). Two physical "
+    "strategies behind one semantics, chosen by the MEASURED edge count "
+    "(the same adaptive posture as AQE's broadcast-vs-shuffle pick and "
+    "the bounded ANN codebook fits): at or below CC_COLLECT_MAX_EDGES "
+    "(2^20 directed edges, ~16 MB — a hard driver-memory bound at ANY "
+    "corpus size) a driver union-find resolves the components in one "
+    "bounded collect, eliminating the per-round job overhead that "
+    "dominates small graphs; above the cap, iterative min-label "
+    "propagation — each round is one join + one groupBy-min on the label "
+    "frame, lineage cut per round (localCheckpoint locally; pass "
+    "checkpoint='reliable' for a fault-tolerant checkpoint dir on "
+    "preemptible clusters), converging in O(component diameter) rounds. "
+    "Both paths produce the identical min-label fixpoint "
+    "(test-asserted); only bounded data (edge list under the cap, or the "
+    "per-round convergence scalar) ever touches the driver.",
     tags=("dedup", "iterative"),
 )
 def dedup_components(
-    spark: SparkSession, sf_dir: str, *, checkpoint: str = "local"
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    checkpoint: str = "local",
+    collect_max_edges: int = CC_COLLECT_MAX_EDGES,
 ) -> DataFrame:
     if checkpoint not in ("local", "reliable"):
         raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
@@ -539,6 +556,53 @@ def dedup_components(
         .repartition(spark.sparkContext.defaultParallelism, "doc_a")
         .persist()
     )
+    # Strategy pick by MEASURED size (the AQE idiom): the paired subgraph
+    # is O(|near-dup pairs|) — usually minuscule next to the corpus — and
+    # the distributed fixpoint's per-round job overhead (2 joins, 2 aggs,
+    # checkpoint, convergence collect) dwarfs the actual work on a small
+    # graph. At or under the hard cap, one bounded collect + union-find
+    # resolves the identical min-label fixpoint in O(E α(E)) driver time;
+    # above it, the loop below scales to any edge count.
+    n_edges = und.count()
+    if n_edges <= collect_max_edges:
+        from pyspark.sql import types as T
+
+        parent: dict = {}
+
+        def _find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])  # path halving
+                x = parent[x]
+            return x
+
+        rows = und.collect()
+        # und carries both edge directions, so doc_a alone covers every
+        # endpoint of the paired subgraph.
+        nodes = {r.doc_a for r in rows}
+        for r in rows:
+            ra, rb = _find(r.doc_a), _find(r.doc_b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                # union-by-min: the surviving root is the smaller id, so
+                # every root is its component's min doc_id — the same
+                # label the distributed fixpoint converges to.
+                parent[rb] = ra
+        dt = und.schema["doc_a"].dataType
+        labels = spark.createDataFrame(
+            [(n, _find(n)) for n in sorted(nodes)],
+            T.StructType(
+                [
+                    T.StructField("doc_id", dt, False),
+                    T.StructField("component", dt, False),
+                ]
+            ),
+        )
+        und.unpersist()
+        singles = docs.join(labels, "doc_id", "left_anti").select(
+            "doc_id", F.col("doc_id").alias("component")
+        )
+        return labels.unionByName(singles)
     # Iterate ONLY over nodes that have at least one edge: isolated docs
     # can never change label, so propagating them through every round
     # would shuffle the whole corpus per iteration for nothing. At 100 TB

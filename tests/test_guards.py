@@ -56,18 +56,36 @@ def test_guard_threshold_admits_gate_scale_tables(spark):
         assert n <= QUADRATIC_GUARD_MAX_ROWS
 
 
-def test_dedup_components_reliable_checkpoint(spark, sf_correctness, tmp_path):
-    """Reliable-checkpoint mode converges to the same labels as local mode."""
-    local = sorted(
+def test_dedup_components_strategies_agree(spark, sf_correctness, tmp_path):
+    """All three physical strategies — bounded driver union-find (the
+    default under CC_COLLECT_MAX_EDGES), distributed local-checkpoint
+    fixpoint, and distributed reliable-checkpoint fixpoint — converge to
+    the identical min-label assignment.  collect_max_edges=0 forces the
+    distributed path at test SFs."""
+    unionfind = sorted(
         map(tuple, dedup_components(spark, sf_correctness).collect())
     )
+    distributed = sorted(
+        map(
+            tuple,
+            dedup_components(spark, sf_correctness, collect_max_edges=0).collect(),
+        )
+    )
+    assert distributed == unionfind
     assert spark.sparkContext.getCheckpointDir() is None
     with pytest.raises(ValueError, match="setCheckpointDir"):
-        dedup_components(spark, sf_correctness, checkpoint="reliable")
+        dedup_components(
+            spark, sf_correctness, checkpoint="reliable", collect_max_edges=0
+        )
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     reliable = sorted(
-        map(tuple, dedup_components(spark, sf_correctness, checkpoint="reliable").collect())
+        map(
+            tuple,
+            dedup_components(
+                spark, sf_correctness, checkpoint="reliable", collect_max_edges=0
+            ).collect(),
+        )
     )
-    assert reliable == local
+    assert reliable == unionfind
     with pytest.raises(ValueError, match="checkpoint must be"):
         dedup_components(spark, sf_correctness, checkpoint="bogus")
