@@ -297,6 +297,27 @@ MAX_FIT_ROWS = 65_536
 _FIT_BLOCK_ROWS = 8_192
 
 
+def effective_fit_m(
+    n: int, k_min: int, fit_fraction: float, max_fit_rows: int | None
+) -> int | None:
+    """The effective Lloyd's-fit sample size — the SINGLE source of truth
+    for both the Spark-side TakeOrdered cut and the ``fit_m`` an SQL twin
+    must replay.  ``fit_fraction`` and ``max_fit_rows`` compose by
+    intersection (``min(cap, ceil(frac*n))``), so a twin replaying only
+    ``ceil(frac*n)`` would silently diverge from the Python fit once that
+    exceeds the cap — compute the replay size HERE, never inline.
+    ``None`` means no cut (whole corpus)."""
+    if not 0.0 < fit_fraction <= 1.0:
+        raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
+    if max_fit_rows is not None and max_fit_rows < k_min:
+        raise ValueError(f"max_fit_rows must be >= {k_min}, got {max_fit_rows}")
+    m: int | None = max_fit_rows
+    if fit_fraction < 1.0:
+        frac_m = max(k_min, math.ceil(fit_fraction * n))
+        m = frac_m if m is None else min(m, frac_m)
+    return m
+
+
 def _fit_sample_rows(
     spark: SparkSession,
     sf_dir: str,
@@ -310,21 +331,17 @@ def _fit_sample_rows(
     driver only ever materializes min(n, cap) rows: with the default
     ``max_fit_rows`` the collect is bounded at any corpus size — the
     FAISS train-on-sample discipline with a hard ceiling rather than a
-    corpus-relative fraction."""
+    corpus-relative fraction.  The sample size comes from
+    ``effective_fit_m`` — the same helper a caller must use for the SQL
+    twin's ``fit_m``."""
     emb = load(spark, sf_dir, "embeddings")
-    if not 0.0 < fit_fraction <= 1.0:
-        raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
-    if max_fit_rows is not None and max_fit_rows < k_min:
-        raise ValueError(f"max_fit_rows must be >= {k_min}, got {max_fit_rows}")
     sel = emb.select(
         "vec_id",
         F.md5(F.col("vec_id").cast("string")).alias("h"),
         _quant(F.col("embedding")).alias("qv"),
     )
-    m: int | None = max_fit_rows
-    if fit_fraction < 1.0:
-        frac_m = max(k_min, math.ceil(fit_fraction * emb.count()))
-        m = frac_m if m is None else min(m, frac_m)
+    n = emb.count() if fit_fraction < 1.0 else 0  # n only matters for fractions
+    m = effective_fit_m(n, k_min, fit_fraction, max_fit_rows)
     if m is not None:
         sel = sel.orderBy("h", "vec_id").limit(m)
     rows = sel.collect()

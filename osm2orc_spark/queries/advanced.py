@@ -676,7 +676,14 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approx_count_distinct: sketch-based distinct (engine-specific values).
 # ---------------------------------------------------------------------------
 HLL_RSD = 0.05  # approx_count_distinct relative standard deviation
-HLL_BOUND = 3 * HLL_RSD  # 3-sigma acceptance band for the bounded contract
+# 5-sigma acceptance band for the bounded contract: rsd is a STANDARD
+# DEVIATION, not a hard guarantee — at 3 sigma a perfectly healthy HLL++
+# estimate still lands outside the band for ~0.3% of groups on a fresh
+# dataset/SF, breaking the value hash as a false regression. The
+# contract only needs to catch gross estimator drift; at 5 sigma the
+# per-group false-positive rate is ~6e-7 while a broken estimator
+# (wrong rsd, wrong merge) still trips it immediately.
+HLL_BOUND = 5 * HLL_RSD
 
 
 @register(
@@ -692,7 +699,10 @@ HLL_BOUND = 3 * HLL_RSD  # 3-sigma acceptance band for the bounded contract
     "HLL sketch values are engine-specific, so instead of the raw estimate "
     "the query emits the exact distinct count (DuckDB-computable) plus a "
     f"within_bound boolean — |estimate - exact| <= ceil({HLL_BOUND}*exact), "
-    "a 3-sigma band of the sketch's published rsd. The oracle emits TRUE, "
+    "a 5-sigma band of the sketch's published rsd (rsd is a standard "
+    "deviation, not a bound: 3 sigma would false-positive on ~0.3% of "
+    "groups on a fresh corpus; 5 sigma is ~6e-7 per group and still "
+    "catches any real estimator drift). The oracle emits TRUE, "
     "so any estimator drift outside its guarantee now BREAKS the value "
     "hash — the sketch finally has a checkable driver contract. The "
     "exact twin lives only in this verification harness; the production "
@@ -720,6 +730,23 @@ def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
                 )
             ).alias("within_bound"),
         )
+    )
+
+
+def approx_distinct_users_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of approx_distinct_users_by_type: sketch
+    alone, no exact anchor.  The registered twin adds countDistinct +
+    the bounded-invariant contract so the driver's DuckDB oracle can
+    gate it, but that exact anchor dominates cost at scale (full Expand
+    distinct machinery).  This variant is the 100 TB plan the doc cites:
+    mergeable partial HLL++ sketches map-side, one merge per group,
+    constant memory per task regardless of cardinality.  Not registered
+    (HLL values are engine-specific, so there is no value-hash oracle);
+    pinned instead by the plan test asserting NO distinct Expand and a
+    single events scan."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users")
     )
 
 
@@ -921,6 +948,20 @@ def approx_percentiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFr
         for i, p in enumerate(APPROX_PCTS)
     ]
     return counts.select("event_type", "n_vals", *oks)
+
+
+def approx_percentiles_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of approx_percentiles_value_by_type: the GK
+    sketch alone — partial sketches map-side, one merge per group, ONE
+    shuffle of sketch bytes, no rank-verification join back to events.
+    The registered twin's second full events scan + broadcast join is
+    verification harness only; this is the plan a 100 TB job runs.  Not
+    registered (GK estimates are engine-specific); pinned by the plan
+    test asserting a single events scan and no join."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", list(APPROX_PCTS), APPROX_PCT_ACC).alias("pcts")
+    )
 
 
 # ---------------------------------------------------------------------------

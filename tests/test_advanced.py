@@ -356,14 +356,18 @@ def test_lloyd_fit_fraction_oracle_replay(spark, sf_correctness):
 
     from osm2orc_spark.operators.similarity import (
         _DUCK_QE,
+        MAX_FIT_ROWS,
         _lloyd_cte_sql,
         _lloyd_fit_ints,
+        effective_fit_m,
     )
     from osm2orc_spark.tables import load
 
     k, iters, frac = 8, 2, 0.5
     n = load(spark, sf_correctness, "embeddings").count()
-    m = max(k, math.ceil(frac * n))
+    # the SHARED helper is the replay contract: fraction and cap compose
+    # by intersection, so ceil(frac*n) alone would diverge past the cap
+    m = effective_fit_m(n, k, frac, MAX_FIT_ROWS)
     cents = _lloyd_fit_ints(spark, sf_correctness, k, iters, fit_fraction=frac)
 
     con = duckdb.connect()
@@ -402,17 +406,19 @@ def test_pq_lloyd_fit_fraction_oracle_replay(spark, sf_correctness):
 
     from osm2orc_spark.operators.similarity import (
         _DUCK_QE,
+        MAX_FIT_ROWS,
         PQ_D,
         PQ_K,
         PQ_M,
         _pq_lloyd_cte_sql,
         _pq_lloyd_fit,
+        effective_fit_m,
     )
     from osm2orc_spark.tables import load
 
     iters, frac = 2, 0.5
     n = load(spark, sf_correctness, "embeddings").count()
-    m = max(PQ_K, math.ceil(frac * n))
+    m = effective_fit_m(n, PQ_K, frac, MAX_FIT_ROWS)
     books = _pq_lloyd_fit(spark, sf_correctness, iters, fit_fraction=frac)
 
     con = duckdb.connect()

@@ -476,3 +476,31 @@ def test_duplicate_spans_dup_filter_is_skew_safe_agg(spark, sf_correctness):
     # the only Window node allowed is the doc_id-partitioned island merge
     # (row_number over doc_id) — never a window partitioned by span
     assert "windowspecdefinition(span" not in plan
+
+
+def test_sketch_only_variants_are_single_scan_constant_memory(spark, sf_correctness):
+    """The registered approx-sketch queries carry exact anchors so the
+    DuckDB oracle can gate them; the production 100 TB shape is the
+    sketch alone.  Pin that shape on the non-registered *_sketch_only
+    twins: exactly one events scan, no join, no distinct Expand — the
+    constant-memory mergeable-sketch plan the registered docs cite."""
+    import contextlib
+    import io
+
+    from osm2orc_spark.queries.advanced import (
+        approx_distinct_users_sketch_only,
+        approx_percentiles_sketch_only,
+    )
+
+    for fn in (approx_distinct_users_sketch_only, approx_percentiles_sketch_only):
+        df = fn(spark, sf_correctness)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # formatted explain prints each node twice (tree + details), so
+        # ONE physical scan == exactly 2 occurrences
+        assert plan.count("Scan parquet") == 2, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        assert "Expand" not in plan, fn.__name__
+        assert "partial_" in plan, fn.__name__  # map-side partial sketches
