@@ -59,11 +59,14 @@ NOTES = {
         "lexicographic key - one exchange of pre-combined rows."
     ),
     "dedup_duplicate_spans": (
-        "Substring dedup (r5 form): the >=2-distinct-docs filter is "
-        "min(doc_id) != max(doc_id) - plain partial min/max aggregation, NO "
-        "Expand node (the two-phase distinct machinery), 2 longs of agg "
-        "state per span at any scale; hit join + gaps-and-islands window "
-        "partition by doc_id."
+        "Substring dedup (r6 skew-safe form): the >=2-distinct-docs filter "
+        "is min(doc_id) != max(doc_id) via groupBy(span) — MAP-SIDE partial "
+        "min/max (one row per span per task regardless of a span's df), NO "
+        "Expand node, never a window over span (window partitions cannot "
+        "be AQE-skew-split and hot boilerplate spans are this operator's "
+        "subject matter); the tiny dup-span dictionary semi-joins back "
+        "(AQE-broadcastable), then the gaps-and-islands window partitions "
+        "by doc_id."
     ),
     "ann_ivfpq_recall": (
         "Recall-vs-cost curve (r5): three (nprobe, shortlist) configs share "
