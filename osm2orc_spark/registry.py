@@ -140,9 +140,34 @@ DRIVER_VERIFIED_R04: frozenset[str] = frozenset({
     "asof_join_tolerance", "scd2_user_value_bands", "stream_scd2_intervals",
 })
 
+# Triple-green rows from the round-5 gate (CORRECTNESS_r05.json): 50/50
+# green, zero failures, zero errors — including the 13 contract-changed
+# re-gates and the first-ever oracle rows for the two approx sketches.
+DRIVER_VERIFIED_R05: frozenset[str] = frozenset({
+    "approx_distinct_users_by_type", "approx_percentiles_value_by_type",
+    "ann_ivfpq_recall", "ann_ivf_kmeans", "ann_pq_adc", "ann_ivfpq_probe",
+    "dedup_semantic_kmeans", "embedding_dim_stats", "dedup_duplicate_spans",
+    "dedup_spans_clean", "dedup_ppjoin", "dedup_containment_ppjoin",
+    "curation_mix_report", "stream_transitions", "stream_scd2_intervals",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "filter_like_prefix", "explode_with_ordinality",
+    "latest_event_agg_join", "latest_event_window", "composite_key_self_join",
+    "union_all_literals", "order_by_case_precedence", "monthly_event_stats",
+    "array_agg_sorted_lines", "window_lag_transitions",
+    "anti_join_customers_without_orders",
+    "semi_join_customers_with_open_orders", "rollup_region_nation_customers",
+    "pivot_returnflag_by_status", "json_prop_extraction",
+    "cte_chain_order_items", "top3_items_per_supplier", "sessionize_events",
+    "tumbling_window_hourly", "distinct_parts_per_supplier", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_lsh_dfcap",
+    "dedup_components", "simhash_signature", "simhash_near_dup",
+    "dedup_boilerplate_chunks", "fuzzy_name_match", "dedup_containment_pairs",
+    "dedup_minhash_calibration",
+})
+
 DRIVER_VERIFIED: frozenset[str] = (
     DRIVER_VERIFIED_R01 | DRIVER_VERIFIED_R02 | DRIVER_VERIFIED_R03
-    | DRIVER_VERIFIED_R04
+    | DRIVER_VERIFIED_R04 | DRIVER_VERIFIED_R05
 )
 
 # Explicit gate order for round 5.  Every registered query has a driver row
@@ -172,6 +197,29 @@ GATE_PRIORITY_R05: tuple[str, ...] = (
     "stream_transitions", "stream_scd2_intervals",
 )
 
+# Explicit gate order for round 6 (registry frozen at 162 per the r5
+# verdict; slots go to impl-touched queries first, then to the longest-
+# unconfirmed greens).  r6 touched: the duplicate-spans rewrite (window →
+# skew-safe partial agg + semi join), the dedup_components strategy pick
+# (bounded driver union-find under CC_COLLECT_MAX_EDGES) and everything
+# composing it, the 5-sigma HLL contract, and every query whose persist
+# sites moved to release_with cache scoping (results identical by
+# construction — re-gated anyway because the implementation changed).
+GATE_PRIORITY_R06: tuple[str, ...] = (
+    # spans rewrite (verdict #2)
+    "dedup_duplicate_spans", "dedup_spans_clean",
+    # components strategy pick (verdict #4) + composers
+    "dedup_components", "curation_canonical_docs", "curation_training_mix",
+    "curation_mix_report", "dupgraph_triangle_stats",
+    # HLL band 3σ→5σ (advice #4)
+    "approx_distinct_users_by_type",
+    # release_with cache scoping (verdict #3)
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_lsh_dfcap",
+    "simhash_near_dup", "dedup_containment_pairs", "dedup_containment_ppjoin",
+    "dedup_ppjoin", "dedup_minhash_calibration", "pagerank_trade_graph",
+    "embedding_near_dup_lsh", "embedding_lsh_calibration", "ann_ivf_probe",
+)
+
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate the registry.  Import order
@@ -184,10 +232,21 @@ def all_queries() -> dict[str, Query]:
     from osm2orc_spark.streaming import events  # noqa: F401
 
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
-    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R05)}
+    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R06)}
+    # Staleness tier for verified re-confirmations: the round a query was
+    # LAST driver-confirmed — oldest greens re-confirm first (r5 verdict
+    # #7: "then never-re-confirmed r1 greens").
+    last_confirmed = {}
+    for rnd, names in enumerate(
+        (DRIVER_VERIFIED_R01, DRIVER_VERIFIED_R02, DRIVER_VERIFIED_R03,
+         DRIVER_VERIFIED_R04, DRIVER_VERIFIED_R05),
+        start=1,
+    ):
+        for n in names:
+            last_confirmed[n] = rnd  # later rounds overwrite earlier ones
 
     def key(name: str) -> tuple[int, int, int]:
-        # The r5 priority list re-gates contract/impl-changed queries first.
+        # The r6 priority list re-gates impl-touched queries first.
         if name in prio_index:
             return (0, prio_index[name], 0)
         no_oracle = REGISTRY[name].oracle is None
@@ -195,6 +254,7 @@ def all_queries() -> dict[str, Query]:
             return (1, 0, reg_index[name])
         if name not in DRIVER_VERIFIED:  # rows-only: weakest gate signal, last
             return (2, 0, reg_index[name])
-        return (3, 0, reg_index[name])  # already driver-verified: last
+        # already driver-verified: stalest confirmation first
+        return (3, last_confirmed[name], reg_index[name])
 
     return {name: REGISTRY[name] for name in sorted(REGISTRY, key=key)}
