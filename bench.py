@@ -63,7 +63,7 @@ HEADLINE = [
 ]
 
 
-def ingest_decode_metric() -> dict:
+def ingest_decode_metric() -> tuple[dict, str]:
     """Stable ingest signal: single-thread columnar PBF decode throughput.
 
     Methodology (pinned r2): synthesize a deterministic 120k-node
@@ -109,11 +109,62 @@ def ingest_decode_metric() -> dict:
             n_entities += len(cols["id"])
         walls.append(time.perf_counter() - t0)
     best = min(walls)
+    return (
+        {
+            "entities": n_entities,
+            "decode_wall_sec": round(best, 3),
+            "decode_entities_per_sec": round(n_entities / best),
+            "decode_spread_pct": round((max(walls) - best) / best * 100, 1),
+        },
+        pbf_path,
+    )
+
+
+def e2e_orc_metric(spark, pbf_path: str) -> dict:
+    """End-to-end transcode + query round-trip — the reference's WHOLE job
+    (OsmPbf2Orc.java:54 is PBF -> ORC, nothing else), measured as
+    PBF -> read_pbf -> write_orc(+bounds footer) -> spark.read.orc ->
+    snapshot window -> osm_ways_reassembly count.  Complements the
+    decode-only rate above (codec in isolation): this number carries
+    Spark scheduling, the ORC writer, the footer-metadata rewrite, and a
+    real query over the round-tripped table.  Row-identity of the query
+    over parquet-vs-ORC inputs is asserted in
+    tests/test_osm_ingest.py::test_ways_reassembly_identical_over_orc_roundtrip."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from osm2orc_spark.queries.osm_corpus import osm_ways_reassembly
+    from osm2orc_spark.sinks.orc import write_orc
+    from osm2orc_spark.sources.pbf import read_pbf, read_pbf_bounds
+
+    orc_dir = os.path.join(os.path.dirname(pbf_path), "e2e_orc")
+    walls: list[float] = []
+    n_rows = 0
+    n_entities = 0
+    for _ in range(2):  # warm + timed; min survives the cold pass
+        t0 = time.perf_counter()
+        write_orc(
+            read_pbf(spark, pbf_path), orc_dir, bounds=read_pbf_bounds(pbf_path)
+        )
+        history = spark.read.orc(orc_dir)
+        n_entities = history.count()
+        snap = (
+            history.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("type", "id").orderBy(F.desc("version"))
+                ),
+            )
+            .filter((F.col("rn") == 1) & F.col("visible"))
+            .drop("rn")
+        )
+        n_rows = osm_ways_reassembly(spark, "", planet=snap).count()
+        walls.append(time.perf_counter() - t0)
+    best = min(walls)
     return {
-        "entities": n_entities,
-        "decode_wall_sec": round(best, 3),
-        "decode_entities_per_sec": round(n_entities / best),
-        "decode_spread_pct": round((max(walls) - best) / best * 100, 1),
+        "e2e_orc_sec": round(best, 3),
+        "e2e_entities_per_sec": round(n_entities / best),
+        "e2e_query_rows": n_rows,
     }
 
 
@@ -123,7 +174,7 @@ def main() -> None:
     # Decode metric FIRST, before the Spark JVM exists: the codec is
     # single-thread pure Python, and measuring it next to an idle
     # 32-thread JVM added 10-20% noise to the recorded rate.
-    ingest = ingest_decode_metric()
+    ingest, pbf_path = ingest_decode_metric()
     # stdout discipline (r4 postmortem): the driver records the TAIL of
     # stdout, and r4's payload drowned among ~1000 console-progress lines
     # and got truncated (`BENCH_r04.json.parsed: null`).  The bench session
@@ -226,6 +277,9 @@ def main() -> None:
         "queries": timings,
         "value": total,
     }
+    # e2e ingest AFTER the timed query loop so its jobs cannot perturb
+    # the per-query walls; it records only into the repo-local mirror.
+    ingest.update(e2e_orc_metric(spark, pbf_path))
     full_payload = dict(stdout_payload)
     full_payload.update(
         {"median_sec": medians, "spread_pct": spread, "ingest": ingest}

@@ -117,8 +117,15 @@ def _changesets(spark: SparkSession) -> DataFrame:
     "parallelism). Coordinates stringify via exact decimal->string.",
     tags=("osm",),
 )
-def osm_ways_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planet = _planet(spark)
+def osm_ways_reassembly(
+    spark: SparkSession, sf_dir: str, *, planet: DataFrame | None = None
+) -> DataFrame:
+    # ``planet`` lets a caller run the README query over an alternative
+    # snapshot frame with the same schema — e.g. the ORC round-trip
+    # (read_pbf -> write_orc -> spark.read.orc) the e2e ingest bench and
+    # test drive — without re-registering the query.
+    if planet is None:
+        planet = _planet(spark)
     nodes = planet.filter(F.col("type") == "node").select("id", "lat", "lon")
     ways = planet.filter(F.col("type") == "way").select("id", "nds")
     nodes_in_bbox = nodes.filter(

@@ -229,3 +229,32 @@ class TestOrcSink:
         assert files
         table = po.ORCFile(files[0]).read()
         assert table.num_rows > 0
+
+
+def test_ways_reassembly_identical_over_orc_roundtrip(spark, pbf_path, tmp_path):
+    """The README query must return IDENTICAL rows whether the snapshot
+    comes from the committed parquet fixtures or from a live PBF ->
+    write_orc -> spark.read.orc round-trip — the row-identity contract
+    behind the bench's e2e_orc_sec metric (bench.py:e2e_orc_metric)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from osm2orc_spark.queries.osm_corpus import osm_ways_reassembly
+
+    orc_dir = str(tmp_path / "roundtrip_orc")
+    write_orc(read_pbf(spark, pbf_path), orc_dir, bounds=read_pbf_bounds(pbf_path))
+    history = spark.read.orc(orc_dir)
+    snap = (
+        history.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("type", "id").orderBy(F.desc("version"))
+            ),
+        )
+        .filter((F.col("rn") == 1) & F.col("visible"))
+        .drop("rn")
+    )
+    via_orc = sorted(map(tuple, osm_ways_reassembly(spark, "", planet=snap).collect()))
+    via_fixture = sorted(map(tuple, osm_ways_reassembly(spark, "").collect()))
+    assert via_orc == via_fixture
+    assert len(via_orc) > 0
