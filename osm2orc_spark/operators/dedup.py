@@ -276,9 +276,13 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.count(F.lit(1)).over(w_doc))
     )
     # p = n - ceil(t*n) + 1 with t = 4/5, all-integer so the bound is safe.
+    # prefix is PERSISTED (tiny: ~n/5 of the shingle stream at t=4/5):
+    # both candidate sides derive from it, and without the cache each
+    # side re-executed the full triple-window chain over sh (Catalyst
+    # plans identical subtrees independently) — the windows now run ONCE.
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr("(4*n + 4) div 5") + F.lit(1)
-    ).select("doc_id", "shingle", "n")
+    ).select("doc_id", "shingle", "n").persist()
     a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na"))
     b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb"))
     # Length filter (the other half of the PPJoin bound): jaccard >= t
@@ -296,12 +300,11 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # Verification reuses the per-doc sizes the prefix bound already
-    # computed (rn==1 row carries n) instead of re-aggregating sh.
-    sizes = ranked.filter(F.col("rn") == 1).select("doc_id", "n")
-    return release_with(
-        _jaccard_pairs(cand, sh, JACCARD_THRESHOLD, sizes=sizes), sh
-    )
+    # Sizes via groupBy over the cached shingle frame, NOT ranked.filter
+    # (rn == 1): the latter re-executed the triple-window chain once per
+    # consumer (the verify join reads sizes twice) where the groupBy is a
+    # cheap map-side partial aggregate — and skew-safe at any df.
+    return release_with(_jaccard_pairs(cand, sh, JACCARD_THRESHOLD), sh, prefix)
 
 
 # ---------------------------------------------------------------------------
@@ -1297,7 +1300,11 @@ def dedup_containment_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = ranked.filter(F.col("rn") == 1).select("doc_id", "n")
+    # Sizes via groupBy over the cached shingle frame, NOT ranked.filter
+    # (rn == 1): the window chain would re-execute once per sizes
+    # consumer (scored reads it twice); the groupBy is a map-side
+    # partial aggregate and skew-safe at any df.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
