@@ -33,12 +33,42 @@ from pyspark.sql import DataFrame
 
 __all__ = ["release_with"]
 
+# Spark's CacheManager keys cache entries by LOGICAL PLAN, not by
+# DataFrame object: two queries that persist the identical frame (e.g.
+# the shared `_shingles(spark, sf_dir)` plan) hold ONE entry, and a
+# plain unpersist from whichever result dies first would strip the cache
+# out from under the other, still-live result (observed: a sweep holding
+# query N's result across query N+1's construction ran N+1 uncached).
+# Releases are therefore REFCOUNTED by the frame's semantic plan hash:
+# the entry is unpersisted only when the last result scoped to that plan
+# is dropped.
+_PLAN_REFS: dict[int, int] = {}
+
+
+def _plan_key(df: DataFrame) -> int:
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover — connect/session edge
+        return id(df)
+
 
 def release_with(result: DataFrame, *frames: DataFrame) -> DataFrame:
-    """Unpersist each of ``frames`` when ``result`` is garbage-collected."""
+    """Unpersist each of ``frames`` when ``result`` is garbage-collected
+    (refcounted: a plan persisted by several live results is released
+    only with the last of them)."""
+    keyed = []
+    for fr in frames:
+        k = _plan_key(fr)
+        _PLAN_REFS[k] = _PLAN_REFS.get(k, 0) + 1
+        keyed.append((k, fr))
 
-    def _release(frames=frames):
-        for fr in frames:
+    def _release(keyed=keyed):
+        for k, fr in keyed:
+            left = _PLAN_REFS.get(k, 1) - 1
+            if left > 0:
+                _PLAN_REFS[k] = left
+                continue
+            _PLAN_REFS.pop(k, None)
             try:
                 fr.unpersist()
             except Exception:
