@@ -97,27 +97,123 @@ def ingest_decode_metric() -> tuple[dict, str]:
     refs = [r for r in scan_blob_index(pbf_path) if r.kind == "OSMData"]
     walls: list[float] = []
     n_entities = 0
-    # Three passes, min + spread (same hygiene as the query loop): the
-    # single-thread decode shares the host with the bench's idle 32-thread
-    # JVM and co-tenants, and recorded rates swung 250-320k/s between
-    # otherwise-identical runs.
-    for _ in range(3):
+    # Five passes, MEDIAN + spread (r6 verdict #4: min-of-3 swung
+    # 178k<->384k ents/s across rounds, 25-41% spread — useless as a
+    # regression gate).  The median of five is robust to both a cold
+    # first pass and a single co-tenant spike; the spread is recorded so
+    # a noisy host is visible in the artifact rather than laundered into
+    # the rate.
+    for _ in range(5):
         t0 = time.perf_counter()
         n_entities = 0
         for ref in refs:
             cols = decode_primitive_block_columns(read_blob(ref))
             n_entities += len(cols["id"])
         walls.append(time.perf_counter() - t0)
-    best = min(walls)
+    med = sorted(walls)[len(walls) // 2]
     return (
         {
             "entities": n_entities,
-            "decode_wall_sec": round(best, 3),
-            "decode_entities_per_sec": round(n_entities / best),
-            "decode_spread_pct": round((max(walls) - best) / best * 100, 1),
+            "decode_wall_sec": round(med, 3),
+            "decode_entities_per_sec": round(n_entities / med),
+            "decode_spread_pct": round((max(walls) - min(walls)) / min(walls) * 100, 1),
         },
         pbf_path,
     )
+
+
+def _blob_count(ref):
+    """Module-level so ProcessPoolExecutor can pickle it by reference."""
+    from osm2orc_spark.sources.pbf_codec import (
+        decode_primitive_block_columns,
+        read_blob,
+    )
+
+    return len(decode_primitive_block_columns(read_blob(ref))["id"])
+
+
+def parallel_decode_metric(spark) -> dict:
+    """Blob-split parallel decode scaling: the design's answer to the
+    reference's single-thread note (OsmPbf2Orc.java:119-120) is that PBF
+    blobs are independent decode units, so read_pbf fans them out across
+    Spark's Python workers.
+
+    Methodology: the 120k-entity decode fixture is the WRONG scale for
+    this number — 23 blobs x ~30 ms of decode work each is pure Spark
+    fixed overhead (first measurement read 0.62x, i.e. "parallel is
+    slower", an artifact of task overhead dominating sub-second work).
+    This metric uses a 600k-node / ~106-blob file (~4.5 s of
+    single-thread decode — enough work for the split to show), cached
+    under .bench_cache/ (gitignored) because generating it costs ~20 s.
+    Both sides run on the SAME file: single-thread = the raw codec loop
+    (2 passes, min); parallel = read_pbf(...).count() on the live
+    local[32] session (2 passes, min — includes Spark scheduling + Arrow
+    transfer, which a cluster pays too)."""
+    from osm2orc_spark.fixtures import planet_history_entities
+    from osm2orc_spark.sources.pbf import read_pbf
+    from osm2orc_spark.sources.pbf_codec import (
+        PbfWriter,
+        decode_primitive_block_columns,
+        read_blob,
+        scan_blob_index,
+    )
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
+    )
+    big = os.path.join(cache_dir, "planet_600k_seed7.osm.pbf")
+    if not os.path.exists(big):
+        os.makedirs(cache_dir, exist_ok=True)
+        n = 600_000
+        w = PbfWriter()
+        for e in planet_history_entities(
+            seed=7, n_nodes=n, n_ways=n // 15, n_rels=n // 100
+        ):
+            w.add(**e)
+        w.write(big + ".tmp", nodes_per_block=8000)
+        os.replace(big + ".tmp", big)
+
+    refs = [r for r in scan_blob_index(big) if r.kind == "OSMData"]
+    one_walls = []
+    n_entities = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_entities = 0
+        for ref in refs:
+            n_entities += len(decode_primitive_block_columns(read_blob(ref))["id"])
+        one_walls.append(time.perf_counter() - t0)
+    par_walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        read_pbf(spark, big).count()
+        par_walls.append(time.perf_counter() - t0)
+    one, par = min(one_walls), min(par_walls)
+    # Hardware ceiling for context: a raw 32-process pool over the same
+    # blobs.  Measured 5.3x on 32 vCPUs — the codec is memory-bandwidth
+    # bound (zlib + numpy), so ~5x IS perfect scaling on this host; the
+    # gap between pool and Spark is per-task protocol + Arrow transfer,
+    # which amortizes with blob count (a planet file has ~10^4 blobs).
+    pool_wall = None
+    try:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(32) as ex:
+            list(ex.map(_blob_count, refs[:2]))  # warm the pool
+            t0 = time.perf_counter()
+            sum(ex.map(_blob_count, refs, chunksize=2))
+            pool_wall = time.perf_counter() - t0
+    except Exception:  # noqa: BLE001 — context number only, never fatal
+        pass
+    out = {
+        "decode_parallel_blobs": len(refs),
+        "decode_parallel_entities": n_entities,
+        "decode_1thread_wall_sec": round(one, 3),
+        "decode_parallel_wall_sec": round(par, 3),
+        "decode_parallel_speedup": round(one / par, 2),
+    }
+    if pool_wall:
+        out["decode_pool32_speedup"] = round(one / pool_wall, 2)
+    return out
 
 
 def e2e_orc_metric(spark, pbf_path: str) -> dict:
@@ -275,11 +371,34 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries": timings,
+        # n_errors (r6 advice): a query that errors mid-bench contributes
+        # no timing, so a shrunken total would otherwise read as a perf
+        # win in the only channel the driver records.  Full error text
+        # stays in bench_last.json.
+        "n_errors": len(errors),
         "value": total,
     }
     # e2e ingest AFTER the timed query loop so its jobs cannot perturb
-    # the per-query walls; it records only into the repo-local mirror.
-    ingest.update(e2e_orc_metric(spark, pbf_path))
+    # the per-query walls.  GUARDED (r6 advice, medium): an exception in
+    # the PBF->ORC round-trip or the parallel-decode pass must not abort
+    # the bench after the timed loop already succeeded — that is exactly
+    # the driver-contract loss the r4/r5 postmortems document.  A failure
+    # is recorded into the ingest dict; the stdout contract line and the
+    # bench_last.json mirror are ALWAYS emitted.
+    try:
+        ingest.update(e2e_orc_metric(spark, pbf_path))
+        # e2e_orc_sec joins the stdout headline (r6 verdict #6: the diet
+        # left ~2x headroom) so the ingest number is in the official
+        # record, not only the repo-local mirror.
+        stdout_payload["e2e_orc_sec"] = ingest["e2e_orc_sec"]
+        # re-insert so "value" stays the LAST key (truncation-proof tail)
+        stdout_payload["value"] = stdout_payload.pop("value")
+    except Exception as exc:  # noqa: BLE001
+        ingest["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    try:
+        ingest.update(parallel_decode_metric(spark))
+    except Exception as exc:  # noqa: BLE001
+        ingest["parallel_decode_error"] = f"{type(exc).__name__}: {exc}"[:200]
     full_payload = dict(stdout_payload)
     full_payload.update(
         {"median_sec": medians, "spread_pct": spread, "ingest": ingest}

@@ -18,20 +18,25 @@ the caches; a derived frame that outlives the result simply recomputes
 (correctness never depends on a cache); session shutdown drops the
 blocks regardless.
 
-Passing a NON-persisted frame is allowed and useful: ``unpersist()`` on
-it is a no-op, but holding the reference until ``result`` dies defers
-any release scoped to THAT frame — the composition idiom for a query
-that builds on another query's result (the upstream caches stay warm
-until the downstream result is dropped).
+Passing a NON-persisted frame is allowed and useful: holding the
+reference until ``result`` dies defers any release scoped to THAT frame
+— the composition idiom for a query that builds on another query's
+result (the upstream caches stay warm until the downstream result is
+dropped).  Note ``Dataset.unpersist`` uncaches by LOGICAL PLAN, not by
+object — it is NOT a no-op if a plan-identical frame is cached elsewhere
+— which is why explicit mid-query releases must go through
+``safe_unpersist`` (skips plans refcounted by a live scope) rather than
+calling ``df.unpersist()`` directly.
 """
 
 from __future__ import annotations
 
+import threading
 import weakref
 
 from pyspark.sql import DataFrame
 
-__all__ = ["release_with"]
+__all__ = ["release_with", "safe_unpersist"]
 
 # Spark's CacheManager keys cache entries by LOGICAL PLAN, not by
 # DataFrame object: two queries that persist the identical frame (e.g.
@@ -41,8 +46,11 @@ __all__ = ["release_with"]
 # query N's result across query N+1's construction ran N+1 uncached).
 # Releases are therefore REFCOUNTED by the frame's semantic plan hash:
 # the entry is unpersisted only when the last result scoped to that plan
-# is dropped.
+# is dropped.  _PLAN_REFS is mutated both from callers and from
+# GC-triggered finalize callbacks (which can run on any thread), so all
+# updates hold _LOCK (r6 advice).
 _PLAN_REFS: dict[int, int] = {}
+_LOCK = threading.Lock()
 
 
 def _plan_key(df: DataFrame) -> int:
@@ -57,18 +65,20 @@ def release_with(result: DataFrame, *frames: DataFrame) -> DataFrame:
     (refcounted: a plan persisted by several live results is released
     only with the last of them)."""
     keyed = []
-    for fr in frames:
-        k = _plan_key(fr)
-        _PLAN_REFS[k] = _PLAN_REFS.get(k, 0) + 1
-        keyed.append((k, fr))
+    with _LOCK:
+        for fr in frames:
+            k = _plan_key(fr)
+            _PLAN_REFS[k] = _PLAN_REFS.get(k, 0) + 1
+            keyed.append((k, fr))
 
     def _release(keyed=keyed):
         for k, fr in keyed:
-            left = _PLAN_REFS.get(k, 1) - 1
-            if left > 0:
-                _PLAN_REFS[k] = left
-                continue
-            _PLAN_REFS.pop(k, None)
+            with _LOCK:
+                left = _PLAN_REFS.get(k, 1) - 1
+                if left > 0:
+                    _PLAN_REFS[k] = left
+                    continue
+                _PLAN_REFS.pop(k, None)
             try:
                 fr.unpersist()
             except Exception:
@@ -76,3 +86,24 @@ def release_with(result: DataFrame, *frames: DataFrame) -> DataFrame:
 
     weakref.finalize(result, _release)
     return result
+
+
+def safe_unpersist(df: DataFrame) -> None:
+    """Eagerly unpersist a mid-query scratch frame UNLESS its logical plan
+    is refcounted by a still-live ``release_with`` scope.
+
+    PySpark's ``Dataset.unpersist`` uncaches by LOGICAL PLAN regardless of
+    which object persisted it, so a bare ``df.unpersist()`` at an explicit
+    release site (e.g. a fixpoint loop's per-iteration frame) can strip a
+    plan-identical cache that ``release_with`` scoped to a result the
+    caller still holds (r6 advice).  Perf-only either way — correctness
+    never depends on a cache — but the scoping contract should not be
+    bypassable from inside the package.
+    """
+    with _LOCK:
+        if _plan_key(df) in _PLAN_REFS:
+            return
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # session/JVM already gone

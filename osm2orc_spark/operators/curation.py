@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from osm2orc_spark.operators.cache import release_with
+from osm2orc_spark.operators.cache import release_with, safe_unpersist
 from osm2orc_spark.operators.dedup import (
     _DUCK_SHINGLES,
     _shingles,
@@ -495,7 +495,7 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         surv.count()
     finally:
-        quality.unpersist()
+        safe_unpersist(quality)
     w = surv.groupBy("lang").agg(
         F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * MIX_QUANT)
         .cast("bigint")
@@ -579,7 +579,7 @@ def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus size and leaves nothing cached.
         agg = spark.createDataFrame(agg_df.collect(), schema=agg_df.schema)
     finally:
-        quality.unpersist()
+        safe_unpersist(quality)
     q = F.floor(F.sqrt(F.col("n_survivors").cast("double")) * MIX_QUANT).cast("bigint")
     w = agg.withColumn("q", q)
     out = (

@@ -165,9 +165,30 @@ DRIVER_VERIFIED_R05: frozenset[str] = frozenset({
     "dedup_minhash_calibration",
 })
 
+DRIVER_VERIFIED_R06: frozenset[str] = frozenset({
+    "dedup_duplicate_spans", "dedup_spans_clean", "dedup_components",
+    "curation_canonical_docs", "curation_training_mix", "curation_mix_report",
+    "dupgraph_triangle_stats", "approx_distinct_users_by_type",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_lsh_dfcap",
+    "simhash_near_dup", "dedup_containment_pairs", "dedup_containment_ppjoin",
+    "dedup_ppjoin", "dedup_minhash_calibration", "pagerank_trade_graph",
+    "embedding_near_dup_lsh", "embedding_lsh_calibration", "ann_ivf_probe",
+    "ann_topk_bruteforce", "embedding_near_dup_pairs", "ann_topk_batch",
+    "embedding_int8_quantize", "ann_topk_int8", "text_token_stats",
+    "text_quality_scores", "lang_id_heuristic", "lang_id_char_ngrams",
+    "doc_winnowing_fingerprints", "dataset_split_assign", "doc_fingerprint",
+    "text_tfidf_topk", "text_repetition_scores", "text_bm25_topk",
+    "curation_decontaminate", "curation_stratified_sample",
+    "curation_pack_sequences", "curation_source_cap", "curation_quality_filter",
+    "curation_temperature_mix", "osm_ways_reassembly", "osm_tag_usage_by_month",
+    "osm_latest_versions", "osm_latest_versions_window", "osm_deleted_count",
+    "osm_changesets_with_comment", "osm_changesets_josm",
+    "osm_changesets_liberty_island", "osm_tag_additions_window",
+})
+
 DRIVER_VERIFIED: frozenset[str] = (
     DRIVER_VERIFIED_R01 | DRIVER_VERIFIED_R02 | DRIVER_VERIFIED_R03
-    | DRIVER_VERIFIED_R04 | DRIVER_VERIFIED_R05
+    | DRIVER_VERIFIED_R04 | DRIVER_VERIFIED_R05 | DRIVER_VERIFIED_R06
 )
 
 # Explicit gate order for round 5.  Every registered query has a driver row
@@ -221,6 +242,25 @@ GATE_PRIORITY_R06: tuple[str, ...] = (
 )
 
 
+# Explicit gate order for round 7 (registry frozen at 162).  r7 touched:
+# the PPJoin df rewrite (count-over-window(shingle) → skew-safe
+# groupBy(shingle).count() + AQE-splittable join-back, the r6 verdict's
+# only two weaks) and every query whose explicit unpersist sites moved to
+# the refcount-aware safe_unpersist (results identical by construction —
+# re-gated anyway because the implementation changed).  The remaining
+# slots fall to the stalest never-re-confirmed greens via the key below
+# (the ~112 queries last confirmed r1–r5 and not in the r6 window).
+GATE_PRIORITY_R07: tuple[str, ...] = (
+    # PPJoin df skew fix (r6 verdict #1) + the queries composing the
+    # shared shingle path
+    "dedup_ppjoin", "dedup_containment_ppjoin",
+    # safe_unpersist routing (r6 advice #3): components + composers,
+    # and the two curation quality finally-blocks
+    "dedup_components", "curation_canonical_docs", "curation_training_mix",
+    "curation_mix_report", "dupgraph_triangle_stats",
+)
+
+
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate the registry.  Import order
     # matters: composed oracles (curation) are assembled from earlier
@@ -232,21 +272,21 @@ def all_queries() -> dict[str, Query]:
     from osm2orc_spark.streaming import events  # noqa: F401
 
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
-    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R06)}
+    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R07)}
     # Staleness tier for verified re-confirmations: the round a query was
     # LAST driver-confirmed — oldest greens re-confirm first (r5 verdict
     # #7: "then never-re-confirmed r1 greens").
     last_confirmed = {}
     for rnd, names in enumerate(
         (DRIVER_VERIFIED_R01, DRIVER_VERIFIED_R02, DRIVER_VERIFIED_R03,
-         DRIVER_VERIFIED_R04, DRIVER_VERIFIED_R05),
+         DRIVER_VERIFIED_R04, DRIVER_VERIFIED_R05, DRIVER_VERIFIED_R06),
         start=1,
     ):
         for n in names:
             last_confirmed[n] = rnd  # later rounds overwrite earlier ones
 
     def key(name: str) -> tuple[int, int, int]:
-        # The r6 priority list re-gates impl-touched queries first.
+        # The r7 priority list re-gates impl-touched queries first.
         if name in prio_index:
             return (0, prio_index[name], 0)
         no_oracle = REGISTRY[name].oracle is None

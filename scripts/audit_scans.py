@@ -61,10 +61,16 @@ def scan_multiplicity(plan: str) -> tuple[Counter, int]:
     n_inmem = 0
     stack: list[tuple[int, str]] = []  # (marker column, node name)
     for line in tree_section(plan).splitlines():
-        m = re.search(r"(?:\+\-|^)\s*\*?\s*(\w[\w ]*?)\s+\((\d+)\)", line)
+        # Left children of binary operators (joins, unions) render with a
+        # ':-' marker, not '+-' (r6 advice: the old '+-'-or-column-0 match
+        # skipped scans on those branches — undercounting repeated
+        # subtrees in exactly the join/union fan-out shapes this audit
+        # exists to catch).
+        m = re.search(r"(?::\-|\+\-|^)\s*\*?\s*(\w[\w ]*?)\s+\((\d+)\)", line)
         if not m:
             continue
-        col = line.index("+-") if "+-" in line else 0
+        # marker column = the marker adjacent to the node name (rightmost)
+        col = max(line.rfind("+-"), line.rfind(":-"), 0)
         while stack and stack[-1][0] >= col:
             stack.pop()
         name, node_id = m.group(1).strip(), m.group(2)

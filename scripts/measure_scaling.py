@@ -95,6 +95,43 @@ BOILERPLATE = (
 )
 HOT_USER_ID = 424242
 
+# --- XL skew mode (r6 verdict #2) -----------------------------------------
+# At sf0.1 the hot span has df~500 and the hot user ~10k events —
+# partitions that small cannot straggle anything, so the r6 ratios proved
+# the harness plumbing, not the 100 TB claim.  ``--skew-xl`` rebuilds the
+# measurement in the regime the claim lives in: documents and events are
+# replicated XL_REP x with PER-REPLICA TOKEN SALTING (every token gets a
+# "~<i>" suffix, so replicas share ZERO shingles and the near-dup pair
+# count stays LINEAR in the replication — naive replication would make
+# every replica a near-dup of every other and measure a quadratic
+# verify blow-up instead of skew), and the hot-key rate is raised to 50%:
+#
+# - xl_hot documents: 5,000 x XL_REP docs; half carry the same UNSALTED
+#   8-token boilerplate sentence -> each boilerplate 3-shingle has
+#   df = 2,500 * XL_REP  (10^5 at the default XL_REP=40).
+# - xl_hot events: 100k x XL_REP rows; half remapped to ONE user_id
+#   (2 * 10^6 rows on one key at the default).
+# - xl_base: identical replication + salting, NO hot key — the ratio
+#   denominator, so skew_ratio isolates the hot key at constant volume.
+XL_REP = int(os.environ.get("SKEW_XL_REP", "40"))
+
+# (query, table family) pairs run at XL scale.  dedup_minhash_lsh (no df
+# cap) is deliberately absent: an uncapped hot shingle family is the
+# documented failure the dfcap variant exists for, and at df 10^5 its
+# band buckets would go quadratic by design, not by regression.
+XL_QUERIES = [
+    ("dedup_duplicate_spans", "doc"),
+    ("dedup_ppjoin", "doc"),
+    ("dedup_containment_ppjoin", "doc"),
+    ("dedup_minhash_lsh_dfcap", "doc"),
+    ("dedup_exact", "doc"),
+    ("sessionize_events", "event"),
+    ("tumbling_window_hourly", "event"),
+    ("salted_hot_key_agg", "event"),
+    ("anomaly_zscore_events", "event"),
+]
+XL_PASSES = 2
+
 
 def _build_skew_data(spark) -> dict[str, str]:
     """Derive the two skewed twins of sf0.1 (idempotent, deterministic)."""
@@ -131,6 +168,167 @@ def _build_skew_data(spark) -> dict[str, str]:
         with open(marker, "w") as fh:
             fh.write("ok\n")
     return out
+
+
+def _build_xl_data(spark) -> dict[str, str]:
+    """Derive the two XL twins (idempotent, deterministic, never touching
+    /root/testdata).  Only documents + events are written — the XL query
+    set reads nothing else."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.tables import load
+
+    par = spark.sparkContext.defaultParallelism
+    out = {}
+    for mode in ("xl_base", "xl_hot"):
+        mode_dir = os.path.join(SKEW_DIR, f"{mode}_r{XL_REP}")
+        marker = os.path.join(mode_dir, "_BUILT")
+        out[mode] = mode_dir
+        if os.path.exists(marker):
+            continue
+        os.makedirs(mode_dir, exist_ok=True)
+        docs = load(spark, BASE_SF, "documents")
+        rep = docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(XL_REP - 1))).alias("i"), "*"
+        )
+        # Per-replica token salt: replicas share zero shingles (see the
+        # XL_REP comment above).  The salt transform must reference the
+        # exploded ``i`` so per-row evaluation is inherent, not the
+        # generator-projection pitfall.
+        salted = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda x: F.concat(x, F.lit("~"), F.col("i").cast("string")),
+            ),
+            " ",
+        )
+        text = (
+            F.when(
+                (F.col("doc_id") % 2) == 0,
+                F.concat(salted, F.lit(" " + BOILERPLATE)),
+            ).otherwise(salted)
+            if mode == "xl_hot"
+            else salted
+        )
+        rep.select(
+            (F.col("doc_id") * XL_REP + F.col("i")).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            F.length(text).alias("n_chars"),
+        ).repartition(par).write.mode("overwrite").parquet(
+            os.path.join(mode_dir, "documents.parquet")
+        )
+        events = load(spark, BASE_SF, "events")
+        erep = events.select(
+            F.explode(F.sequence(F.lit(0), F.lit(XL_REP - 1))).alias("i"), "*"
+        )
+        user = (
+            F.when((F.col("event_id") % 2) == 0, F.lit(HOT_USER_ID)).otherwise(
+                F.col("user_id")
+            )
+            if mode == "xl_hot"
+            else F.col("user_id")
+        )
+        erep.select(
+            (F.col("event_id") * XL_REP + F.col("i")).alias("event_id"),
+            "ts",
+            user.alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        ).repartition(par).write.mode("overwrite").parquet(
+            os.path.join(mode_dir, "events.parquet")
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return out
+
+
+def _df_micro(spark, hot_dir: str) -> dict:
+    """Isolated before/after measurement of the r7 PPJoin df fix at a df
+    that can actually straggle: both shapes emit the identical
+    (doc_id, shingle, df) stream off the same cached shingle frame —
+    'window' is count(*) OVER (PARTITION BY shingle) (the r5 shape: no
+    partial agg, hot partition unsplittable), 'groupby_join' is
+    groupBy(shingle).count() + equi-join back (the r7 shape: map-side
+    combine, AQE-splittable join)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from osm2orc_spark.operators.dedup import _shingles
+
+    sh = _shingles(spark, hot_dir).persist()
+    n_rows = sh.count()
+    hot_df = (
+        sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+
+    def shape_window():
+        return sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+
+    def shape_groupby_join():
+        dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        return sh.join(dfs, "shingle")
+
+    walls = {}
+    for label, shape in (("window", shape_window), ("groupby_join", shape_groupby_join)):
+        shape().write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(XL_PASSES):
+            t0 = time.perf_counter()
+            shape().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        walls[label] = round(best, 3)
+    sh.unpersist()
+    return {
+        "micro": "ppjoin_df_shapes",
+        "shingle_rows": n_rows,
+        "hot_shingle_df": hot_df,
+        **{f"{k}_sec": v for k, v in walls.items()},
+        "window_over_groupby_ratio": round(
+            walls["window"] / walls["groupby_join"], 2
+        ),
+    }
+
+
+def main_skew_xl() -> None:
+    spark = get_spark(
+        app_name="measure_scaling_skew_xl",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    dirs = _build_xl_data(spark)
+    print(json.dumps(_df_micro(spark, dirs["xl_hot"])), flush=True)
+    qs = all_queries()
+    results: dict[str, dict] = {}
+    for name, family in XL_QUERIES:
+        fn = qs[name].fn
+        base = _timed(spark, fn, dirs["xl_base"], passes=XL_PASSES)
+        skew = _timed(spark, fn, dirs["xl_hot"], passes=XL_PASSES)
+        rec = {
+            "mode": f"xl_{family}",
+            "rep": XL_REP,
+            "base_sec": round(base, 3),
+            "skew_sec": round(skew, 3),
+            "skew_ratio": round(skew / base, 2),
+        }
+        results[name] = rec
+        print(json.dumps({"query": name, **rec}), flush=True)
+    worst = max(results.items(), key=lambda kv: kv[1]["skew_ratio"])
+    print(
+        json.dumps(
+            {
+                "summary": "XL hot-key skew wall ratios "
+                f"(50% hot key, {XL_REP}x sf0.1, salted replication)",
+                "queries": {k: v["skew_ratio"] for k, v in results.items()},
+                "worst": {"query": worst[0], **worst[1]},
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
 
 
 def _timed(spark, fn, sf_dir: str, passes: int = PASSES) -> float:
@@ -217,4 +415,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main_skew() if "--skew" in sys.argv[1:] else main()
+    if "--skew-xl" in sys.argv[1:]:
+        main_skew_xl()
+    elif "--skew" in sys.argv[1:]:
+        main_skew()
+    else:
+        main()

@@ -55,6 +55,12 @@ def _released_names(fn: ast.FunctionDef) -> set[str]:
         if isinstance(f, ast.Attribute) and f.attr == "unpersist":
             if isinstance(f.value, ast.Name):
                 out.add(f.value.id)
+        if isinstance(f, ast.Name) and f.id == "safe_unpersist":
+            # r7: explicit releases route through the refcount-aware
+            # safe_unpersist(frame) instead of frame.unpersist()
+            for arg in node.args:
+                if isinstance(arg, ast.Name):
+                    out.add(arg.id)
         if isinstance(f, ast.Name) and f.id == "release_with":
             for arg in node.args[1:]:
                 if isinstance(arg, ast.Name):

@@ -60,29 +60,35 @@ def test_dedup_components_strategies_agree(spark, sf_correctness, tmp_path):
     """All three physical strategies — bounded driver union-find (the
     default under CC_COLLECT_MAX_EDGES), distributed local-checkpoint
     fixpoint, and distributed reliable-checkpoint fixpoint — converge to
-    the identical min-label assignment.  collect_max_edges=0 forces the
-    distributed path at test SFs."""
+    the identical min-label assignment.  collect_max_edges=-1 forces the
+    distributed path UNCONDITIONALLY (r6 advice: with =0 and a fixture
+    yielding zero LSH pairs, n_edges==0 satisfies 0 <= 0 and the test
+    silently compares union-find to itself); the non-singleton assert
+    below makes the comparison non-vacuous."""
     unionfind = sorted(
         map(tuple, dedup_components(spark, sf_correctness).collect())
     )
+    # non-vacuous: the fixture must contain at least one near-dup pair
+    # (some component label differs from its doc_id)
+    assert any(doc != comp for doc, comp in unionfind)
     distributed = sorted(
         map(
             tuple,
-            dedup_components(spark, sf_correctness, collect_max_edges=0).collect(),
+            dedup_components(spark, sf_correctness, collect_max_edges=-1).collect(),
         )
     )
     assert distributed == unionfind
     assert spark.sparkContext.getCheckpointDir() is None
     with pytest.raises(ValueError, match="setCheckpointDir"):
         dedup_components(
-            spark, sf_correctness, checkpoint="reliable", collect_max_edges=0
+            spark, sf_correctness, checkpoint="reliable", collect_max_edges=-1
         )
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     reliable = sorted(
         map(
             tuple,
             dedup_components(
-                spark, sf_correctness, checkpoint="reliable", collect_max_edges=0
+                spark, sf_correctness, checkpoint="reliable", collect_max_edges=-1
             ).collect(),
         )
     )

@@ -290,6 +290,16 @@ def test_anomaly_zscore_stats_join_is_broadcast(spark, sf_correctness):
 def test_ppjoin_no_cartesian_and_partial_aggs(spark, sf_correctness):
     plan = plan_of(spark, sf_correctness, "dedup_ppjoin")
     assert "CartesianProduct" not in plan
+    # df (r7): groupBy(shingle).count() + equi-join back, NEVER a window
+    # partitioned by shingle — the window has no map-side partial
+    # aggregation and AQE cannot split a window partition, so a hot
+    # boilerplate shingle (df 10^7 at 100 TB) stalls one task.  The
+    # groupBy must show partial_count and the join-back must be a plain
+    # equi-join (skew-splittable).
+    assert "windowspecdefinition(shingle" not in plan
+    assert "partial_count" in plan
+    # the doc_id-partitioned rank/size windows are the only ones allowed
+    assert "windowspecdefinition(doc_id" in plan
 
 
 def test_rp_lsh_no_cartesian(spark, sf_correctness):
@@ -307,6 +317,11 @@ def test_containment_ppjoin_no_cartesian(spark, sf_correctness):
     plan = plan_of(spark, sf_correctness, "dedup_containment_ppjoin")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # same r7 skew pin as dedup_ppjoin: df is a partial-aggregated
+    # groupBy + equi-join back, never a shingle-partitioned window
+    assert "windowspecdefinition(shingle" not in plan
+    assert "partial_count" in plan
+    assert "windowspecdefinition(doc_id" in plan
 
 
 def test_event_windows_share_user_exchange(spark, sf_correctness):
