@@ -294,6 +294,88 @@ def _df_micro(spark, hot_dir: str) -> dict:
     }
 
 
+def main_df_crossover() -> None:
+    """Find the hot-key size where the window df shape actually loses.
+
+    The XL micro (df 10^5) showed the window STILL faster locally — a
+    100k-row window partition sorts in milliseconds on local[32], while
+    the groupBy+join re-shuffles the full stream once more.  This mode
+    sweeps a synthetic hot key (50% of a 2x-hot-size stream on ONE
+    shingle, rest unique) through 10^6 and 10^7 — the license-header df
+    regime the 100 TB argument is actually about — timing both shapes.
+    WindowExec buffers each partition in an ExternalAppendOnlyUnsafeRow
+    Array that spills past a few thousand rows, so the hot partition
+    degrades with df; the groupBy side map-combines to ~1 row per task
+    and its join-back is AQE-skew-splittable."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = get_spark(
+        app_name="df_crossover",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # Fixed 20M-row stream, growing hot share: the window's wall tracks
+    # the unsplittable hot-partition tail (linear in df), the groupBy's
+    # stays flat — the divergence, not a single point, is the evidence,
+    # because on one shared-memory box a straggler task and an extra
+    # full shuffle cost about the same wall.
+    for n, hot in (
+        (20_000_000, 100_000),
+        (20_000_000, 1_000_000),
+        (20_000_000, 10_000_000),
+        (20_000_000, 18_000_000),
+    ):
+        base = (
+            spark.range(n)
+            .select(
+                F.col("id"),
+                F.when(F.col("id") < hot, F.lit("HOT"))
+                .otherwise(F.concat(F.lit("s"), F.col("id").cast("string")))
+                .alias("shingle"),
+            )
+            .persist()
+        )
+        base.count()
+
+        def shape_window():
+            return base.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+
+        def shape_groupby_join():
+            dfs = base.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            return base.join(dfs, "shingle")
+
+        walls = {}
+        for label, shape in (
+            ("window", shape_window),
+            ("groupby_join", shape_groupby_join),
+        ):
+            shape().write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(XL_PASSES):
+                t0 = time.perf_counter()
+                shape().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            walls[label] = round(best, 3)
+        base.unpersist()
+        print(
+            json.dumps(
+                {
+                    "micro": "df_shape_crossover",
+                    "rows": n,
+                    "hot_df": hot,
+                    **{f"{k}_sec": v for k, v in walls.items()},
+                    "window_over_groupby_ratio": round(
+                        walls["window"] / walls["groupby_join"], 2
+                    ),
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
 def main_skew_xl() -> None:
     spark = get_spark(
         app_name="measure_scaling_skew_xl",
@@ -415,9 +497,16 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--skew-xl" in sys.argv[1:]:
+    args = set(sys.argv[1:])
+    known = {"--df-crossover", "--skew-xl", "--skew"}
+    if args - known:
+        # Unknown flags must NOT fall through to the (long) default run.
+        sys.exit(f"unknown args {sorted(args - known)}; known: {sorted(known)}")
+    if "--df-crossover" in args:
+        main_df_crossover()
+    elif "--skew-xl" in args:
         main_skew_xl()
-    elif "--skew" in sys.argv[1:]:
+    elif "--skew" in args:
         main_skew()
     else:
         main()
