@@ -254,6 +254,9 @@ GATE_PRIORITY_R07: tuple[str, ...] = (
     # PPJoin df skew fix (r6 verdict #1) + the queries composing the
     # shared shingle path
     "dedup_ppjoin", "dedup_containment_ppjoin",
+    # span-stream persist (r6 verdict #3 diagnosis: with the r6 groupBy
+    # shape, the cache now beats re-explode) + its composer
+    "dedup_duplicate_spans", "dedup_spans_clean",
     # safe_unpersist routing (r6 advice #3): components + composers,
     # and the two curation quality finally-blocks
     "dedup_components", "curation_canonical_docs", "curation_training_mix",
