@@ -69,8 +69,15 @@ def scan_multiplicity(plan: str) -> tuple[Counter, int]:
         m = re.search(r"(?::\-|\+\-|^)\s*\*?\s*(\w[\w ]*?)\s+\((\d+)\)", line)
         if not m:
             continue
-        # marker column = the marker adjacent to the node name (rightmost)
-        col = max(line.rfind("+-"), line.rfind(":-"), 0)
+        # marker column = the marker adjacent to the node name (rightmost).
+        # Marker-less nodes (AQE's '== Final Plan ==' stage lines inside an
+        # InMemoryRelation render e.g. 'ResultQueryStage (71)' with no
+        # '+-'/':-') take their INDENTATION as the column — treating them
+        # as column 0 popped the whole ancestor stack, dropping the
+        # InMemoryRelation ancestor and misclassifying every cache-
+        # definition scan beneath as a raw N-times-executed scan.
+        marker_col = max(line.rfind("+-"), line.rfind(":-"))
+        col = marker_col if marker_col >= 0 else len(line) - len(line.lstrip())
         while stack and stack[-1][0] >= col:
             stack.pop()
         name, node_id = m.group(1).strip(), m.group(2)
