@@ -66,7 +66,10 @@ NOTES = {
         "be AQE-skew-split and hot boilerplate spans are this operator's "
         "subject matter); the tiny dup-span dictionary semi-joins back "
         "(AQE-broadcastable), then the gaps-and-islands window partitions "
-        "by doc_id."
+        "by doc_id. r7: the exploded span stream is persisted (feeds both "
+        "the dictionary build and the probe side; measured -16% vs "
+        "recompute under this shape) — both consumers read one "
+        "InMemoryTableScan."
     ),
     "ann_ivfpq_recall": (
         "Recall-vs-cost curve (r5): three (nprobe, shortlist) configs share "
