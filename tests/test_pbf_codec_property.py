@@ -245,3 +245,93 @@ def test_noncompliant_zero_sid_falls_back(tmp_path):
     by_id = {d["id"]: d for d in decoded}
     assert by_id[1]["tags"] == {"a": ""}
     assert by_id[2]["tags"] == {"b": "x"}
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native decode parity: decode_primitive_block_arrow must produce a
+# RecordBatch IDENTICAL to the dict path + columns_to_batch for every
+# block — the Spark ingest path runs the arrow decode, the tests and the
+# row adapter run the dict path, and this is the bridge that keeps them
+# honest (including the fallback routes: non-compliant zero sids, plain
+# Node messages, multi-byte string-table lengths).
+# ---------------------------------------------------------------------------
+
+
+def _assert_arrow_parity(data: bytes, tmp_path) -> int:
+    from osm2orc_spark.sources.pbf_codec import (
+        columns_to_batch,
+        decode_primitive_block_arrow,
+        decode_primitive_block_columns,
+        planet_arrow_schema,
+    )
+
+    p = tmp_path / "parity.pbf"
+    p.write_bytes(data)
+    schema = planet_arrow_schema()
+    n_blocks = 0
+    for ref in scan_blob_index(str(p)):
+        if ref.kind != "OSMData":
+            continue
+        payload = read_blob(ref)
+        fast = decode_primitive_block_arrow(payload, schema)
+        cols = decode_primitive_block_columns(payload)
+        want = columns_to_batch(cols, schema) if cols["id"] else None
+        assert (fast is None) == (want is None)
+        if fast is not None:
+            assert fast.equals(want)
+        n_blocks += 1
+    return n_blocks
+
+
+@settings(max_examples=40, deadline=None)
+@given(nodes=nodes_strategy(), ways=ways_strategy(), rels=relations_strategy())
+def test_arrow_decode_parity_roundtrip(tmp_path_factory, nodes, ways, rels):
+    w = PbfWriter()
+    for e in nodes:
+        w.add(type="node", **e)
+    for e in ways:
+        w.add(type="way", **e)
+    for e in rels:
+        w.add(type="relation", **e)
+    tmp = tmp_path_factory.mktemp("arrowparity")
+    assert _assert_arrow_parity(w.tobytes(nodes_per_block=7), tmp) >= 1
+
+
+def test_arrow_decode_parity_tiny_fixture(tmp_path):
+    data = open("fixtures/tiny.osm.pbf", "rb").read()
+    assert _assert_arrow_parity(data, tmp_path) >= 1
+
+
+def test_arrow_decode_parity_long_string_fallback(tmp_path):
+    """A >=128-byte tag value forces a multi-byte string-table length —
+    the arrow fast path's walk cannot parse that table and must fall
+    back to the dict path, still producing an identical batch."""
+    w = PbfWriter()
+    w.add(type="node", id=1, tags={"desc": "x" * 300}, lat="1.0", lon="2.0",
+          version=1, visible=True, changeset=5, timestamp_ms=1000, uid=7, user="u")
+    assert _assert_arrow_parity(w.tobytes(), tmp_path) >= 1
+
+
+def test_arrow_decode_parity_noncompliant_zero_sid(tmp_path):
+    class SloppyWriter(PbfWriter):
+        def _build_strings(self):
+            table, index = super()._build_strings()
+            idx = dict(index)
+            idx[""] = 0
+            return table, idx
+
+    w = SloppyWriter()
+    w.add(type="node", id=1, tags={"a": ""}, lat="1.0", lon="2.0",
+          version=1, visible=True, changeset=5, timestamp_ms=1000, uid=7, user="u")
+    assert _assert_arrow_parity(w.tobytes(), tmp_path) >= 1
+
+
+def test_planet_arrow_schema_matches_spark():
+    """The codec's pyspark-free arrow schema must equal what Spark's
+    mapInArrow expects for PLANET_RAW_SCHEMA."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from osm2orc_spark.sources.pbf import PLANET_RAW_SCHEMA
+    from osm2orc_spark.sources.pbf_codec import planet_arrow_schema
+
+    assert planet_arrow_schema() == to_arrow_schema(PLANET_RAW_SCHEMA)
