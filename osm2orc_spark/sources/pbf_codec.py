@@ -171,20 +171,18 @@ def _packed_varints(buf: bytes) -> list[int]:
     return out
 
 
-def _packed_varints_np(buf: bytes) -> np.ndarray:
-    """Vectorized packed-varint decode -> uint64 array.
+def _packed_varints_np_offsets(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized packed-varint decode -> (uint64 values, int64 byte
+    positions of each varint's first byte).
 
-    The per-byte Python loop is the single hottest spot in block decode
-    (DenseNodes ids/lats/lons/keys_vals are all packed varints), so this
-    decodes the whole field at once: continuation bits mark varint
-    boundaries, each byte's 7 payload bits are shifted into place by its
-    offset within the varint, and a segmented sum (reduceat) folds the
-    bytes of each varint together. 64-bit wraparound matches two's-
-    complement varint semantics (a 10-byte varint's top bits drop).
-    """
+    Continuation bits mark varint boundaries, each byte's 7 payload bits
+    are shifted into place by its offset within the varint, and a
+    segmented sum (reduceat) folds the bytes of each varint together.
+    64-bit wraparound matches two's-complement varint semantics (a
+    10-byte varint's top bits drop)."""
     a = np.frombuffer(buf, dtype=np.uint8)
     if a.size == 0:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     starts = np.empty(a.size, dtype=bool)
     starts[0] = True
     np.less(a[:-1], 0x80, out=starts[1:])  # byte after a non-continuation byte
@@ -196,7 +194,13 @@ def _packed_varints_np(buf: bytes) -> np.ndarray:
         np.uint64
     )
     vals = (a & 0x7F).astype(np.uint64) << shifts
-    return np.add.reduceat(vals, start_idx)
+    return np.add.reduceat(vals, start_idx), start_idx
+
+
+def _packed_varints_np(buf: bytes) -> np.ndarray:
+    """Vectorized packed-varint decode -> uint64 array (the per-byte
+    Python loop is the single hottest spot in block decode)."""
+    return _packed_varints_np_offsets(buf)[0]
 
 
 # Below this buffer size the scalar loop beats numpy's fixed per-call cost
@@ -662,35 +666,6 @@ def _decode_string_table_arrow(buf: bytes):
     )
 
 
-def _decode_info_sid(buf: bytes) -> tuple:
-    """Info -> (version, timestamp, changeset, uid, user_SID, visible) —
-    the arrow path keeps the user as a string-table index so the user
-    column can be one `take` gather instead of per-entity lookups."""
-    version, timestamp, changeset, uid, visible = -1, None, None, None, True
-    user_sid = None
-    pos, n = 0, len(buf)
-    while pos < n:
-        key = buf[pos]
-        pos += 1
-        if key >= 0x80 or key & 7:  # multi-byte key or non-varint wire
-            raise _ArrowFallback
-        v, pos = _read_varint(buf, pos)
-        f = key >> 3
-        if f == 1:
-            version = v
-        elif f == 2:
-            timestamp = v
-        elif f == 3:
-            changeset = v
-        elif f == 4:
-            uid = v
-        elif f == 5:
-            user_sid = v
-        elif f == 6:
-            visible = bool(v)
-    return (version, timestamp, changeset, uid, user_sid, visible)
-
-
 def _packed_svarints_np(buf: bytes, delta: bool = False) -> np.ndarray:
     """Packed zigzag-sint64 field -> int64 numpy array (optionally
     prefix-summed) — the arrow decode path never round-trips through
@@ -984,6 +959,48 @@ def _emit_dense_arrow(
     )
 
 
+def _concat_varints(bufs: list) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a list of whole-varint buffers in ONE vectorized pass ->
+    (uint64 values, per-buffer varint counts).  Buffer boundaries always
+    coincide with varint starts (each buffer holds complete varints), so
+    per-buffer counts fall out of a searchsorted over the start
+    positions of the concatenated stream."""
+    concat = b"".join(bufs)
+    vals, start_idx = _packed_varints_np_offsets(concat)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    byte_offs = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=byte_offs[1:])
+    counts = np.diff(np.searchsorted(start_idx, byte_offs))
+    return vals, counts
+
+
+def _zigzag_np(v: np.ndarray) -> np.ndarray:
+    return (v >> np.uint64(1)).astype(np.int64) ^ -(
+        (v & np.uint64(1)).astype(np.int64)
+    )
+
+
+def _segmented_delta(s: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment prefix sum of a flat value array: one global cumsum,
+    then subtract each segment's incoming base (the PBF delta encoding,
+    restarted per way/relation)."""
+    if s.size == 0:
+        return s
+    g = np.cumsum(s)
+    first = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    nz = counts > 0
+    base = np.zeros(len(counts), dtype=np.int64)
+    base[nz] = g[first[nz]] - s[first[nz]]
+    return g - np.repeat(base, counts)
+
+
+def _pos_in_segment(counts: np.ndarray) -> np.ndarray:
+    first = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=first[1:])
+    return np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(first, counts)
+
+
 def _emit_way_rel_arrow(
     way_rel: list,
     emit,
@@ -991,40 +1008,39 @@ def _emit_way_rel_arrow(
     vocab,
     date_granularity: int,
 ) -> None:
-    """Way/Relation messages -> column arrays.  The per-message field
-    walk is unavoidably Python (small scalar varint payloads), but every
-    string lands as a flat sid list + ONE take gather, and nds/members
-    become ListArrays built from flat children + offsets — no per-entity
-    dicts, tuples, or str lookups."""
+    """Way/Relation messages -> column arrays, with NO per-entity field
+    decode: the Python walk only SLICES each message's packed-field
+    buffers (refs, memids, roles, types, keys, vals, Info), and every
+    field kind then decodes in ONE concatenated vectorized pass —
+    segmented zigzag/prefix-sum for the delta fields, `take` gathers for
+    the strings.  Even Info decodes vectorized: it contains only varint
+    fields, so the concatenated Info stream is a strict key,value
+    alternation whose fields scatter into per-entity arrays (duplicate
+    fields last-win, like the scalar decoder).  Structural surprises
+    (odd Info pair counts, non-varint wire bits in an Info key,
+    mismatched keys/vals lengths, duplicate tag keys) raise
+    _ArrowFallback -> the whole block re-decodes on the dict path, so
+    output stays identical by construction.  Two dict-path asymmetries
+    remain possible only for NON-spec inputs and are accepted: a fixed64
+    field smuggled inside Info could misparse the alternation in a way
+    the checks cannot always detect, and values >= 2^63 wrap where the
+    dict path would error."""
     import pyarrow as pa
 
-    ids: list[int] = []
+    n = len(way_rel)
+    eids: list["int | None"] = []
     type_codes: list[int] = []
-    versions: list[int] = []
-    timestamps: list["int | None"] = []
-    changesets: list["int | None"] = []
-    uids: list["int | None"] = []
-    user_sids: list["int | None"] = []
-    visibles: list[bool] = []
-    tag_keys: list[int] = []
-    tag_vals: list[int] = []
-    tag_counts: list[int] = []
-    nds_flat: list[int] = []
-    nds_counts: list[int] = []
-    m_types: list[int] = []
-    m_refs: list[int] = []
-    m_roles: list[int] = []
-    m_counts: list[int] = []
+    info_bufs: list[bytes] = []
+    key_bufs: list[bytes] = []
+    val_bufs: list[bytes] = []
+    refs_bufs: list[bytes] = []
+    roles_bufs: list[bytes] = []
+    memids_bufs: list[bytes] = []
+    types_bufs: list[bytes] = []
 
     for fieldno, gbuf in way_rel:
         eid = None
-        keys: list[int] = []
-        vals: list[int] = []
-        info = (-1, None, None, None, None, True)
-        refs: list[int] = []
-        roles: list[int] = []
-        memids: list[int] = []
-        types: list[int] = []
+        info_b = key_b = val_b = refs_b = roles_b = memids_b = types_b = b""
         pos2, n2 = 0, len(gbuf)
         while pos2 < n2:
             key2 = gbuf[pos2]
@@ -1044,62 +1060,109 @@ def _emit_way_rel_arrow(
                 v2 = gbuf[pos2 : pos2 + ln2]
                 pos2 += ln2
                 if f2 == 2:
-                    keys = _packed_varints_list(v2)
+                    key_b = v2
                 elif f2 == 3:
-                    vals = _packed_varints_list(v2)
+                    val_b = v2
                 elif f2 == 4:
-                    info = _decode_info_sid(v2)
+                    info_b = v2
                 elif f2 == 8 and fieldno == 3:
-                    refs = _packed_svarints_list(v2, delta=True)
+                    refs_b = v2
                 elif f2 == 8:
-                    roles = _packed_varints_list(v2)
+                    roles_b = v2
                 elif f2 == 9:
-                    memids = _packed_svarints_list(v2, delta=True)
+                    memids_b = v2
                 elif f2 == 10:
-                    types = _packed_varints_list(v2)
+                    types_b = v2
             elif wire2 == 1:
                 pos2 += 8
             elif wire2 == 5:
                 pos2 += 4
             else:
                 raise ValueError(f"unsupported wire type {wire2}")
-        if len(keys) != len(vals) or len(keys) != len(set(keys)):
-            # dict path zip-truncates / dedupes; keep outputs identical
-            raise _ArrowFallback
-        ids.append(eid)
+        eids.append(eid)
         type_codes.append(1 if fieldno == 3 else 2)
-        versions.append(info[0])
-        t = info[1]
-        timestamps.append(None if t is None else t * date_granularity)
-        changesets.append(info[2])
-        uids.append(info[3])
-        user_sids.append(info[4])
-        visibles.append(info[5])
-        tag_keys.extend(keys)
-        tag_vals.extend(vals)
-        tag_counts.append(len(keys))
-        if fieldno == 3:
-            nds_flat.extend(refs)
-            nds_counts.append(len(refs))
-            m_counts.append(0)
-        else:
-            for i, mid in enumerate(memids):
-                if types[i] not in _MEMBER_TYPE_NAMES:
-                    raise ValueError(f"unknown member type {types[i]}")
-                m_types.append(types[i])
-                m_refs.append(mid)
-                m_roles.append(roles[i])
-            nds_counts.append(0)
-            m_counts.append(len(memids))
+        info_bufs.append(info_b)
+        key_bufs.append(key_b)
+        val_bufs.append(val_b)
+        refs_bufs.append(refs_b)
+        roles_bufs.append(roles_b)
+        memids_bufs.append(memids_b)
+        types_bufs.append(types_b)
 
-    n = len(ids)
+    # --- tags: one decode per side, dup/mismatch -> dict path ---------
+    kvals, kcounts = _concat_varints(key_bufs)
+    vvals, vcounts = _concat_varints(val_bufs)
+    if (kcounts != vcounts).any():
+        raise _ArrowFallback  # dict path zip-truncates; keep identical
+    if kvals.size:
+        seg = np.repeat(np.arange(n, dtype=np.int64), kcounts)
+        order = np.lexsort((kvals, seg))
+        sk, ss = kvals[order], seg[order]
+        if ((sk[1:] == sk[:-1]) & (ss[1:] == ss[:-1])).any():
+            raise _ArrowFallback  # duplicate tag key: dict path dedupes
 
-    def _offsets(counts: list[int]):
+    # --- Info: strict key,value varint alternation, scattered ---------
+    ivals, icounts = _concat_varints(info_bufs)
+    if (icounts % 2).any():
+        raise _ArrowFallback
+    ik = ivals[0::2]
+    iv = ivals[1::2].astype(np.int64)
+    if ik.size and (ik & np.uint64(7)).any():
+        raise _ArrowFallback  # non-varint wire type inside Info
+    ifield = (ik >> np.uint64(3)).astype(np.int64)
+    iseg = np.repeat(np.arange(n, dtype=np.int64), icounts // 2)
+    version = np.full(n, -1, dtype=np.int64)
+    ts_vals = np.zeros(n, dtype=np.int64)
+    ts_present = np.zeros(n, dtype=bool)
+    cs_vals = np.zeros(n, dtype=np.int64)
+    cs_present = np.zeros(n, dtype=bool)
+    uid_vals = np.zeros(n, dtype=np.int64)
+    uid_present = np.zeros(n, dtype=bool)
+    sid_vals = np.zeros(n, dtype=np.int64)
+    sid_present = np.zeros(n, dtype=bool)
+    vis = np.ones(n, dtype=bool)
+    for fno, out_vals, out_present in (
+        (2, ts_vals, ts_present),
+        (3, cs_vals, cs_present),
+        (4, uid_vals, uid_present),
+        (5, sid_vals, sid_present),
+    ):
+        m = ifield == fno
+        out_vals[iseg[m]] = iv[m]
+        out_present[iseg[m]] = True
+    m = ifield == 1
+    version[iseg[m]] = iv[m]
+    m = ifield == 6
+    vis[iseg[m]] = iv[m] != 0
+
+    # --- ways' nds / relations' members: segmented vector decode ------
+    rvals, rcounts = _concat_varints(refs_bufs)
+    refs_flat = _segmented_delta(_zigzag_np(rvals), rcounts)
+    mvals, mcounts = _concat_varints(memids_bufs)
+    mem_flat = _segmented_delta(_zigzag_np(mvals), mcounts)
+    tvals, tcounts = _concat_varints(types_bufs)
+    rolevals, rolecounts = _concat_varints(roles_bufs)
+    if (tcounts < mcounts).any() or (rolecounts < mcounts).any():
+        # scalar path indexes types[i]/roles[i] per memid
+        raise IndexError("list index out of range")
+    # truncate trailing types/roles beyond the memid count (the scalar
+    # loop never reads them)
+    kept_t = tvals[_pos_in_segment(tcounts) < np.repeat(mcounts, tcounts)].astype(
+        np.int64
+    )
+    kept_r = rolevals[
+        _pos_in_segment(rolecounts) < np.repeat(mcounts, rolecounts)
+    ].astype(np.int64)
+    bad = kept_t >= len(_MEMBER_TYPE_NAMES)
+    if bad.any():
+        raise ValueError(f"unknown member type {int(kept_t[np.argmax(bad)])}")
+
+    def _offsets(counts: np.ndarray):
         o = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(np.asarray(counts, dtype=np.int64), out=o[1:])
+        np.cumsum(counts, out=o[1:])
         return pa.array(o.astype(np.int32))
 
-    emit("id", pa.array(ids, type=pa.int64()))
+    emit("id", pa.array(eids, type=pa.int64()))
     emit(
         "type",
         _take_vocab_codes(vocab, np.asarray(type_codes, dtype=np.int32)),
@@ -1107,36 +1170,44 @@ def _emit_way_rel_arrow(
     emit(
         "tags",
         pa.MapArray.from_arrays(
-            _offsets(tag_counts),
-            _take(strings, np.asarray(tag_keys, dtype=np.int64)),
-            _take(strings, np.asarray(tag_vals, dtype=np.int64)),
+            _offsets(kcounts),
+            _take(strings, kvals.astype(np.int64)),
+            _take(strings, vvals.astype(np.int64)),
         ),
     )
     emit("lat", pa.nulls(n, pa.decimal128(38, 9)))
     emit("lon", pa.nulls(n, pa.decimal128(38, 9)))
-    emit(
-        "nds",
-        pa.ListArray.from_arrays(
-            _offsets(nds_counts), pa.array(nds_flat, type=pa.int64())
-        ),
-    )
+    emit("nds", pa.ListArray.from_arrays(_offsets(rcounts), pa.array(refs_flat)))
     member_struct = pa.StructArray.from_arrays(
         [
-            _take_vocab_codes(vocab, np.asarray(m_types, dtype=np.int32)),
-            pa.array(m_refs, type=pa.int64()),
-            _take(strings, np.asarray(m_roles, dtype=np.int64)),
+            _take_vocab_codes(vocab, kept_t.astype(np.int32)),
+            pa.array(mem_flat),
+            _take(strings, kept_r),
         ],
         names=["type", "ref", "role"],
     )
-    emit("members", pa.ListArray.from_arrays(_offsets(m_counts), member_struct))
-    emit("changeset", pa.array(changesets, type=pa.int64()))
-    emit("timestamp_ms", pa.array(timestamps, type=pa.int64()))
-    emit("uid", pa.array(uids, type=pa.int64()))
-    # user: take() with a NULL index yields a null string (plain Info may
-    # omit the user field), matching the dict path's None
-    emit("user", _take_nullable(strings, user_sids))
-    emit("version", pa.array(versions, type=pa.int64()))
-    emit("visible", pa.array(visibles, type=pa.bool_()))
+    emit("members", pa.ListArray.from_arrays(_offsets(mcounts), member_struct))
+    emit("changeset", pa.array(cs_vals, mask=~cs_present))
+    emit(
+        "timestamp_ms",
+        pa.array(ts_vals * date_granularity, mask=~ts_present),
+    )
+    emit("uid", pa.array(uid_vals, mask=~uid_present))
+    if sid_present.any():
+        # masked slots carry index 1, in bounds whenever any sid is
+        # (take validates the real sids exactly like strings[sid] would)
+        emit("user", _take_masked(strings, sid_vals, sid_present))
+    else:
+        emit("user", pa.nulls(n, pa.string()))
+    emit("version", pa.array(version))
+    emit("visible", pa.array(vis))
+
+
+def _take_masked(strings, sid_vals: np.ndarray, present: np.ndarray):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.take(strings, pa.array(2 * sid_vals + 1, mask=~present))
 
 
 def _take_vocab_codes(vocab, codes: np.ndarray):
@@ -1144,16 +1215,6 @@ def _take_vocab_codes(vocab, codes: np.ndarray):
     import pyarrow.compute as pc
 
     return pc.take(vocab, pa.array(codes))
-
-
-def _take_nullable(strings, sids: list):
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    idx = pa.array(sids, type=pa.int64())  # None -> null index -> null str
-    return pc.take(
-        strings, pc.add(pc.multiply(idx, pa.scalar(2, pa.int64())), pa.scalar(1, pa.int64()))
-    )
 
 
 def decode_primitive_block_columns(data: bytes) -> dict[str, list]:
