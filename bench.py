@@ -192,7 +192,8 @@ def ingest_decode_metric() -> tuple[dict, str]:
     # Up to two 5-pass windows: this host's co-tenant load comes in
     # minute-scale spikes, and one spike inside the ~10 s window can
     # push the spread past 100%.  If the first window is turbulent
-    # (>25% spread), measure once more and keep the calmer window —
+    # (>20% spread, the stability bar), measure once more and keep the
+    # calmer window —
     # both are real contiguous measurements; the recorded spread is
     # the kept window's.
     best_walls: list[float] | None = None
@@ -209,7 +210,7 @@ def ingest_decode_metric() -> tuple[dict, str]:
             max(best_walls) - min(best_walls)
         ) / min(best_walls):
             best_walls = walls
-        if (max(best_walls) - min(best_walls)) / min(best_walls) <= 0.25:
+        if (max(best_walls) - min(best_walls)) / min(best_walls) <= 0.20:
             break
     walls = best_walls
     med = sorted(walls)[len(walls) // 2]
