@@ -335,3 +335,42 @@ def test_planet_arrow_schema_matches_spark():
     from osm2orc_spark.sources.pbf_codec import planet_arrow_schema
 
     assert planet_arrow_schema() == to_arrow_schema(PLANET_RAW_SCHEMA)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    segs=st.lists(
+        st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=0, max_size=12),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_concat_varints_and_segmented_delta(segs):
+    """The vectorized way-path core (_concat_varints + _zigzag_np +
+    _segmented_delta) must equal the scalar per-buffer decode for any
+    segment layout, including empty buffers and empty inputs."""
+    import numpy as np
+
+    from osm2orc_spark.sources.pbf_codec import (
+        _concat_varints,
+        _packed_svarints_list,
+        _segmented_delta,
+        _write_varint,
+        _zigzag_decode,
+        _zigzag_np,
+    )
+
+    def enc(vals):
+        out = bytearray()
+        for v in vals:
+            _write_varint(out, ((v << 1) ^ (v >> 63)) & ((1 << 64) - 1))
+        return bytes(out)
+
+    bufs = [enc(s) for s in segs]
+    vals, counts = _concat_varints(bufs)
+    assert counts.tolist() == [len(s) for s in segs]
+    flat = _segmented_delta(_zigzag_np(vals), counts)
+    want = []
+    for b in bufs:
+        want.extend(_packed_svarints_list(b, delta=True))
+    assert flat.tolist() == want
