@@ -43,10 +43,15 @@ from osm2orc_spark.tables import load
     doc="Keep exactly one document per near-duplicate cluster: the highest "
     "quality_score, doc_id as the total-order tie-break. This is the "
     "'dedup with a preference' shape every corpus build ends with — "
-    "components give the groups, quality gives the ranking, one "
-    "row_number window picks survivors. The window partitions by "
-    "component (clusters are small by construction), so it parallelizes "
-    "over clusters with no global sort.",
+    "components give the groups, quality gives the ranking, ONE "
+    "map-side-combinable max(struct(quality, -doc_id)) aggregate picks "
+    "survivors. A row_number window partitioned by component would put "
+    "a whole cluster through one task — and clusters are NOT small at "
+    "100 TB: a boilerplate/template cluster can hold 10^6+ members, the "
+    "same hot-key argument that retired the shingle-df and span windows. "
+    "The aggregate ships ~one row per component per map task at any "
+    "cluster size and its final join-free projection reads the winner "
+    "out of the struct.",
     tags=("curation", "dedup", "iterative"),
 )
 def curation_canonical_docs(
@@ -60,16 +65,28 @@ def curation_canonical_docs(
     if quality is None:
         quality = text_quality_scores(spark, sf_dir)
     quality = quality.select("doc_id", "quality_score")
-    ranked = comp.join(quality, "doc_id").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("component").orderBy(
-                F.desc("quality_score"), F.asc("doc_id")
-            )
-        ),
+    # argmax-per-group via max(struct): struct comparison is field-by-
+    # field, so max(struct(quality_score, -doc_id)) selects the highest
+    # quality with the LOWEST doc_id breaking ties — exactly the
+    # ROW_NUMBER(ORDER BY quality_score DESC, doc_id) = 1 row of the
+    # oracle. Unlike the window this aggregates with a partial phase
+    # (map-side combine), so a 10^7-member boilerplate cluster ships one
+    # row per task instead of its whole membership through one sort.
+    best = (
+        comp.join(quality, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score"), (-F.col("doc_id")).alias("neg_doc")
+                )
+            ).alias("best")
+        )
     )
-    return ranked.filter(F.col("rn") == 1).select(
-        "component", "doc_id", "quality_score"
+    return best.select(
+        "component",
+        (-F.col("best.neg_doc")).alias("doc_id"),
+        F.col("best.quality_score").alias("quality_score"),
     )
 
 
@@ -272,6 +289,43 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 SOURCE_CAP = 40
 
+def _rank_cap(
+    df: DataFrame, group_col: str, order_cols, cap, cap_bound: int | None = None
+) -> DataFrame:
+    """Exact 'keep the first ``cap`` rows per group under ``order_cols``'
+    with a BOUNDED hot partition: one row_number window whose rank
+    filter always carries a LITERAL conjunct, so Spark's
+    InferWindowGroupLimit inserts a partial WindowGroupLimit below the
+    exchange — each map task forwards at most ``cap_bound`` rows PER
+    GROUP (the window's analogue of map-side combine), and the final
+    window partition is bounded by cap_bound * upstream-tasks instead
+    of the group's data size. Without the literal (the quota-column
+    spelling) no pruning fires and a hot source/lang sorts its entire
+    occurrence list in one unsplittable task.
+
+    ``cap`` is an int (constant cap) or a Column (per-group quota
+    already joined onto ``df``); a Column cap requires ``cap_bound``, a
+    literal upper bound that holds for every group (e.g. the global mix
+    target — quota = TARGET*q DIV sum_q <= TARGET). The measured
+    alternative — a salted two-phase rank that also splits the residual
+    cap_bound*tasks concentration — costs ~1.5x at every locally
+    measurable hot size (scripts/measure_scaling.py --rank-crossover),
+    so this shape is the keeper until a real cluster shows the residual
+    matters.
+    """
+    if isinstance(cap, int):
+        cap_col = F.lit(cap)
+        cap_bound = cap
+    else:
+        cap_col = cap
+        assert cap_bound is not None, "Column cap requires a literal cap_bound"
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return df.withColumn("rn", F.row_number().over(w)).filter(
+        # The literal conjunct is what InferWindowGroupLimit keys on;
+        # the column conjunct applies the real per-group quota.
+        (F.col("rn") <= F.lit(cap_bound)) & (F.col("rn") <= cap_col)
+    )
+
 
 @register(
     "curation_source_cap",
@@ -287,26 +341,23 @@ SOURCE_CAP = 40
     doc=f"Per-source cap: keep at most {SOURCE_CAP} documents per source, "
     "chosen by salted-hash order (md5('cap:'||doc_id), doc_id tie-break) "
     "— a uniform random-but-reproducible subset per domain, the standard "
-    "guard against over-represented sources in a training mix. One "
-    "window partitioned by source; a heavily skewed source makes a "
-    "hot partition, but the window needs no global sort and rank "
-    "truncation short-circuits the tail at scale.",
+    "guard against over-represented sources in a training mix. The "
+    "literal cap makes InferWindowGroupLimit insert a partial "
+    "WindowGroupLimit below the exchange (plan-pinned): each map task "
+    f"forwards at most {SOURCE_CAP} rows per source, so a hot domain's "
+    "window partition is bounded by cap*tasks, never by the domain's "
+    "document count — the window analogue of map-side combine.",
     tags=("curation", "split"),
 )
 def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    rn = F.row_number().over(
-        Window.partitionBy("source").orderBy(
-            F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))),
-            F.asc("doc_id"),
-        )
+    order_cols = (
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
     )
-    return (
-        docs.select("doc_id", "source")
-        .withColumn("rn", rn)
-        .filter(F.col("rn") <= SOURCE_CAP)
-        .select("doc_id", "source")
-    )
+    return _rank_cap(
+        docs.select("doc_id", "source"), "source", order_cols, SOURCE_CAP
+    ).select("doc_id", "source")
 
 
 # ---------------------------------------------------------------------------
@@ -412,9 +463,13 @@ MIX_QUANT = 1000000  # sqrt weights quantized to BIGINT at 1e-6
     "pow/ln), weights are quantized floor(sqrt(n)*1e6) to BIGINT and "
     "quotas computed with integer division; membership is salted-md5 "
     "rank under each quota. Scale shape: the per-language weight/quota "
-    "table is tiny -> broadcast to the selection join; the only wide op "
-    "is the per-language rank window, and rank truncation short-circuits "
-    "the tail.",
+    "table is tiny -> broadcast to the selection join; lang is the "
+    "worst kind of window key — a handful of values each holding a "
+    "constant corpus fraction — so the rank filter carries a literal "
+    "MIX_TARGET conjunct (quota <= TARGET by construction): "
+    "InferWindowGroupLimit then prunes to the top-TARGET per lang per "
+    "MAP TASK before the exchange, where the bare quota-column filter "
+    "would sort the whole majority language in one unsplittable task.",
     tags=("curation", "split"),
 )
 def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,19 +483,19 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.crossJoin(F.broadcast(w.agg(F.sum("q").alias("sum_q"))))
         .select("lang", F.expr(f"CAST(({MIX_TARGET} * q) DIV sum_q AS BIGINT)").alias("quota"))
     )
-    rn = F.row_number().over(
-        Window.partitionBy("lang").orderBy(
-            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
-            F.asc("doc_id"),
-        )
+    order_cols = (
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
     )
-    return (
-        docs.select("doc_id", "lang")
-        .join(F.broadcast(quota), "lang")
-        .withColumn("rn", rn)
-        .filter(F.col("rn") <= F.col("quota"))
-        .select("doc_id", "lang", "quota")
-    )
+    return _rank_cap(
+        docs.select("doc_id", "lang").join(F.broadcast(quota), "lang"),
+        "lang",
+        order_cols,
+        F.col("quota"),
+        # quota = TARGET*q DIV sum_q <= TARGET, so the global target is a
+        # sound literal bound that turns on map-side WindowGroupLimit.
+        cap_bound=MIX_TARGET,
+    ).select("doc_id", "lang", "quota")
 
 
 # ---------------------------------------------------------------------------
@@ -459,8 +514,10 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composes the registered primitives — same oracles, same arithmetic "
     "— so the composed DuckDB oracle is assembled from their SQL "
     "verbatim. Catalyst sees one tree: the two eliminations are "
-    "left-semi joins it can reorder, and only the final rank window "
-    "shuffles the surviving (small) corpus.",
+    "left-semi joins it can reorder, the canonical pick is a map-side-"
+    "combinable max(struct) aggregate, and the final quota rank carries "
+    "the literal MIX_TARGET conjunct so WindowGroupLimit prunes it "
+    "map-side over the surviving (small) corpus.",
     tags=("curation", "dedup", "split", "iterative"),
 )
 def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,17 +565,18 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(({MIX_TARGET} * q) DIV sum_q AS BIGINT)").alias("quota"),
         )
     )
-    rn = F.row_number().over(
-        Window.partitionBy("lang").orderBy(
-            F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))),
-            F.asc("doc_id"),
-        )
+    order_cols = (
+        F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
     )
     return release_with(
-        surv.join(F.broadcast(quota), "lang")
-        .withColumn("rn", rn)
-        .filter(F.col("rn") <= F.col("quota"))
-        .select("doc_id", "lang", "quota"),
+        _rank_cap(
+            surv.join(F.broadcast(quota), "lang"),
+            "lang",
+            order_cols,
+            F.col("quota"),
+            cap_bound=MIX_TARGET,
+        ).select("doc_id", "lang", "quota"),
         surv,
     )
 

@@ -261,6 +261,11 @@ GATE_PRIORITY_R07: tuple[str, ...] = (
     # and the two curation quality finally-blocks
     "dedup_components", "curation_canonical_docs", "curation_training_mix",
     "curation_mix_report", "dupgraph_triangle_stats",
+    # r7 rank-cap skew pass: canonical-docs' component window became a
+    # max(struct) aggregate (canonical + training_mix + mix_report above
+    # re-gate it), and the source/lang rank caps gained the literal
+    # conjunct that turns on map-side WindowGroupLimit pruning
+    "curation_source_cap", "curation_temperature_mix",
 )
 
 

@@ -376,6 +376,136 @@ def main_df_crossover() -> None:
     spark.stop()
 
 
+def main_rank_crossover() -> None:
+    """Measure the 'keep cap rows per group' shapes at hot-group sizes
+    that can actually straggle (the r7 curation rank-cap decision).
+
+    - window_quota: the pre-r7 curation_temperature_mix shape — one
+      row_number window per group, filtered on a per-group quota COLUMN
+      only. No literal in the rank predicate means
+      InferWindowGroupLimit cannot fire: the hot group's entire
+      occurrence list crosses the exchange and is sorted by one
+      unsplittable WindowExec task.
+    - window_conj: the ADOPTED r7 shape — same single window, rank
+      filter = (rn <= literal_bound) AND (rn <= quota). The literal
+      conjunct turns on WindowGroupLimit(Partial): each map task
+      forwards at most bound rows per group (the window analogue of
+      map-side combine), so the hot partition is bounded by
+      bound * tasks, never by the group's size.
+    - two_phase: the rejected alternative — salted local rank within
+      (group, salt) + exact re-rank of the survivors. Also skew-safe,
+      and it additionally splits the residual bound*tasks
+      concentration, but it pays an extra exchange + sort: measured
+      ~1.5x window_conj at every locally measurable hot size, which is
+      why it lost.
+
+    All shapes emit identical rows; the quota table assigns every group
+    the same cap so the comparison isolates plan shape. On local[32]
+    the absolute walls converge (a straggler task and an extra shuffle
+    cost about the same on one shared-memory box — the same caveat as
+    df_shape_crossover); the decisive facts are the structural bound
+    plus window_conj never costing more than window_quota."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = get_spark(
+        app_name="rank_crossover",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    cap = 40
+    salts = 32
+    for n, hot in (
+        (20_000_000, 1_000_000),
+        (20_000_000, 18_000_000),
+        (100_000_000, 90_000_000),
+    ):
+        base = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") < hot, F.lit("HOT"))
+                .otherwise(
+                    F.concat(F.lit("g"), (F.col("id") % 1000).cast("string"))
+                )
+                .alias("source"),
+            )
+            .persist()
+        )
+        base.count()
+        quota = (
+            base.select("source")
+            .distinct()
+            .select("source", F.lit(cap).alias("quota"))
+        )
+        order_cols = (F.md5(F.col("doc_id").cast("string")), F.asc("doc_id"))
+        w = Window.partitionBy("source").orderBy(*order_cols)
+
+        def shape_window_quota():
+            return (
+                base.join(F.broadcast(quota), "source")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= F.col("quota"))
+            )
+
+        def shape_window_conj():
+            return (
+                base.join(F.broadcast(quota), "source")
+                .withColumn("rn", F.row_number().over(w))
+                .filter((F.col("rn") <= F.lit(cap)) & (F.col("rn") <= F.col("quota")))
+            )
+
+        def shape_two_phase():
+            salted = base.join(F.broadcast(quota), "source").withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salts))
+            )
+            w1 = Window.partitionBy("source", "_salt").orderBy(*order_cols)
+            local = (
+                salted.withColumn("_rn1", F.row_number().over(w1))
+                .filter(
+                    (F.col("_rn1") <= F.lit(cap))
+                    & (F.col("_rn1") <= F.col("quota"))
+                )
+                .drop("_rn1", "_salt")
+            )
+            return local.withColumn("rn", F.row_number().over(w)).filter(
+                F.col("rn") <= F.col("quota")
+            )
+
+        walls = {}
+        for label, shape in (
+            ("window_quota", shape_window_quota),
+            ("window_conj", shape_window_conj),
+            ("two_phase", shape_two_phase),
+        ):
+            shape().write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(XL_PASSES):
+                t0 = time.perf_counter()
+                shape().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            walls[label] = round(best, 3)
+        base.unpersist()
+        print(
+            json.dumps(
+                {
+                    "micro": "rank_cap_crossover",
+                    "rows": n,
+                    "hot_group_rows": hot,
+                    "cap": cap,
+                    **{f"{k}_sec": v for k, v in walls.items()},
+                    "conj_over_quota_ratio": round(
+                        walls["window_conj"] / walls["window_quota"], 2
+                    ),
+                    "two_phase_over_conj_ratio": round(
+                        walls["two_phase"] / walls["window_conj"], 2
+                    ),
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
 def main_skew_xl() -> None:
     spark = get_spark(
         app_name="measure_scaling_skew_xl",
@@ -498,12 +628,14 @@ def main() -> None:
 
 if __name__ == "__main__":
     args = set(sys.argv[1:])
-    known = {"--df-crossover", "--skew-xl", "--skew"}
+    known = {"--df-crossover", "--rank-crossover", "--skew-xl", "--skew"}
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
         sys.exit(f"unknown args {sorted(args - known)}; known: {sorted(known)}")
     if "--df-crossover" in args:
         main_df_crossover()
+    elif "--rank-crossover" in args:
+        main_rank_crossover()
     elif "--skew-xl" in args:
         main_skew_xl()
     elif "--skew" in args:

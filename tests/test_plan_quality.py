@@ -324,6 +324,54 @@ def test_containment_ppjoin_no_cartesian(spark, sf_correctness):
     assert "windowspecdefinition(doc_id" in plan
 
 
+def test_canonical_docs_is_aggregate_not_component_window(spark, sf_correctness):
+    """curation_canonical_docs picks each cluster's survivor with a
+    map-side-combinable max(struct(quality, -doc_id)) aggregate.  A
+    row_number window partitioned by component would sort a whole
+    cluster in one unsplittable task — and boilerplate clusters at
+    100 TB hold 10^6+ members (the same hot-key argument that retired
+    the shingle-df and span windows in r6/r7)."""
+    plan = plan_of(spark, sf_correctness, "curation_canonical_docs")
+    assert "windowspecdefinition(component" not in plan
+    # partial + final max(struct) — SortAggregate (struct buffers are
+    # not hash-aggregable) but WITH a partial phase, unlike any window
+    assert "partial_max" in plan
+    assert "max(struct(quality_score" in plan
+
+
+def _assert_bounded_rank_cap(plan: str, group: str) -> None:
+    # ONE row_number window per rank cap, and the rank filter's literal
+    # conjunct must have turned on WindowGroupLimit: the partial node
+    # below the exchange forwards at most cap rows per group per map
+    # task (the window analogue of map-side combine), so the hot
+    # group's partition is bounded by cap*tasks, never by its data
+    # size. A bare quota-column filter gets NO pruning and sorts the
+    # whole hot group in one unsplittable task — the shape
+    # scripts/measure_scaling.py --rank-crossover records as the loser.
+    assert f"windowspecdefinition({group}" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_source_cap_bounded_rank(spark, sf_correctness):
+    plan = plan_of(spark, sf_correctness, "curation_source_cap")
+    _assert_bounded_rank_cap(plan, "source")
+
+
+def test_temperature_mix_bounded_rank(spark, sf_correctness):
+    """lang is the worst window key — a handful of values each holding a
+    constant corpus fraction. The quota rank filter must carry the
+    literal MIX_TARGET conjunct so WindowGroupLimit prunes map-side."""
+    plan = plan_of(spark, sf_correctness, "curation_temperature_mix")
+    _assert_bounded_rank_cap(plan, "lang")
+
+
+def test_training_mix_bounded_rank_and_no_component_window(spark, sf_correctness):
+    plan = plan_of(spark, sf_correctness, "curation_training_mix")
+    _assert_bounded_rank_cap(plan, "lang")
+    # the embedded canonical-docs stage must keep its aggregate shape
+    assert "windowspecdefinition(component" not in plan
+
+
 def test_event_windows_share_user_exchange(spark, sf_correctness):
     """event_run_islands computes two row_numbers over (user_id) and
     (user_id, event_type); the second must reuse the first's hash
