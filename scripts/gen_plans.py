@@ -71,6 +71,23 @@ NOTES = {
         "recompute under this shape) — both consumers read one "
         "InMemoryTableScan."
     ),
+    "curation_canonical_docs": (
+        "Canonical pick (r7 skew-safe form): the per-cluster argmax is ONE "
+        "max(struct(quality_score, -doc_id)) aggregate — SortAggregate with "
+        "a PARTIAL phase (struct buffers are not hash-aggregable but still "
+        "map-side combine), so a 10^6-member boilerplate cluster ships one "
+        "row per task; never a row_number window over component (no partial "
+        "phase, not AQE-splittable)."
+    ),
+    "curation_temperature_mix": (
+        "Temperature resampling (r7): per-lang quota table broadcast; the "
+        "rank filter carries the literal MIX_TARGET conjunct so "
+        "InferWindowGroupLimit plants a partial WindowGroupLimit BELOW the "
+        "exchange — each map task forwards at most TARGET rows per lang "
+        "(the window analogue of map-side combine); the bare quota-column "
+        "filter would sort the whole majority language in one task "
+        "(measured in SCALING_SKEW.jsonl rank_cap_crossover)."
+    ),
     "ann_ivfpq_recall": (
         "Recall-vs-cost curve (r5): three (nprobe, shortlist) configs share "
         "ONE bounded codebook fit (TakeOrdered md5-ranked sample, "
