@@ -2093,11 +2093,19 @@ PRUNE_NUM, PRUNE_DEN = 1, 5  # prune the top 1/5 most-prototypical per label
     "is one posexplode + groupBy(label, dim) partial agg over label*dim "
     "keys (tiny output); prototypes re-assemble to arrays, BROADCAST to "
     "the corpus scan, and the scoring dot product is a JVM zip_with — "
-    "no join against the exploded corpus. The only corpus-sized shuffle "
-    "is the per-label rank window; at 100 TB that window shards the "
-    "same way curation's per-lang windows do (labels partition the "
-    "corpus), and a near-balanced label distribution keeps partitions "
-    "even.",
+    "no join against the exploded corpus. The exposed per-label rank is "
+    "computed as a TWO-LEVEL bucket rank (r7): every row's quantized "
+    "score cos_q6 is its bucket, per-(label, bucket) counts are a "
+    "map-side-combinable groupBy, the exclusive running-sum of bucket "
+    "counts (the rank offset) is a window over the COUNTS table — whose "
+    "size is bounded by the 1e-6 quantization grid, never by the corpus "
+    "— and the residual row_number partitions by (label, bucket), i.e. "
+    "by exact score ties only. No corpus-sized window partition "
+    "remains: a label window would put the whole majority label "
+    "through one unsplittable task (labels are the same worst-case key "
+    "as curation's langs), and n_label comes from the same counts "
+    "via a broadcast join instead of count(*) OVER (PARTITION BY "
+    "label) — the r6 shingle-df anti-pattern.",
     tags=("similarity", "curation"),
 )
 def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2121,15 +2129,53 @@ def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("q"), F.col("q")),
             _dot(F.col("cvec"), F.col("cvec")),
         ).alias("cos"),
+        F.floor(
+            _cosine(
+                _dot(F.col("q"), F.col("cvec")),
+                _dot(F.col("q"), F.col("q")),
+                _dot(F.col("cvec"), F.col("cvec")),
+            )
+            * QUANT
+        )
+        .cast("bigint")
+        .alias("cos_q6"),
     )
-    w = W.partitionBy("label").orderBy(F.desc("cos"), "vec_id")
-    return (
-        scored.select(
-            "vec_id",
-            "label",
-            F.floor(F.col("cos") * QUANT).cast("bigint").alias("cos_q6"),
-            F.row_number().over(w).cast("bigint").alias("rnk"),
-            F.count(F.lit(1)).over(W.partitionBy("label")).alias("n_label"),
+    # scored feeds the bucket-count build AND the final join — persist
+    # the narrow (vec_id, label, cos, cos_q6) frame or the scan +
+    # centroid build + cosine subtree is planned once per consumer
+    # (Catalyst does not dedup identical subtrees — the r6 house rule).
+    scored = scored.persist()
+    # Two-level exact rank. bucket = cos_q6 is monotone in cos, so the
+    # global (cos DESC, vec_id) order equals (bucket DESC, cos DESC,
+    # vec_id): rank = (#rows in strictly-higher buckets) + (rank within
+    # the bucket). The offset table has one row per (label, occupied
+    # bucket) — bounded by the quantization grid (2e6 buckets), NOT by
+    # the corpus — so ITS per-label running-sum window can never be
+    # hot, and the per-(label, bucket) residual window only sorts exact
+    # 1e-6-level score ties.
+    counts = scored.groupBy("label", "cos_q6").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    w_off = (
+        W.partitionBy("label")
+        .orderBy(F.desc("cos_q6"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # Both the exclusive running-sum (rank offset) and the label total
+    # (n_label) come out of ONE pass over the bounded counts table —
+    # windows over THIS table are safe precisely because its size is
+    # capped by the quantization grid, not the corpus.
+    offsets = counts.select(
+        "label",
+        "cos_q6",
+        F.coalesce(F.sum("n_b").over(w_off), F.lit(0)).alias("off"),
+        F.sum("n_b").over(W.partitionBy("label")).alias("n_label"),
+    )
+    w_local = W.partitionBy("label", "cos_q6").orderBy(F.desc("cos"), "vec_id")
+    return release_with(
+        scored.join(offsets, ["label", "cos_q6"])
+        .withColumn(
+            "rnk", (F.col("off") + F.row_number().over(w_local)).cast("bigint")
         )
         .select(
             "vec_id",
@@ -2137,7 +2183,8 @@ def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_q6",
             "rnk",
             (F.col("rnk") * PRUNE_DEN <= F.col("n_label") * PRUNE_NUM).alias("prune"),
-        )
+        ),
+        scored,
     )
 
 

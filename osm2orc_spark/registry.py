@@ -263,9 +263,12 @@ GATE_PRIORITY_R07: tuple[str, ...] = (
     "curation_mix_report", "dupgraph_triangle_stats",
     # r7 rank-cap skew pass: canonical-docs' component window became a
     # max(struct) aggregate (canonical + training_mix + mix_report above
-    # re-gate it), and the source/lang rank caps gained the literal
-    # conjunct that turns on map-side WindowGroupLimit pruning
+    # re-gate it), the source/lang rank caps gained the literal
+    # conjunct that turns on map-side WindowGroupLimit pruning, and
+    # prototype_prune's exposed per-label rank became the two-level
+    # bucket rank
     "curation_source_cap", "curation_temperature_mix",
+    "embedding_prototype_prune",
 )
 
 

@@ -417,6 +417,24 @@ def test_prototype_prune_centroids_broadcast(spark, sf_correctness):
     assert "EvalPython" not in plan
 
 
+def test_prototype_prune_two_level_rank(spark, sf_correctness):
+    """The exposed per-label rank is the r7 two-level bucket rank: bucket
+    counts via a partial-aggregated groupBy(label, cos_q6); the offset /
+    n_label windows run over that GRID-BOUNDED counts table; the residual
+    row_number partitions by (label, cos_q6) — exact score ties only.
+    NO corpus-sized window keyed by bare label may remain (a majority
+    label would sort through one unsplittable task), and n_label must
+    not be count(*) OVER (PARTITION BY label) on the corpus — the r6
+    shingle-df anti-pattern."""
+    plan = plan_of(spark, sf_correctness, "embedding_prototype_prune")
+    assert "partial_count" in plan
+    # exactly three windows: exclusive running-sum + label total (both
+    # over the bounded counts table) + the (label, cos_q6) residual rank
+    assert plan.count("windowspecdefinition(") == 3
+    # the shared scored frame must be cached, not re-planned per consumer
+    assert "InMemoryTableScan" in plan
+
+
 def test_scd2_shares_user_exchange(spark, sf_correctness):
     """scd2_user_value_bands derives lag/row_number/count and the interval
     lead window all partitioned by user_id: ONE hashpartitioning(user_id)
