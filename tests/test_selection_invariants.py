@@ -144,3 +144,94 @@ def test_mix_report_describes_training_mix(spark, sf_correctness):
         assert r["n_total"] == (
             r["n_quality_fail"] + r["n_dup_removed"] + r["n_survivors"]
         )
+
+
+def test_two_level_bucket_rank_equals_plain_window_under_ties(spark):
+    """The r7 two-level bucket rank in embedding_prototype_prune must
+    equal the single-window spelling on a tie-heavy synthetic frame:
+    scores quantize into FEW buckets (forcing multi-row buckets, the
+    offset path, and sub-quantization ties that straddle bucket
+    boundaries) — the regime where an off-by-one in the exclusive
+    running-sum or a wrong tie-break would show."""
+    from pyspark.sql.window import Window as W
+
+    QUANT = 1_000_000
+    # 3 labels x 400 rows; cos values collide heavily at 1e-6 (k % 7
+    # buckets per label) and within-bucket order falls to vec_id.
+    rows = spark.range(1200).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 3).cast("string").alias("label"),
+        ((F.col("id") % 7).cast("double") / 7.0
+         + (F.col("id") % 2).cast("double") * 1e-8).alias("cos"),
+    )
+    b = rows.withColumn("cos_q6", F.floor(F.col("cos") * QUANT).cast("bigint"))
+
+    w_plain = W.partitionBy("label").orderBy(F.desc("cos"), "vec_id")
+    plain = b.select(
+        "vec_id", F.row_number().over(w_plain).cast("bigint").alias("rnk")
+    )
+
+    counts = b.groupBy("label", "cos_q6").agg(F.count(F.lit(1)).alias("n_b"))
+    w_off = (
+        W.partitionBy("label")
+        .orderBy(F.desc("cos_q6"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "label", "cos_q6",
+        F.coalesce(F.sum("n_b").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_local = W.partitionBy("label", "cos_q6").orderBy(F.desc("cos"), "vec_id")
+    two_level = (
+        b.join(offsets, ["label", "cos_q6"])
+        .select(
+            "vec_id",
+            (F.col("off") + F.row_number().over(w_local)).cast("bigint").alias("rnk"),
+        )
+    )
+    diff = (
+        plain.alias("p")
+        .join(two_level.alias("t"), "vec_id")
+        .filter(F.col("p.rnk") != F.col("t.rnk"))
+    )
+    assert diff.count() == 0
+
+
+def test_rank_cap_conjunct_equals_plain_quota_filter(spark):
+    """_rank_cap's literal conjunct ((rn <= bound) AND (rn <= quota)) is
+    a pure plan-shape device: with quota <= bound by construction it
+    must select exactly the rows of the bare quota filter, including
+    groups whose quota exceeds their row count and a hot group."""
+    from pyspark.sql.window import Window as W
+
+    from osm2orc_spark.operators.curation import _rank_cap
+
+    rows = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 37).cast("string")))
+        .alias("lang"),
+    )
+    quota = (
+        rows.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "lang",
+            F.when(F.col("lang") == "hot", F.lit(17))
+            .otherwise(F.least(F.col("n") + 5, F.lit(200)))
+            .alias("quota"),
+        )
+    )
+    order_cols = (F.md5(F.col("doc_id").cast("string")), F.asc("doc_id"))
+    joined = rows.join(F.broadcast(quota), "lang")
+
+    w = W.partitionBy("lang").orderBy(*order_cols)
+    plain = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id")
+    )
+    capped = _rank_cap(joined, "lang", order_cols, F.col("quota"), cap_bound=200)
+    got = sorted(r["doc_id"] for r in capped.select("doc_id").collect())
+    want = sorted(r["doc_id"] for r in plain.collect())
+    assert got == want and len(got) > 0
