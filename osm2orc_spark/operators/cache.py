@@ -50,7 +50,13 @@ __all__ = ["release_with", "safe_unpersist"]
 # GC-triggered finalize callbacks (which can run on any thread), so all
 # updates hold _LOCK (r6 advice).
 _PLAN_REFS: dict[int, int] = {}
-_LOCK = threading.Lock()
+# REENTRANT, and held ACROSS the unpersist call in safe_unpersist (r7
+# advice): releasing it between the membership check and df.unpersist()
+# left a window where a concurrent release_with could register the same
+# plan and still have its scoped cache stripped.  RLock (not Lock)
+# because unpersist allocates and can trigger GC -> a release_with
+# finalize on the SAME thread, which re-enters the lock.
+_LOCK = threading.RLock()
 
 
 def _plan_key(df: DataFrame) -> int:
@@ -73,16 +79,20 @@ def release_with(result: DataFrame, *frames: DataFrame) -> DataFrame:
 
     def _release(keyed=keyed):
         for k, fr in keyed:
+            # The unpersist stays INSIDE the lock (same rationale as
+            # safe_unpersist, r7 advice): between dropping the last
+            # refcount and the unpersist, a new release_with on the same
+            # plan must block rather than have its cache stripped.
             with _LOCK:
                 left = _PLAN_REFS.get(k, 1) - 1
                 if left > 0:
                     _PLAN_REFS[k] = left
                     continue
                 _PLAN_REFS.pop(k, None)
-            try:
-                fr.unpersist()
-            except Exception:
-                pass  # session/JVM already gone — nothing left to release
+                try:
+                    fr.unpersist()
+                except Exception:
+                    pass  # session/JVM already gone — nothing to release
 
     weakref.finalize(result, _release)
     return result
@@ -103,7 +113,12 @@ def safe_unpersist(df: DataFrame) -> None:
     with _LOCK:
         if _plan_key(df) in _PLAN_REFS:
             return
-    try:
-        df.unpersist()
-    except Exception:
-        pass  # session/JVM already gone
+        # unpersist INSIDE the lock (r7 advice): a release_with
+        # registering this plan between the check and the release must
+        # wait, not lose its cache.  Driver-side metadata work only —
+        # holding the lock is cheap, and _LOCK is reentrant so a
+        # GC-triggered finalize on this thread cannot deadlock.
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session/JVM already gone

@@ -92,8 +92,15 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
-    return dot.cast("double") / (
-        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+    # try_divide, not `/` (r7 advice): under Spark 4's default ANSI mode a
+    # zero-norm vector (all quantized elements 0) makes plain division
+    # RAISE DIVIDE_BY_ZERO and kill the whole job — one pathological row
+    # in a 100 TB corpus must degrade to a NULL cosine (ranked last /
+    # filtered out), never abort the scan.  Identical result wherever the
+    # norm is non-zero, so every oracle hash is unchanged.
+    return F.try_divide(
+        dot.cast("double"),
+        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")),
     )
 
 
@@ -2140,6 +2147,19 @@ def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cos_q6"),
     )
+    # Null-safe bucket key (r7 advice): a zero-norm quantized vector
+    # makes Spark's divide return NULL cos -> NULL cos_q6, and a plain
+    # equi-join on cos_q6 would silently DROP that row while n_label
+    # still counted it.  cos_qb coalesces NULL into a sentinel bucket
+    # strictly below the grid minimum (cos >= -1 -> cos_q6 >= -QUANT, so
+    # -2*QUANT can never collide); every grouping/join/window key below
+    # uses cos_qb, while the OUTPUT column stays the original (possibly
+    # NULL) cos_q6.  Sentinel ordering: desc(cos_qb) sorts it last —
+    # exactly where desc(cos) nulls-last ranked those rows before.
+    _NULL_BUCKET = -2 * QUANT
+    scored = scored.withColumn(
+        "cos_qb", F.coalesce(F.col("cos_q6"), F.lit(_NULL_BUCKET))
+    )
     # scored feeds the bucket-count build AND the final join — persist
     # the narrow (vec_id, label, cos, cos_q6) frame or the scan +
     # centroid build + cosine subtree is planned once per consumer
@@ -2153,12 +2173,12 @@ def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus — so ITS per-label running-sum window can never be
     # hot, and the per-(label, bucket) residual window only sorts exact
     # 1e-6-level score ties.
-    counts = scored.groupBy("label", "cos_q6").agg(
+    counts = scored.groupBy("label", "cos_qb").agg(
         F.count(F.lit(1)).alias("n_b")
     )
     w_off = (
         W.partitionBy("label")
-        .orderBy(F.desc("cos_q6"))
+        .orderBy(F.desc("cos_qb"))
         .rowsBetween(W.unboundedPreceding, -1)
     )
     # Both the exclusive running-sum (rank offset) and the label total
@@ -2167,13 +2187,13 @@ def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # capped by the quantization grid, not the corpus.
     offsets = counts.select(
         "label",
-        "cos_q6",
+        "cos_qb",
         F.coalesce(F.sum("n_b").over(w_off), F.lit(0)).alias("off"),
         F.sum("n_b").over(W.partitionBy("label")).alias("n_label"),
     )
-    w_local = W.partitionBy("label", "cos_q6").orderBy(F.desc("cos"), "vec_id")
+    w_local = W.partitionBy("label", "cos_qb").orderBy(F.desc("cos"), "vec_id")
     return release_with(
-        scored.join(offsets, ["label", "cos_q6"])
+        scored.join(offsets, ["label", "cos_qb"])
         .withColumn(
             "rnk", (F.col("off") + F.row_number().over(w_local)).cast("bigint")
         )

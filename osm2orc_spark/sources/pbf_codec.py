@@ -1017,14 +1017,16 @@ def _emit_way_rel_arrow(
     fields, so the concatenated Info stream is a strict key,value
     alternation whose fields scatter into per-entity arrays (duplicate
     fields last-win, like the scalar decoder).  Structural surprises
-    (odd Info pair counts, non-varint wire bits in an Info key,
-    mismatched keys/vals lengths, duplicate tag keys) raise
-    _ArrowFallback -> the whole block re-decodes on the dict path, so
-    output stays identical by construction.  Two dict-path asymmetries
-    remain possible only for NON-spec inputs and are accepted: a fixed64
-    field smuggled inside Info could misparse the alternation in a way
-    the checks cannot always detect, and values >= 2^63 wrap where the
-    dict path would error."""
+    (odd Info pair counts, non-varint wire bits in an Info key, field
+    numbers outside Info's spec range 1..6, mismatched keys/vals
+    lengths, duplicate tag keys) raise _ArrowFallback -> the whole
+    block re-decodes on the dict path, so output stays identical by
+    construction.  Two dict-path asymmetries remain possible only for
+    NON-spec inputs and are accepted: a fixed64 field smuggled inside
+    Info can misparse the alternation only if every resynthesized key
+    passes BOTH the wire-bit check and the 1..6 field-number bound
+    (r7 advice narrowed this from wire-bit alone), and values >= 2^63
+    wrap where the dict path would error."""
     import pyarrow as pa
 
     n = len(way_rel)
@@ -1110,6 +1112,16 @@ def _emit_way_rel_arrow(
     if ik.size and (ik & np.uint64(7)).any():
         raise _ArrowFallback  # non-varint wire type inside Info
     ifield = (ik >> np.uint64(3)).astype(np.int64)
+    # Field numbers outside Info's spec range (version=1 .. visible=6)
+    # also force the dict path (r7 advice): a fixed64/length-delimited
+    # payload smuggled into Info whose bytes coincidentally pass the
+    # wire-bit check above almost never lands every resynthesized key in
+    # 1..6 too, so this cheap bound turns the silent-wrong-metadata
+    # failure mode into a correct fallback for all but adversarial
+    # inputs.  Spec-valid files never hit it; an unknown Info extension
+    # field decodes identically (ignored) on the dict path.
+    if ik.size and ((ifield < 1) | (ifield > 6)).any():
+        raise _ArrowFallback  # unknown Info field number: desync or extension
     iseg = np.repeat(np.arange(n, dtype=np.int64), icounts // 2)
     version = np.full(n, -1, dtype=np.int64)
     ts_vals = np.zeros(n, dtype=np.int64)

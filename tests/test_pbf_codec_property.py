@@ -374,3 +374,25 @@ def test_concat_varints_and_segmented_delta(segs):
     for b in bufs:
         want.extend(_packed_svarints_list(b, delta=True))
     assert flat.tolist() == want
+
+
+def test_arrow_decode_parity_unknown_info_field_falls_back(tmp_path):
+    """r7 advice: the arrow path's vectorized Info alternation now bounds
+    accepted field numbers to Info's spec range 1..6 — an extension
+    field (here varint field 7 on a way's Info) must force the dict-path
+    fallback (which ignores unknown fields) instead of risking a silent
+    alternation desync, and the batch stays identical."""
+    from osm2orc_spark.sources.pbf_codec import PbfWriter, _emit_varint
+
+    class ExtInfoWriter(PbfWriter):
+        def _encode_info(self, e, index):
+            out = bytearray(super()._encode_info(e, index))
+            _emit_varint(out, 7, 12345)  # unknown Info extension field
+            return bytes(out)
+
+    w = ExtInfoWriter()
+    w.add(type="way", id=1, tags={"highway": "residential"}, nds=[1, 2, 3],
+          version=2, visible=True, changeset=5, timestamp_ms=1000, uid=7, user="u")
+    w.add(type="node", id=1, tags={}, lat="1.0", lon="2.0",
+          version=1, visible=True, changeset=5, timestamp_ms=1000, uid=7, user="u")
+    assert _assert_arrow_parity(w.tobytes(), tmp_path) >= 1

@@ -235,3 +235,34 @@ def test_rank_cap_conjunct_equals_plain_quota_filter(spark):
     got = sorted(r["doc_id"] for r in capped.select("doc_id").collect())
     want = sorted(r["doc_id"] for r in plain.collect())
     assert got == want and len(got) > 0
+
+
+def test_prototype_prune_keeps_zero_norm_vectors(spark, tmp_path):
+    """r7 advice: a zero-norm quantized vector makes the cosine (and so
+    cos_q6) NULL; the two-level rank's equi-join on the bucket key must
+    not drop the row.  The null-safe sentinel bucket ranks it LAST per
+    label (desc nulls-last semantics), n_label still counts it, and the
+    output row keeps cos_q6 NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 40
+    vecs = [[float(i % 7) / 7.0 + 0.01] * 4 for i in range(n)]
+    vecs[5] = [0.0, 0.0, 0.0, 0.0]  # zero-norm -> NULL cosine
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = QUERIES["embedding_prototype_prune"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == n, "zero-norm row was dropped from the ranking"
+    by_id = {r["vec_id"]: r for r in out}
+    zr = by_id[5]
+    assert zr["cos_q6"] is None
+    assert zr["rnk"] == n, "NULL cosine must rank last (nulls-last desc)"
+    assert sorted(r["rnk"] for r in out) == list(range(1, n + 1))
+    # prune threshold uses n_label INCLUDING the null row: exactly n//5
+    assert sum(r["prune"] for r in out) == n // 5
