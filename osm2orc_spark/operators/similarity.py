@@ -917,11 +917,19 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         _cosine(_dot(ev, cv), _dot(ev, ev), _dot(cv, cv)).alias("cos"),
     ).persist()
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
-    assign = (
-        ccos.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+    # Argmax-per-vector as a map-side-combinable max_by aggregate (r7
+    # verdict #6): the row_number() OVER (PARTITION BY vec_id) spelling
+    # shuffled all n x k assignment rows into window tasks; max_by
+    # pre-combines to ONE row per vector per task before the exchange
+    # (~k x less shuffle volume at any corpus size).  The struct
+    # ordering (cos, -cid) reproduces the window's (cos DESC, cid ASC)
+    # pick exactly, NULL cos included (struct null fields compare
+    # smallest — verified vs the window on ties/nulls in
+    # tests/test_advanced.py::test_maxby_assign_equals_window_argmax).
+    assign = ccos.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias(
+            "cid"
+        )
     )
     q = (
         emb.orderBy("vec_id")
@@ -930,6 +938,10 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = (
         ccos.join(F.broadcast(q), ccos.vec_id == F.col("q_id"))
+        # Unpartitioned window is BOUNDED: the frame is the one query row
+        # joined to k=N_CENTROIDS(=8) centroid cosines — k rows total at
+        # any corpus size.  The "No Partition Defined" warning it logs is
+        # expected and harmless (r7 verdict #7).
         .withColumn("rn", F.row_number().over(W.orderBy(F.desc("cos"), "cid")))
         .filter(F.col("rn") <= N_PROBE)
         .select("cid")
@@ -1936,15 +1948,17 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         _cosine(_dot(ev, cv), _dot(ev, ev), _dot(cv, cv)).alias("cos"),
     )
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
-    assign = (
-        ccos.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "cid",
-            F.floor(F.col("cos") * QUANT).cast("bigint").alias("cos_q6"),
-        )
+    # Same max_by rewrite as ann_ivf_probe (r7 verdict #6): one partial
+    # row per vector per task instead of an n x k window shuffle; the
+    # winning row's cos travels inside the struct payload.
+    assign = ccos.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cid", "cos"), F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))
+        ).alias("b")
+    ).select(
+        "vec_id",
+        F.col("b.cid").alias("cid"),
+        F.floor(F.col("b.cos") * QUANT).cast("bigint").alias("cos_q6"),
     )
     return assign.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),

@@ -1025,6 +1025,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days",
         "frequency",
         F.col("monetary").cast("double").alias("monetary"),
+        # Unpartitioned ntile windows run over the POST-AGGREGATION frame:
+        # one row per customer (dimension-sized, ~1-2% of fact volume in
+        # TPC-H shaped data), not per order/lineitem.  Exact global
+        # quintiles need a global rank by definition; the documented
+        # 10^9-customer scale path is approx_percentile boundaries
+        # broadcast back as a 4-row map (changes quantile tie behavior,
+        # so the registered query keeps the exact spelling).  The
+        # WindowExec "No Partition Defined" warning here is expected
+        # (r7 verdict #7).
         F.ntile(5).over(W.orderBy(F.desc("recency_days"), "custkey")).alias("r_score"),
         F.ntile(5).over(W.orderBy(F.asc("frequency"), "custkey")).alias("f_score"),
         F.ntile(5).over(W.orderBy(F.asc("monetary"), "custkey")).alias("m_score"),
@@ -1094,6 +1103,9 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = rev.agg(F.sum("revenue").alias("total"))
+    # Unpartitioned running-share window is BOUNDED: one row per part
+    # after the revenue aggregation (dimension-sized).  Expected
+    # "No Partition Defined" warning — see r7 verdict #7.
     w = W.orderBy(F.desc("revenue"), "partkey").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -1236,6 +1248,9 @@ def order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     by_month = deltas.groupBy("month").agg(F.sum("delta").alias("net"))
+    # Unpartitioned cumulative window is BOUNDED: one row per calendar
+    # month after the groupBy (timespan-sized — decades fit in hundreds
+    # of rows).  Expected "No Partition Defined" warning — r7 verdict #7.
     w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
     return by_month.select(
         "month", "net", F.sum("net").over(w).alias("open_backlog")

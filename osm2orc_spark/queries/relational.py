@@ -724,6 +724,126 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MS = 1_800_000  # the registered query's 30-minute gap rule
+SESSION_CHUNK_MS = 3_600_000  # split-and-stitch time-range width (1 h)
+
+
+def sessionize_events_chunked(
+    spark: SparkSession, sf_dir: str, chunk_ms: int = SESSION_CHUNK_MS
+) -> DataFrame:
+    """Split-and-stitch sessionization — output PROVEN identical to the
+    registered ``sessionize_events`` (r7 verdict #1), with the hot-user
+    straggler bounded.
+
+    The registered plan runs each user's ENTIRE event stream through one
+    WindowExec task (lag + running sum over PARTITION BY user_id); a bot
+    or service account with 10^8-10^9 events at 100 TB puts its whole
+    history through one unsplittable sort+spill while the cluster idles
+    (measured 5.6x on the 2x10^6-row xl_hot twin).  Gap-based
+    sessionization is associative, so this variant:
+
+    1. chunks events by TIME RANGE (``chunk = ms DIV chunk_ms`` — no
+       per-user window needed to assign chunks, unlike a row_number DIV
+       split, and chunk order == event order because ms is monotone in
+       (ts, event_id) ties included: equal-ts events always share a
+       chunk);
+    2. sessionizes each (user_id, chunk) independently — the event-level
+       window partitions by (user_id, chunk), so a hot user's partition
+       is bounded by its events-per-chunk_ms, not its lifetime;
+    3. stitches at chunk seams over the per-chunk SUMMARY stream (one
+       row per nonempty chunk): chunk c's first local session fuses with
+       the previous nonempty chunk's last session iff the seam gap
+       <= SESSION_GAP_MS — the same rule the in-chunk lag applied,
+       because the seam events are consecutive in the global order;
+    4. renumbers in closed form: a chunk's sessions shift down by the
+       cumulative fuse count, so global_id = prefix + local_id - fused
+       where prefix = SUM(starts - fused) over preceding chunks — a
+       window over the BOUNDED summary stream (<= time_span/chunk_ms
+       rows per user, independent of event count), the same
+       bounded-table-window argument as embedding_prototype_prune's
+       two-level rank.  Multi-chunk sessions chain correctly: a
+       fused-through chunk contributes starts - fused = 0 to the prefix.
+
+    Residual worst case (documented, not hidden): a hot user whose
+    events all fall inside ONE chunk_ms window still lands in one task —
+    time chunking bounds per-task rows by the user's peak event RATE,
+    not its lifetime volume.  Shrink ``chunk_ms`` for rate-skewed
+    streams; same-ts ties never force a merge error because a seam can
+    only separate distinct chunk ids, hence distinct ms values.
+
+    Not registered: the registry is frozen at 162 (the *_sketch_only
+    precedent); equivalence to the registered query is asserted by
+    tests/test_advanced.py::test_sessionize_chunked_* at sf0.01 + on
+    adversarial synthetic seams, and on the xl_event twin by
+    scripts/measure_scaling.py --skew-xl (bit-identical check recorded
+    in SCALING_SKEW.jsonl).
+    """
+    ev = load(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    # floor(ms / chunk_ms) in double is exact here: the quotient is far
+    # below 2^53 and a non-integer true quotient sits >= 1/chunk_ms away
+    # from the next integer — orders of magnitude beyond double ulp.
+    evc = ev.select("user_id", "ts", "event_id", ms.alias("ms")).withColumn(
+        "chunk", F.floor(F.col("ms") / F.lit(chunk_ms)).cast("bigint")
+    )
+    wl = W.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    flagged = evc.withColumn(
+        "new_s",
+        F.when(
+            (F.col("ms") - F.lag("ms").over(wl) > SESSION_GAP_MS)
+            | F.lag("ms").over(wl).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    local = flagged.withColumn(
+        "lsid",
+        F.sum("new_s").over(wl.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    # One row per LOCAL session: the event-level stream compresses here
+    # (map-side partial agg on the window's own partitioning), and
+    # everything downstream runs on session/chunk summaries only.
+    lsess = local.groupBy("user_id", "chunk", "lsid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ms").alias("first_ms"),
+        F.max("ms").alias("last_ms"),
+    )
+    csum = lsess.groupBy("user_id", "chunk").agg(
+        F.max("lsid").alias("starts"),
+        F.min("first_ms").alias("first_ms"),
+        F.max("last_ms").alias("last_ms"),
+    )
+    wc = W.partitionBy("user_id").orderBy("chunk")
+    stitched = csum.select(
+        "user_id",
+        "chunk",
+        "starts",
+        # lag NULL (first nonempty chunk) -> condition NULL -> 0: no fuse.
+        F.when(
+            F.col("first_ms") - F.lag("last_ms").over(wc) <= SESSION_GAP_MS, 1
+        )
+        .otherwise(0)
+        .alias("fused"),
+    ).withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum(F.col("starts") - F.col("fused")).over(
+                wc.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    return (
+        lsess.join(stitched.select("user_id", "chunk", "fused", "prefix"), ["user_id", "chunk"])
+        .groupBy(
+            "user_id",
+            (F.col("prefix") + F.col("lsid") - F.col("fused"))
+            .cast("bigint")
+            .alias("session_id"),
+        )
+        .agg(F.sum("n_events").cast("bigint").alias("n_events"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tumbling-window aggregation (batch form of the streaming hourly rollup;
 # Spark F.window start == date_trunc('hour') for aligned 1h tumbling).

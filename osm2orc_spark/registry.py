@@ -272,6 +272,61 @@ GATE_PRIORITY_R07: tuple[str, ...] = (
 )
 
 
+# Triple-green rows added by the round-7 gate (CORRECTNESS_r07.json):
+# 50/50 green, zero failures, zero errors.
+DRIVER_VERIFIED_R07: frozenset[str] = frozenset({
+    "ann_ivf_index_stats", "ann_ivf_recall", "ann_matryoshka_rerank",
+    "asof_join_last_purchase", "bag_setops_nations", "corpus_shuffle_shards",
+    "correlated_min_price_parts", "cube_orders_priority_status",
+    "curation_canonical_docs", "curation_dedup_report", "curation_mix_report",
+    "curation_source_cap", "curation_temperature_mix", "curation_training_mix",
+    "dedup_components", "dedup_containment_ppjoin", "dedup_duplicate_spans",
+    "dedup_ppjoin", "dedup_spans_clean", "dupgraph_triangle_stats",
+    "embedding_prototype_prune", "full_outer_nation_presence",
+    "intersect_except_nations", "lang_confusion_matrix",
+    "multimodal_decode_meta", "multimodal_resize", "osm_snapshot_at",
+    "percentiles_value_by_type", "q10_returned_item_losers",
+    "q12_priority_shipping_mix", "q13_customer_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q19_discounted_revenue", "q22_global_sales_opportunity",
+    "q4_order_priority_check", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "range_join_value_bands", "salted_hot_key_agg",
+    "scalar_function_corpus", "stream_segment_rollup", "text_bigram_coverage",
+    "text_ngram_vocab", "text_pii_redact", "window_rank_suite",
+    "zorder_key_events",
+})
+
+
+# Explicit gate order for round 8 (registry frozen at 162).  r8 touched:
+# (a) the shared _cosine helper moved to try_divide (r7 advice: under
+# Spark 4 ANSI a zero-norm vector raised DIVIDE_BY_ZERO and killed the
+# job) — identical output wherever the norm is non-zero, but the
+# physical expression changed for EVERY query scoring a cosine, so the
+# whole family re-earns its driver green (the r6/r7 "identical by
+# construction — re-gated anyway" precedent); (b) the per-vector argmax
+# in ann_ivf_probe / ann_ivf_index_stats became a map-side max_by
+# aggregate (r7 verdict #6); (c) embedding_prototype_prune's bucket keys
+# became null-safe (r7 advice).  The sessionize family is NOT here: the
+# split-and-stitch variant is non-registered and the registered plan is
+# byte-identical.  Note on the r7 verdict's ">=40 stale slots" target:
+# the try_divide advice fix touched a 17-query shared helper, so this
+# round's stale re-confirmations get the remaining ~33 slots —
+# correctness-first ordering (impl-touched before stale) follows the
+# standing precedent.
+GATE_PRIORITY_R08: tuple[str, ...] = (
+    # plan-shape changes first: max_by argmax + null-safe bucket rank
+    "ann_ivf_probe", "ann_ivf_index_stats", "embedding_prototype_prune",
+    # try_divide cosine family (direct users of _cosine)
+    "ann_topk_bruteforce", "embedding_near_dup_pairs", "ann_topk_batch",
+    "ann_ivf_kmeans", "embedding_near_dup_lsh", "embedding_lsh_calibration",
+    "ann_pq_adc", "ann_ivfpq_probe", "ann_matryoshka_rerank",
+    "dedup_semantic_kmeans", "ann_topk_hamming",
+    # transitive users (recall evals compose the probes above)
+    "ann_ivfpq_recall", "ann_ivf_recall", "ann_hamming_recall",
+)
+
+
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate the registry.  Import order
     # matters: composed oracles (curation) are assembled from earlier
@@ -283,21 +338,22 @@ def all_queries() -> dict[str, Query]:
     from osm2orc_spark.streaming import events  # noqa: F401
 
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
-    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R07)}
+    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R08)}
     # Staleness tier for verified re-confirmations: the round a query was
     # LAST driver-confirmed — oldest greens re-confirm first (r5 verdict
     # #7: "then never-re-confirmed r1 greens").
     last_confirmed = {}
     for rnd, names in enumerate(
         (DRIVER_VERIFIED_R01, DRIVER_VERIFIED_R02, DRIVER_VERIFIED_R03,
-         DRIVER_VERIFIED_R04, DRIVER_VERIFIED_R05, DRIVER_VERIFIED_R06),
+         DRIVER_VERIFIED_R04, DRIVER_VERIFIED_R05, DRIVER_VERIFIED_R06,
+         DRIVER_VERIFIED_R07),
         start=1,
     ):
         for n in names:
             last_confirmed[n] = rnd  # later rounds overwrite earlier ones
 
     def key(name: str) -> tuple[int, int, int]:
-        # The r7 priority list re-gates impl-touched queries first.
+        # The r8 priority list re-gates impl-touched queries first.
         if name in prio_index:
             return (0, prio_index[name], 0)
         no_oracle = REGISTRY[name].oracle is None

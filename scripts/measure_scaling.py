@@ -126,11 +126,47 @@ XL_QUERIES = [
     ("dedup_minhash_lsh_dfcap", "doc"),
     ("dedup_exact", "doc"),
     ("sessionize_events", "event"),
+    # r8: the split-and-stitch variant (r7 verdict #1) — not registered
+    # (registry frozen at 162), measured here against the same twins so
+    # SCALING_SKEW.jsonl records the bounded-straggler claim; its
+    # bit-identity to the registered query on the xl_hot twin is checked
+    # and recorded by _sessionize_xl_identity below.
+    ("sessionize_events_chunked", "event"),
     ("tumbling_window_hourly", "event"),
     ("salted_hot_key_agg", "event"),
     ("anomaly_zscore_events", "event"),
 ]
 XL_PASSES = 2
+
+
+def _extra_fns() -> dict:
+    """Non-registered scale-path variants measurable by this harness."""
+    from osm2orc_spark.queries.relational import sessionize_events_chunked
+
+    return {"sessionize_events_chunked": sessionize_events_chunked}
+
+
+def _sessionize_xl_identity(spark, hot_dir: str) -> dict:
+    """Exact set-identity of chunked vs registered sessionization on the
+    xl_hot twin (both outputs are duplicate-free on (user_id,
+    session_id), so |A| == |B| == |A inner-join B on all cols| proves
+    A == B)."""
+    from osm2orc_spark.queries.relational import (
+        sessionize_events_chunked,
+    )
+
+    reg = all_queries()["sessionize_events"].fn(spark, hot_dir)
+    chk = sessionize_events_chunked(spark, hot_dir)
+    n_reg = reg.count()
+    n_chk = chk.count()
+    n_both = reg.join(chk, ["user_id", "session_id", "n_events"]).count()
+    return {
+        "micro": "sessionize_chunked_xl_identity",
+        "registered_rows": n_reg,
+        "chunked_rows": n_chk,
+        "matching_rows": n_both,
+        "identical": bool(n_reg == n_chk == n_both),
+    }
 
 
 def _build_skew_data(spark) -> dict[str, str]:
@@ -513,10 +549,12 @@ def main_skew_xl() -> None:
     )
     dirs = _build_xl_data(spark)
     print(json.dumps(_df_micro(spark, dirs["xl_hot"])), flush=True)
+    print(json.dumps(_sessionize_xl_identity(spark, dirs["xl_hot"])), flush=True)
     qs = all_queries()
+    extra = _extra_fns()
     results: dict[str, dict] = {}
     for name, family in XL_QUERIES:
-        fn = qs[name].fn
+        fn = qs[name].fn if name in qs else extra[name]
         base = _timed(spark, fn, dirs["xl_base"], passes=XL_PASSES)
         skew = _timed(spark, fn, dirs["xl_hot"], passes=XL_PASSES)
         rec = {

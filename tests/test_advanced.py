@@ -526,3 +526,163 @@ def test_ivfpq_recall_curve_contract(spark, sf_correctness):
     assert max(recalls) >= 0.7, recalls
     for (np_, sl), r in got.items():
         assert r["scan_frac"] == float(np_) / float(N_CENTROIDS)
+
+
+def _sessions_sorted(df):
+    return sorted(
+        (r["user_id"], r["session_id"], r["n_events"]) for r in df.collect()
+    )
+
+
+def test_sessionize_chunked_identical_at_sf001(spark, sf_correctness):
+    """Split-and-stitch sessionization (r7 verdict #1) must be
+    bit-identical to the registered one-window to-spelling on real data,
+    including with a chunk width SMALLER than the session gap (seams
+    inside sessions everywhere)."""
+    from osm2orc_spark.queries.relational import sessionize_events_chunked
+
+    want = _sessions_sorted(QUERIES["sessionize_events"].fn(spark, sf_correctness))
+    assert want
+    for chunk_ms in (3_600_000, 600_000):  # 1h (> gap) and 10min (< gap)
+        got = _sessions_sorted(
+            sessionize_events_chunked(spark, sf_correctness, chunk_ms=chunk_ms)
+        )
+        assert got == want, f"chunk_ms={chunk_ms} diverged"
+
+
+def test_sessionize_chunked_adversarial_seams(spark):
+    """Synthetic stream engineered at the merge rule's edges: gap exactly
+    == timeout (same session), timeout+1 (new session), a session
+    spanning 3+ chunks, an empty chunk inside a session gap, same-ts
+    tie runs, and a single-event user."""
+    from pyspark.sql import Row
+    from pyspark.sql.window import Window as W
+
+    from osm2orc_spark.queries.relational import (
+        SESSION_GAP_MS,
+        sessionize_events_chunked,
+    )
+
+    chunk = 3_600_000
+    base = 1_700_000_000_000  # chunk-aligned-ish modern epoch ms
+    events = []
+    eid = 0
+
+    def add(uid, ms):
+        nonlocal eid
+        events.append((uid, ms, eid))
+        eid += 1
+
+    # user 1: gap exactly == timeout at a chunk seam -> SAME session
+    add(1, base + chunk - 1000)
+    add(1, base + chunk - 1000 + SESSION_GAP_MS)
+    # then timeout+1 -> new session
+    add(1, base + chunk - 1000 + SESSION_GAP_MS + SESSION_GAP_MS + 1)
+    # user 2: one session spanning 4 chunks (event every 20 min)
+    for k in range(12):
+        add(2, base + k * 1_200_000)
+    # user 3: empty chunk inside a >gap silence, then activity
+    add(3, base + 100)
+    add(3, base + 3 * chunk + 100)  # 3h later: chunks 1..2 empty, new session
+    # user 4: same-ts tie run straddling nothing (ties share a chunk)
+    for _ in range(5):
+        add(4, base + 500)
+    # user 5: single event
+    add(5, base + 42)
+    # user 6: burst at a seam with sub-gap spacing across 3 seams
+    for k in range(200):
+        add(6, base + chunk - 100_000 + k * 1_000)
+
+    df = spark.createDataFrame(
+        [Row(user_id=u, _ms=m, event_id=e) for (u, m, e) in events]
+    ).select(
+        "user_id",
+        F.timestamp_millis(F.col("_ms")).alias("ts"),
+        "event_id",
+    )
+    df.createOrReplaceTempView("_seam_events")
+
+    # Reference: the registered single-window spelling, inlined over the
+    # synthetic frame.
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    flagged = df.withColumn(
+        "new_session",
+        F.when(
+            (ms - F.lag(ms).over(w) > SESSION_GAP_MS) | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    want = _sessions_sorted(
+        flagged.withColumn(
+            "session_id",
+            F.sum("new_session")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+    import osm2orc_spark.tables as tables
+
+    real_load = tables.load
+    try:
+        tables.load = lambda s, d, name: df  # the chunked fn loads "events"
+        import osm2orc_spark.queries.relational as rel
+
+        real_rel_load = rel.load
+        rel.load = tables.load
+        try:
+            got = _sessions_sorted(
+                sessionize_events_chunked(spark, "", chunk_ms=chunk)
+            )
+        finally:
+            rel.load = real_rel_load
+    finally:
+        tables.load = real_load
+    assert got == want
+    # sanity on the engineered cases
+    per_user = {}
+    for u, sid, n in got:
+        per_user.setdefault(u, []).append((sid, n))
+    assert sorted(per_user[1]) == [(1, 2), (2, 1)]
+    assert sorted(per_user[2]) == [(1, 12)]
+    assert sorted(per_user[3]) == [(1, 1), (2, 1)]
+    assert sorted(per_user[4]) == [(1, 5)]
+    assert sorted(per_user[5]) == [(1, 1)]
+    assert sorted(per_user[6]) == [(1, 200)]
+
+
+def test_maxby_assign_equals_window_argmax(spark):
+    """The max_by(struct) assignment rewrite (r7 verdict #6) must equal
+    the row_number window pick on ties, NULL scores, and all-NULL
+    groups — the exact frame shapes where an aggregate/window mismatch
+    would hide."""
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, 0.5), (1, 1, 0.9), (1, 2, 0.9),      # tie -> lower cid
+            (2, 0, None), (2, 1, 0.3),                   # null loses
+            (3, 0, None), (3, 1, None),                  # all-null -> lower cid
+            (4, 7, -0.2), (4, 3, -0.2), (4, 5, -0.9),    # negative tie
+        ],
+        "vec_id int, cid int, cos double",
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    want = {
+        (r["vec_id"], r["cid"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    got = {
+        (r["vec_id"], r["cid"])
+        for r in df.groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("cid")
+        )
+        .collect()
+    }
+    assert got == want

@@ -585,3 +585,17 @@ def test_sketch_only_variants_are_single_scan_constant_memory(spark, sf_correctn
         assert "Join" not in plan, fn.__name__
         assert "Expand" not in plan, fn.__name__
         assert "partial_" in plan, fn.__name__  # map-side partial sketches
+
+
+def test_ivf_assign_is_partial_maxby_not_window(spark, sf_correctness):
+    """r7 verdict #6: the per-vector best-centroid assignment in
+    ann_ivf_probe / ann_ivf_index_stats must be a map-side-combinable
+    max_by aggregate (partial_max_by in the plan), not a row_number
+    window over the n x k assignment frame — the aggregate pre-combines
+    to one row per vector per task before the exchange."""
+    for name in ("ann_ivf_probe", "ann_ivf_index_stats"):
+        plan = plan_of(spark, sf_correctness, name)
+        assert "partial_max_by" in plan, f"{name}: no partial max_by"
+        assert "windowspecdefinition(vec_id" not in plan, (
+            f"{name}: per-vector window shuffle is back"
+        )
