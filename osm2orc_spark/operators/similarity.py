@@ -2126,7 +2126,11 @@ PRUNE_NUM, PRUNE_DEN = 1, 5  # prune the top 1/5 most-prototypical per label
     "through one unsplittable task (labels are the same worst-case key "
     "as curation's langs), and n_label comes from the same counts "
     "via a broadcast join instead of count(*) OVER (PARTITION BY "
-    "label) — the r6 shingle-df anti-pattern.",
+    "label) — the r6 shingle-df anti-pattern. All bucket keys are "
+    "null-safe (r8): a zero-norm vector's NULL cosine coalesces into a "
+    "sentinel bucket below the grid minimum for grouping/join/window "
+    "purposes (ranked last, still counted in n_label), while the output "
+    "column keeps the NULL.",
     tags=("similarity", "curation"),
 )
 def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
