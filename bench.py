@@ -530,6 +530,18 @@ def main() -> None:
         for name, ts in passes.items()
         if len(ts) > 1 and min(ts) >= 0.01
     }
+    # Best-3 spread (r7 verdict #4): with 5 passes on sub-second queries,
+    # the all-pass spread above can only GROW (more draws, same min) and
+    # mostly measures how many co-tenant spikes landed in the window.
+    # spread_best3_pct is the spread of the three FASTEST passes — the
+    # steady-state repeatability the round-over-round delta should be
+    # read against.  Both numbers are recorded; neither replaces the
+    # other.
+    spread3 = {
+        name: round((sorted(ts)[2] - min(ts)) / min(ts) * 100)
+        for name, ts in passes.items()
+        if len(ts) >= 3 and min(ts) >= 0.01
+    }
     total = round(sum(timings.values()), 3)
     # Payload diet (r5 verdict #1): the driver records only the LAST 2,000
     # chars of stdout, and the r4/r5 full payloads (~2.9 KB with medians +
@@ -578,7 +590,12 @@ def main() -> None:
         ingest["e2e_x10_error"] = f"{type(exc).__name__}: {exc}"[:200]
     full_payload = dict(stdout_payload)
     full_payload.update(
-        {"median_sec": medians, "spread_pct": spread, "ingest": ingest}
+        {
+            "median_sec": medians,
+            "spread_pct": spread,
+            "spread_best3_pct": spread3,
+            "ingest": ingest,
+        }
     )
     if errors:
         full_payload["errors"] = errors
