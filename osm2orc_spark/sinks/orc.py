@@ -149,8 +149,17 @@ def write_orc(
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
     embed_metadata: bool = True,
+    compression: str = "zlib",
 ) -> None:
-    """Write an OSM DataFrame as ORC with reference-equivalent options."""
+    """Write an OSM DataFrame as ORC with reference-equivalent options.
+
+    ``compression`` defaults to zlib — the orc-core default the reference
+    shipped, kept for byte-comparable parity.  The r8
+    ``orc_e2e_x10_attribution`` micro measured zstd ~16% cheaper on the
+    9M-entity encode (5.0s zlib vs 4.2s zstd, sorted) with comparable
+    ratios; pass ``compression="zstd"`` when parity with the reference's
+    output files is not required.
+    """
     out = df
     if sort_type_then_id and {"type", "id"} <= set(df.columns):
         out = out.sortWithinPartitions("type", "id")
@@ -158,7 +167,7 @@ def write_orc(
         out.write.mode(mode)
         .format("orc")
         .option("orc.block.padding", "false")
-        .option("compression", "zlib")  # orc-core default the reference used
+        .option("compression", compression)
     )
     if bloom_filter_tags:
         writer = writer.option("orc.bloom.filter.columns", "tags")
