@@ -802,11 +802,18 @@ def sessionize_events_chunked(
     # One row per LOCAL session: the event-level stream compresses here
     # (map-side partial agg on the window's own partitioning), and
     # everything downstream runs on session/chunk summaries only.
+    # PERSISTED: lsess feeds both the stitch build (via csum) and the
+    # final join's probe side, and Catalyst does not dedup identical
+    # subtrees (the r6 house rule) — without the cache the event-level
+    # windows run TWICE (observed in the r8 plan).  Scoped to the
+    # result via release_with.
+    from osm2orc_spark.operators.cache import release_with
+
     lsess = local.groupBy("user_id", "chunk", "lsid").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ms").alias("first_ms"),
         F.max("ms").alias("last_ms"),
-    )
+    ).persist()
     csum = lsess.groupBy("user_id", "chunk").agg(
         F.max("lsid").alias("starts"),
         F.min("first_ms").alias("first_ms"),
@@ -832,7 +839,7 @@ def sessionize_events_chunked(
             F.lit(0),
         ).cast("bigint"),
     )
-    return (
+    return release_with(
         lsess.join(stitched.select("user_id", "chunk", "fused", "prefix"), ["user_id", "chunk"])
         .groupBy(
             "user_id",
@@ -840,7 +847,8 @@ def sessionize_events_chunked(
             .cast("bigint")
             .alias("session_id"),
         )
-        .agg(F.sum("n_events").cast("bigint").alias("n_events"))
+        .agg(F.sum("n_events").cast("bigint").alias("n_events")),
+        lsess,
     )
 
 
