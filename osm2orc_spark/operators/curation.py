@@ -871,6 +871,14 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(_ngrams_uni_bi("t")).alias("ngram"),
     ).select("doc_id", "source", feature_bucket(F.col("ngram"), "dsir").alias("b"))
+    # PERSISTED (r8): feats feeds the score build AND the weights probe,
+    # and weights feeds topk AND the final join — unpersisted, Catalyst
+    # plans the tokenize+explode subtree FOUR times (audit_scans counted
+    # 4 raw document scans). The r5 "wide exploded frames lose to
+    # recompute" rule does not apply: post-bucketing feats is three
+    # scalar columns. Measured at sf0.1: 2.42 -> 1.28s with both caches
+    # (weights alone 2.29s). Scoped to the result via release_with.
+    feats = feats.persist()
 
     # ONE aggregate produces both count models (raw = COUNT(*), target =
     # conditional count) -- the naive two-aggregate + join form evaluates
@@ -891,18 +899,25 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("bigint").alias("weight"),
             F.count(F.lit(1)).cast("bigint").alias("n_feats"),
         )
+        .persist()  # one row per doc; feeds topk + the final join
     )
     topk = (
         weights.orderBy(F.desc("weight"), "doc_id")
         .limit(DSIR_K)
         .select("doc_id", F.lit(True).alias("sel"))
     )
-    return weights.join(topk, "doc_id", "left").select(
-        "doc_id",
-        "source",
-        "weight",
-        "n_feats",
-        F.coalesce(F.col("sel"), F.lit(False)).alias("selected"),
+    from osm2orc_spark.operators.cache import release_with
+
+    return release_with(
+        weights.join(topk, "doc_id", "left").select(
+            "doc_id",
+            "source",
+            "weight",
+            "n_feats",
+            F.coalesce(F.col("sel"), F.lit(False)).alias("selected"),
+        ),
+        feats,
+        weights,
     )
 
 

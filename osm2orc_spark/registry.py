@@ -315,8 +315,11 @@ DRIVER_VERIFIED_R07: frozenset[str] = frozenset({
 # correctness-first ordering (impl-touched before stale) follows the
 # standing precedent.
 GATE_PRIORITY_R08: tuple[str, ...] = (
-    # plan-shape changes first: max_by argmax + null-safe bucket rank
+    # plan-shape changes first: max_by argmax, null-safe bucket rank, and
+    # the DSIR double-persist (audit_scans found the tokenize+explode
+    # subtree planned 4x; measured 1.9x at sf0.1)
     "ann_ivf_probe", "ann_ivf_index_stats", "embedding_prototype_prune",
+    "curation_dsir_select",
     # try_divide cosine family (direct users of _cosine)
     "ann_topk_bruteforce", "embedding_near_dup_pairs", "ann_topk_batch",
     "ann_ivf_kmeans", "embedding_near_dup_lsh", "embedding_lsh_calibration",

@@ -52,7 +52,10 @@ NOTES = {
     "curation_dsir_select": (
         "DSIR: hashed-feature explode with ONE groupBy(doc_id) exchange; "
         "4096-row score table broadcast; TakeOrdered top-k joined back as "
-        "the flag."
+        "the flag. r8: feats (narrow post-bucket frame) and weights "
+        "(one row per doc) are persisted — each feeds two consumers and "
+        "Catalyst planned the tokenize+explode subtree 4x without the "
+        "caches (measured 1.9x at sf0.1, dsir_persist_shapes micro)."
     ),
     "ohlc_hourly_bars": (
         "OHLC without sort windows: partial-aggregable min_by/max_by over a "
