@@ -686,3 +686,82 @@ def test_maxby_assign_equals_window_argmax(spark):
         .collect()
     }
     assert got == want
+
+
+def test_sessionize_chunked_equivalence_property(spark):
+    """Hypothesis sweep (r8): random event streams — few users, ms values
+    clustered around chunk seams and the gap timeout so both fuse and
+    no-fuse seams occur — must sessionize identically through the
+    one-window spelling and the split-and-stitch variant at a chunk
+    width engineered to put many seams inside sessions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+    from pyspark.sql.window import Window as W
+
+    from osm2orc_spark.queries.relational import (
+        SESSION_GAP_MS,
+        sessionize_events_chunked,
+    )
+
+    chunk = 600_000  # 10 min << 30 min gap: seams inside most sessions
+    base = 1_700_000_000_000
+
+    # Deltas chosen adversarially: tiny (same session, same chunk), near
+    # the chunk width (seam crossers), and around the gap timeout
+    # (fuse/no-fuse boundary: -1, 0, +1 around SESSION_GAP_MS).
+    delta = st.one_of(
+        st.integers(0, 1_000),
+        st.integers(chunk - 1_500, chunk + 1_500),
+        st.integers(SESSION_GAP_MS - 1, SESSION_GAP_MS + 1),
+        st.integers(SESSION_GAP_MS * 2, SESSION_GAP_MS * 3),
+    )
+    stream = st.lists(
+        st.tuples(st.integers(1, 3), delta), min_size=1, max_size=40
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(stream=stream)
+    def run(stream):
+        events, cursor = [], {}
+        for eid, (uid, d) in enumerate(stream):
+            cursor[uid] = cursor.get(uid, base) + d
+            events.append((uid, cursor[uid], eid))
+        df = spark.createDataFrame(
+            [Row(user_id=u, _ms=m, event_id=e) for (u, m, e) in events]
+        ).select(
+            "user_id", F.timestamp_millis(F.col("_ms")).alias("ts"), "event_id"
+        )
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        ms = F.unix_millis("ts")
+        flagged = df.withColumn(
+            "new_session",
+            F.when(
+                (ms - F.lag(ms).over(w) > SESSION_GAP_MS)
+                | F.lag("ts").over(w).isNull(),
+                1,
+            ).otherwise(0),
+        )
+        want = _sessions_sorted(
+            flagged.withColumn(
+                "session_id",
+                F.sum("new_session")
+                .over(w.rowsBetween(W.unboundedPreceding, 0))
+                .cast("bigint"),
+            )
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        import osm2orc_spark.queries.relational as rel
+
+        real = rel.load
+        rel.load = lambda s, d, name: df
+        try:
+            got = _sessions_sorted(
+                sessionize_events_chunked(spark, "", chunk_ms=chunk)
+            )
+        finally:
+            rel.load = real
+        assert got == want
+
+    run()
