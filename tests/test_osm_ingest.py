@@ -258,3 +258,62 @@ def test_ways_reassembly_identical_over_orc_roundtrip(spark, pbf_path, tmp_path)
     via_fixture = sorted(map(tuple, osm_ways_reassembly(spark, "").collect()))
     assert via_orc == via_fixture
     assert len(via_orc) > 0
+
+
+class TestTailMetadataAppend:
+    """r8: the O(footer-bytes) tail append must be indistinguishable from
+    the JVM batch-copy rewrite in every reader's view, across codecs."""
+
+    def test_tail_equals_jvm_rewrite(self, spark, planet, tmp_path):
+        import glob
+
+        from osm2orc_spark.sinks.orc import (
+            append_user_metadata_tail,
+            read_user_metadata,
+        )
+
+        meta = {"osm.schema.version": "0.6", "bounds": "1, 2, 3, 4"}
+        views = {}
+        checks = {}
+        for codec in ("zlib", "snappy", "none"):
+            tail_dir = str(tmp_path / f"tail_{codec}")
+            planet.write.mode("overwrite").format("orc").option(
+                "compression", codec
+            ).save(tail_dir)
+            for fp in sorted(glob.glob(tail_dir + "/*.orc")):
+                append_user_metadata_tail(fp, meta)
+            views[codec] = read_user_metadata(spark, tail_dir)
+            back = spark.read.orc(tail_dir)
+            checks[codec] = (
+                back.count(),
+                back.selectExpr("sum(hash(id, type, version))").first()[0],
+            )
+        want = (
+            planet.count(),
+            planet.selectExpr("sum(hash(id, type, version))").first()[0],
+        )
+        for codec, view in views.items():
+            assert view["osm.schema.version"] == "0.6", codec
+            assert view["bounds"] == "1, 2, 3, 4", codec
+            assert checks[codec] == want, f"{codec}: data changed"
+
+    def test_tail_append_twice_stays_readable(self, spark, planet, tmp_path):
+        """Appending twice keeps the file fully readable. orc-core's
+        reader resolves a duplicated user-metadata KEY first-wins
+        (measured), so repeated stamping of the same key is visible-once
+        but harmless; write_orc stamps each part file exactly once."""
+        import glob
+
+        from osm2orc_spark.sinks.orc import (
+            append_user_metadata_tail,
+            read_user_metadata,
+        )
+
+        out = str(tmp_path / "twice")
+        planet.write.mode("overwrite").format("orc").save(out)
+        for fp in sorted(glob.glob(out + "/*.orc")):
+            append_user_metadata_tail(fp, {"k": "v1"})
+            append_user_metadata_tail(fp, {"k2": "v2"})
+        meta = read_user_metadata(spark, out)
+        assert meta["k"] == "v1" and meta["k2"] == "v2"
+        assert spark.read.orc(out).count() == planet.count()
