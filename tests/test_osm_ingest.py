@@ -317,3 +317,35 @@ class TestTailMetadataAppend:
         meta = read_user_metadata(spark, out)
         assert meta["k"] == "v1" and meta["k2"] == "v2"
         assert spark.read.orc(out).count() == planet.count()
+
+    def test_distributed_stamp_byte_identical_to_driver_loop(
+        self, spark, planet, tmp_path
+    ):
+        """embed_user_metadata(distributed=True) fans the tail append out
+        as Spark tasks (the >10^4-part-file posture for a 100 TB output);
+        each part file's bytes must equal the sequential driver loop's —
+        the append depends only on (file tail, metadata), and exactly one
+        task touches each file."""
+        import glob
+        import shutil
+
+        from osm2orc_spark.sinks.orc import (
+            embed_user_metadata,
+            read_user_metadata,
+        )
+
+        src = str(tmp_path / "multi_src")
+        planet.repartition(4).write.mode("overwrite").format("orc").save(src)
+        twin = str(tmp_path / "multi_twin")
+        shutil.copytree(src, twin)
+        meta = {"osm.schema.version": "0.6", "bounds": "1, 2, 3, 4"}
+        embed_user_metadata(spark, src, meta)  # sequential driver loop
+        embed_user_metadata(spark, twin, meta, distributed=True)
+        src_parts = sorted(glob.glob(src + "/*.orc"))
+        twin_parts = sorted(glob.glob(twin + "/*.orc"))
+        assert len(src_parts) == len(twin_parts) >= 2
+        for a, b in zip(src_parts, twin_parts):
+            with open(a, "rb") as fa, open(b, "rb") as fb:
+                assert fa.read() == fb.read(), (a, b)
+        assert read_user_metadata(spark, twin)["bounds"] == "1, 2, 3, 4"
+        assert spark.read.orc(twin).count() == planet.count()
