@@ -315,7 +315,14 @@ DRIVER_VERIFIED_R07: frozenset[str] = frozenset({
 # correctness-first ordering (impl-touched before stale) follows the
 # standing precedent.
 GATE_PRIORITY_R08: tuple[str, ...] = (
-    # plan-shape changes first: max_by argmax, null-safe bucket rank, and
+    # plan-shape changes first. r8 late change: the dedup verify family
+    # moved from exploded fan-out joins to in-task array_intersect over
+    # per-doc shingle arrays (0.61x, bit-identical at sf0.1) — re-gate
+    # every query whose plan that touched, incl. transitive consumers.
+    "dedup_ppjoin", "dedup_containment_ppjoin", "dedup_minhash_lsh",
+    "dedup_containment_pairs", "dedup_minhash_calibration",
+    "dedup_ngram_jaccard", "dedup_components",
+    # earlier r8 changes: max_by argmax, null-safe bucket rank, and
     # the DSIR double-persist (audit_scans found the tokenize+explode
     # subtree planned 4x; measured 1.9x at sf0.1)
     "ann_ivf_probe", "ann_ivf_index_stats", "embedding_prototype_prune",

@@ -28,12 +28,14 @@ NOTES = {
     ),
     "dedup_minhash_lsh": (
         "MinHash-LSH: columnar signature build (no explode), banded candidate "
-        "equi-join, exact-Jaccard verify on candidates only."
+        "equi-join, exact-Jaccard verify on candidates only via in-task "
+        "array_intersect over the persisted per-doc shingle arrays (r8)."
     ),
     "dedup_ppjoin": (
-        "PPJoin: one doc_id exchange shared by both rank windows; prefix + "
-        "length filters prune candidates before the verify joins; partial "
-        "aggs everywhere."
+        "PPJoin: single doc_id prefix-rank window (set size rides along from "
+        "size(arr)); prefix + length filters prune candidates; verify is "
+        "in-task array_intersect over the persisted shingle arrays (r8) — "
+        "no fan-out joins or pair agg; partial aggs everywhere."
     ),
     "embedding_near_dup_lsh": (
         "RP-LSH (64-bit/8x8 chunks): signature build in one projection, chunk "

@@ -298,8 +298,13 @@ def test_ppjoin_no_cartesian_and_partial_aggs(spark, sf_correctness):
     # equi-join (skew-splittable).
     assert "windowspecdefinition(shingle" not in plan
     assert "partial_count" in plan
-    # the doc_id-partitioned rank/size windows are the only ones allowed
+    # the doc_id-partitioned prefix rank window is the only one allowed
     assert "windowspecdefinition(doc_id" in plan
+    # verification (r8): in-task array_intersect over the per-doc shingle
+    # arrays — never the fan-out shape (two shuffle joins over exploded
+    # shingles + a groupBy(doc_a, doc_b) agg, five exchanges at fan-out
+    # scale; measured 0.61x end-to-end at sf0.1, bit-identical output).
+    assert "array_intersect" in plan
 
 
 def test_rp_lsh_no_cartesian(spark, sf_correctness):
@@ -322,6 +327,8 @@ def test_containment_ppjoin_no_cartesian(spark, sf_correctness):
     assert "windowspecdefinition(shingle" not in plan
     assert "partial_count" in plan
     assert "windowspecdefinition(doc_id" in plan
+    # r8: verification is in-task array_intersect (see dedup_ppjoin pin)
+    assert "array_intersect" in plan
 
 
 def test_canonical_docs_is_aggregate_not_component_window(spark, sf_correctness):
