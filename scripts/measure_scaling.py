@@ -548,12 +548,19 @@ def main_skew_xl() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     dirs = _build_xl_data(spark)
-    print(json.dumps(_df_micro(spark, dirs["xl_hot"])), flush=True)
-    print(json.dumps(_sessionize_xl_identity(spark, dirs["xl_hot"])), flush=True)
+    # XL_ONLY: comma-separated query filter for re-measuring just the
+    # queries a plan change touched (skips the micros; the other lines
+    # in SCALING_SKEW.jsonl stay the record for unchanged plans).
+    only = {q for q in os.environ.get("XL_ONLY", "").split(",") if q}
+    if not only:
+        print(json.dumps(_df_micro(spark, dirs["xl_hot"])), flush=True)
+        print(json.dumps(_sessionize_xl_identity(spark, dirs["xl_hot"])), flush=True)
     qs = all_queries()
     extra = _extra_fns()
     results: dict[str, dict] = {}
     for name, family in XL_QUERIES:
+        if only and name not in only:
+            continue
         fn = qs[name].fn if name in qs else extra[name]
         base = _timed(spark, fn, dirs["xl_base"], passes=XL_PASSES)
         skew = _timed(spark, fn, dirs["xl_hot"], passes=XL_PASSES)
@@ -578,6 +585,163 @@ def main_skew_xl() -> None:
         ),
         flush=True,
     )
+    spark.stop()
+
+
+def _ppjoin_variant(spark, sf_dir: str, positional: bool):
+    """dedup_ppjoin with the r8 positional filter togglable — candidate
+    pipeline otherwise identical to the registered query (df-ordered
+    array base, posexplode prefix ranks, length filter, array verify).
+    Returns (cand, result)."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _df_ordered_shingle_arrays,
+        _jaccard_pairs_arrays,
+    )
+    from osm2orc_spark.operators.cache import release_with
+
+    oarr, arrs = _df_ordered_shingle_arrays(spark, sf_dir)
+    arrs = arrs.persist()
+    oarr = oarr.persist()
+    pos = oarr.select("doc_id", "n", F.posexplode("arr").alias("idx", "shingle"))
+    prefix = pos.filter(
+        F.col("idx") + 1 <= F.col("n") - F.expr("(4*n + 4) div 5") + F.lit(1)
+    ).withColumn("rn", F.col("idx") + 1)
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("n").alias("na"),
+        F.col("rn").alias("rna"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("n").alias("nb"),
+        F.col("rn").alias("rnb"),
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.lit(5) * F.least("na", "nb") >= F.lit(4) * F.greatest("na", "nb"))
+    )
+    if positional:
+        cand = cand.filter(
+            F.lit(9)
+            * (F.lit(1) + F.least(F.col("na") - F.col("rna"), F.col("nb") - F.col("rnb")))
+            >= F.lit(4) * (F.col("na") + F.col("nb"))
+        )
+    cand = cand.select("doc_a", "doc_b").distinct()
+    return cand, release_with(
+        _jaccard_pairs_arrays(cand, oarr, JACCARD_THRESHOLD), oarr, arrs
+    )
+
+
+def _containment_variant(spark, sf_dir: str, positional: bool):
+    """dedup_containment_ppjoin with the positional filter togglable."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators.dedup import (
+        CONTAIN_THRESHOLD,
+        _df_ordered_shingle_arrays,
+        _pair_intersections,
+    )
+    from osm2orc_spark.operators.cache import release_with
+
+    oarr, arrs = _df_ordered_shingle_arrays(spark, sf_dir)
+    arrs = arrs.persist()
+    oarr = oarr.persist()
+    pos = oarr.select("doc_id", "n", F.posexplode("arr").alias("idx", "shingle"))
+    prefix = pos.filter(
+        F.col("idx") + 1 <= F.col("n") - F.expr("(9*n + 9) div 10") + F.lit(1)
+    ).select(
+        F.col("doc_id").alias("doc_p"),
+        "shingle",
+        F.col("n").alias("np"),
+        (F.col("idx") + 1).alias("rnp"),
+    )
+    full = pos.select(
+        F.col("doc_id").alias("doc_f"),
+        "shingle",
+        F.col("n").alias("nf"),
+        (F.col("idx") + 1).alias("rnf"),
+    )
+    cand = prefix.join(full, "shingle").filter(F.col("doc_p") != F.col("doc_f"))
+    if positional:
+        cand = cand.filter(
+            F.lit(10)
+            * (F.lit(1) + F.least(F.col("np") - F.col("rnp"), F.col("nf") - F.col("rnf")))
+            >= F.lit(9) * F.least("np", "nf")
+        )
+    cand = cand.select(
+        F.least("doc_p", "doc_f").alias("doc_a"),
+        F.greatest("doc_p", "doc_f").alias("doc_b"),
+    ).distinct()
+    scored = _pair_intersections(cand, oarr).select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_inter").cast("double") / F.col("na")).alias("contain_a"),
+        (F.col("n_inter").cast("double") / F.col("nb")).alias("contain_b"),
+    )
+    return cand, release_with(
+        scored.filter(
+            (F.col("contain_a") >= CONTAIN_THRESHOLD)
+            | (F.col("contain_b") >= CONTAIN_THRESHOLD)
+        ),
+        oarr,
+        arrs,
+    )
+
+
+def main_positional_micro() -> None:
+    """A/B of the r8 PPJoin POSITIONAL filter (Xiao et al.'s second
+    bound): candidate pairs, end-to-end wall, and output identity, with
+    the filter on vs off and every other shape pinned.  Run on the
+    xl_hot twin (hot boilerplate shingle, df 10^5) and sf0.1."""
+    spark = get_spark(
+        app_name="measure_scaling_positional",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    dirs = _build_xl_data(spark)
+    only = os.environ.get("POSITIONAL_QUERY")  # run one query per process
+    for qname, builder in (
+        ("dedup_ppjoin", _ppjoin_variant),
+        ("dedup_containment_ppjoin", _containment_variant),
+    ):
+        if only and qname != only:
+            continue
+        rec: dict = {
+            "micro": "ppjoin_positional_filter",
+            "round": 8,
+            "query": qname,
+            "xl_rep": XL_REP,
+        }
+        for sf_tag, sf_dir in (("xl_hot", dirs["xl_hot"]), ("sf0.1", BASE_SF)):
+            for tag, positional in (("off", False), ("on", True)):
+                walls = []
+                for _ in range(XL_PASSES + 1):  # first pass is warm-up
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    builder(spark, sf_dir, positional)[1].write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    walls.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+                rec[f"{sf_tag}_cand_{tag}"] = builder(spark, sf_dir, positional)[
+                    0
+                ].count()
+                rec[f"{sf_tag}_wall_{tag}_min_sec"] = round(min(walls[1:]), 3)
+            spark.catalog.clearCache()
+            off = builder(spark, sf_dir, False)[1]
+            on = builder(spark, sf_dir, True)[1]
+            rec[f"{sf_tag}_identical"] = (
+                off.exceptAll(on).count() == 0 and on.exceptAll(off).count() == 0
+            )
+            rec[f"{sf_tag}_cand_cut_pct"] = round(
+                100.0 * (1 - rec[f"{sf_tag}_cand_on"] / rec[f"{sf_tag}_cand_off"]), 1
+            )
+        print(json.dumps(rec), flush=True)
     spark.stop()
 
 
@@ -666,7 +830,13 @@ def main() -> None:
 
 if __name__ == "__main__":
     args = set(sys.argv[1:])
-    known = {"--df-crossover", "--rank-crossover", "--skew-xl", "--skew"}
+    known = {
+        "--df-crossover",
+        "--rank-crossover",
+        "--skew-xl",
+        "--skew",
+        "--positional-micro",
+    }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
         sys.exit(f"unknown args {sorted(args - known)}; known: {sorted(known)}")
@@ -676,6 +846,8 @@ if __name__ == "__main__":
         main_rank_crossover()
     elif "--skew-xl" in args:
         main_skew_xl()
+    elif "--positional-micro" in args:
+        main_positional_micro()
     elif "--skew" in args:
         main_skew()
     else:

@@ -298,8 +298,15 @@ def test_ppjoin_no_cartesian_and_partial_aggs(spark, sf_correctness):
     # equi-join (skew-splittable).
     assert "windowspecdefinition(shingle" not in plan
     assert "partial_count" in plan
-    # the doc_id-partitioned prefix rank window is the only one allowed
-    assert "windowspecdefinition(doc_id" in plan
+    # late r8: prefix ranks come from posexplode over the persisted
+    # df-ordered arrays — NO window of any kind remains (the former
+    # doc_id row_number window sorted the full shingle x df join stream
+    # in unsplittable per-doc tasks; the replacement is a
+    # map-side-combinable collect_list + per-row array_sort).
+    assert "windowspecdefinition" not in plan
+    assert "posexplode" in plan
+    # partial collect_list phase of the ordered-array build
+    assert "partial_collect_list" in plan or "objHashAggregate" in plan
     # verification (r8): in-task array_intersect over the per-doc shingle
     # arrays — never the fan-out shape (two shuffle joins over exploded
     # shingles + a groupBy(doc_a, doc_b) agg, five exchanges at fan-out
@@ -326,7 +333,10 @@ def test_containment_ppjoin_no_cartesian(spark, sf_correctness):
     # groupBy + equi-join back, never a shingle-partitioned window
     assert "windowspecdefinition(shingle" not in plan
     assert "partial_count" in plan
-    assert "windowspecdefinition(doc_id" in plan
+    # late r8: posexplode rank over df-ordered arrays, no window at all
+    # (see the dedup_ppjoin pin)
+    assert "windowspecdefinition" not in plan
+    assert "posexplode" in plan
     # r8: verification is in-task array_intersect (see dedup_ppjoin pin)
     assert "array_intersect" in plan
 
