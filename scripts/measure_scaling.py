@@ -694,6 +694,46 @@ def _containment_variant(spark, sf_dir: str, positional: bool):
     )
 
 
+def main_components_micro() -> None:
+    """Measure dedup_components' two physical strategies on the 40x XL
+    twins: the default measured-edge-count switch (bounded driver
+    union-find under CC_COLLECT_MAX_EDGES) vs the FORCED distributed
+    min-label fixpoint (collect_max_edges=-1, local checkpoint) — the
+    100 TB path, which until this micro had only sf0.01 identity tests.
+    Records walls (min-of-2 after warm-up), row counts, and set
+    identity between the strategies on each twin."""
+    from osm2orc_spark.operators.dedup import dedup_components
+
+    spark = get_spark(
+        app_name="measure_scaling_components",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = _build_xl_data(spark)
+    for mode in ("xl_base", "xl_hot"):
+        rec: dict = {"micro": "components_strategies_xl", "round": 8,
+                     "mode": mode, "xl_rep": XL_REP}
+        for tag, kw in (("unionfind", {}), ("fixpoint", {"collect_max_edges": -1})):
+            walls = []
+            for _ in range(XL_PASSES + 1):  # first pass warms
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                dedup_components(spark, dirs[mode], **kw).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                walls.append(time.perf_counter() - t0)
+            rec[f"{tag}_wall_min_sec"] = round(min(walls[1:]), 3)
+        spark.catalog.clearCache()
+        uf = dedup_components(spark, dirs[mode])
+        fx = dedup_components(spark, dirs[mode], collect_max_edges=-1)
+        n_uf, n_fx = uf.count(), fx.count()
+        n_match = uf.join(fx, ["doc_id", "component"]).count()
+        rec["rows"] = n_uf
+        rec["identical"] = bool(n_uf == n_fx == n_match)
+        print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
 def main_positional_micro() -> None:
     """A/B of the r8 PPJoin POSITIONAL filter (Xiao et al.'s second
     bound): candidate pairs, end-to-end wall, and output identity, with
@@ -836,6 +876,7 @@ if __name__ == "__main__":
         "--skew-xl",
         "--skew",
         "--positional-micro",
+        "--components-micro",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -848,6 +889,8 @@ if __name__ == "__main__":
         main_skew_xl()
     elif "--positional-micro" in args:
         main_positional_micro()
+    elif "--components-micro" in args:
+        main_components_micro()
     elif "--skew" in args:
         main_skew()
     else:
