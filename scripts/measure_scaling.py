@@ -694,6 +694,63 @@ def _containment_variant(spark, sf_dir: str, positional: bool):
     )
 
 
+def main_streaming_micro() -> None:
+    """Measure the Structured Streaming surface on the 40x XL event
+    twins (4M rows; xl_hot holds 2M rows on ONE user) — the one runtime
+    surface with no recorded throughput/skew number before this micro:
+
+    - stream_hourly_rollup: watermarked shuffle agg (keys independent of
+      the hot user — the throughput baseline);
+    - stream_session_windows: session_window keyed BY user_id — the hot
+      key funnels half the stream into one state key;
+    - stream_transitions: applyInPandasWithState custom stateful
+      operator, also keyed by user_id.
+
+    Each query runs 1 warm + XL_PASSES timed passes per twin with the
+    default maxFilesPerTrigger=1 (32 parquet files -> 32 micro-batches,
+    so per-batch state mechanics are actually exercised, not one giant
+    batch).  Records wall min, rows/s, and the xl_hot/xl_base skew
+    ratio."""
+    spark = get_spark(
+        app_name="measure_scaling_streaming",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = _build_xl_data(spark)
+    qs = all_queries()
+    n_rows = {
+        m: spark.read.parquet(os.path.join(dirs[m], "events.parquet")).count()
+        for m in ("xl_base", "xl_hot")
+    }
+    only = {q for q in os.environ.get("STREAMING_ONLY", "").split(",") if q}
+    passes = int(os.environ.get("STREAMING_PASSES", str(XL_PASSES)))
+    for name in (
+        "stream_hourly_rollup",
+        "stream_session_windows",
+        "stream_transitions",
+    ):
+        if only and name not in only:
+            continue
+        rec: dict = {"micro": "streaming_xl", "round": 8, "query": name,
+                     "xl_rep": XL_REP}
+        walls = {}
+        for mode in ("xl_base", "xl_hot"):
+            best = float("inf")
+            for i in range(passes + 1):  # first pass warms
+                t0 = time.perf_counter()
+                out = qs[name].fn(spark, dirs[mode])
+                n_out = out.count()
+                if i > 0:
+                    best = min(best, time.perf_counter() - t0)
+            walls[mode] = best
+            rec[f"{mode}_wall_min_sec"] = round(best, 3)
+            rec[f"{mode}_rows_per_sec"] = round(n_rows[mode] / best)
+            rec[f"{mode}_out_rows"] = n_out
+        rec["skew_ratio"] = round(walls["xl_hot"] / walls["xl_base"], 2)
+        print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
 def main_components_micro() -> None:
     """Measure dedup_components' two physical strategies on the 40x XL
     twins: the default measured-edge-count switch (bounded driver
@@ -877,6 +934,7 @@ if __name__ == "__main__":
         "--skew",
         "--positional-micro",
         "--components-micro",
+        "--streaming-micro",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -891,6 +949,8 @@ if __name__ == "__main__":
         main_positional_micro()
     elif "--components-micro" in args:
         main_components_micro()
+    elif "--streaming-micro" in args:
+        main_streaming_micro()
     elif "--skew" in args:
         main_skew()
     else:
