@@ -751,6 +751,107 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Level-1 buckets above this size get their band key refined; below it
+# they keep the full 8-bit-band recall.  Chosen so the driver SFs are
+# untouched (sf0.1's largest bucket is 29 — ``lsh_bucket_saturation`` in
+# SCALING_SKEW.jsonl) while any corpus big enough to saturate the 2^8
+# band space refines instead of exploding.
+LSH_BUCKET_CAP = 256
+
+
+def embedding_near_dup_lsh_refined(
+    spark: SparkSession, sf_dir: str, *, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Scale path for ``embedding_near_dup_lsh`` (NOT registered — the
+    registry is frozen; same precedent as ``sessionize_events_chunked``
+    and ``dedup_minhash_lsh_dfcap``): ADAPTIVE BAND REFINEMENT.
+
+    The registered query's 8-bit bands have only 2^8 values, so the
+    bucket space saturates at ~10^3 buckets per band and in-bucket pair
+    counts grow QUADRATICALLY once the corpus outgrows it — measured
+    (``lsh_bucket_saturation``): 800k vectors put 1.19 x 10^10 rows
+    through the candidate join (158,000x the sf0.1 count for 400x the
+    data); the uncapped query did not finish a 590 s budget there.
+
+    Refinement keeps the candidate join bounded at ANY corpus size: a
+    level-1 bucket (c, cv) holding more than ``bucket_cap`` vectors
+    extends its join key with the NEXT signature chunk's value
+    (cv2 = chs[(c+1) mod RP_CHUNKS]) — those collisions become
+    16-bit-band collisions — while buckets under the cap keep the exact
+    registered semantics (their rows carry the sentinel cv2 = -1, which
+    can never equal a real chunk value on a refined row).  Output on
+    any corpus whose buckets are all under the cap is IDENTICAL to the
+    registered query (test-asserted at sf0.01; recorded at sf0.1 too).
+
+    Measured at 800k vectors (``lsh_refined_xl`` /
+    ``lsh_refined_planted`` in SCALING_SKEW.jsonl): the refined join
+    moves 8.0 x 10^7 rows instead of 1.19 x 10^10 (148x; max refined
+    bucket 270), one pass 205 s on local[32] where the registered
+    query did not finish.  The recall tradeoff is the standard LSH
+    band-width curve, quantified: 16-bit bands keep **65% of
+    cos >= 0.9 pairs** (2,500 planted companions, median quantized cos
+    0.94; theory p^16 at p = 0.889 over 8 overlapping chunk-pair
+    bands) and ~0.7% of threshold-zone [0.4, 0.6) pairs (p^16 ~ 6e-4
+    at p = 0.63) — i.e. refinement preserves the near-DUP contract and
+    sheds the threshold-zone tail.  Mid-cosine similarity at corpus
+    scale is the cluster-blocked family's job (dedup_semantic_kmeans,
+    embedding_prototype_prune), not a band-LSH sweep's.
+
+    An exact-duplicate class larger than the refined bucket is the
+    documented ``dedup_exact``-first contract, same as the dfcap
+    variant's hot-shingle posture.  For corpora another 10^3 beyond,
+    compose another chunk (cv3) — the same move, one more level."""
+    sigs, _ = _rp_sigs_and_candidates(spark, sf_dir)
+    sigs = sigs.persist()
+    # ch2: (vec_id, c, cv, cv2) — the level-2 value rides along from the
+    # cached chs array (element_at is O(1) per exploded row).
+    ch2 = sigs.select("vec_id", F.explode("chs").alias("ch"), "chs").select(
+        "vec_id",
+        F.col("ch.c").alias("c"),
+        F.col("ch.cv").alias("cv"),
+        F.element_at("chs", (F.pmod(F.col("ch.c") + 1, F.lit(RP_CHUNKS)) + 1).cast("int"))[
+            "cv"
+        ].alias("cv2"),
+    )
+    # Hot level-1 buckets: at most RP_CHUNKS * 2^RP_CHUNK_BITS = 2,048
+    # rows at ANY corpus size — always broadcastable.
+    hot = (
+        ch2.groupBy("c", "cv")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") > bucket_cap)
+        .select("c", "cv")
+    )
+    keys = ch2.join(F.broadcast(hot), ["c", "cv"], "left_anti").select(
+        "vec_id", "c", "cv", F.lit(-1).cast("long").alias("cv2")
+    ).unionByName(
+        ch2.join(F.broadcast(hot), ["c", "cv"], "left_semi").select(
+            "vec_id", "c", "cv", "cv2"
+        )
+    )
+    a = keys.select(F.col("vec_id").alias("vec_a"), "c", "cv", "cv2")
+    b = keys.select(F.col("vec_id").alias("vec_b"), "c", "cv", "cv2")
+    cand = (
+        a.join(b, ["c", "cv", "cv2"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = sigs.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
+    eb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+    qa, qb = F.col("qa"), F.col("qb")
+    return release_with(
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COS),
+        sigs,
+    )
+
+
 @register(
     "embedding_lsh_calibration",
     oracle=f"""

@@ -694,6 +694,112 @@ def _containment_variant(spark, sf_dir: str, positional: bool):
     )
 
 
+EMB_REP = int(os.environ.get("SKEW_EMB_REP", "400"))
+
+
+def _build_xl_embeddings(spark) -> str:
+    """Derive an XL embeddings twin (idempotent, deterministic):
+    2,000 x EMB_REP vectors (800k at the default).  Per-replica SIGN
+    SALTING — every replica i multiplies each dim by a deterministic
+    ±1 pattern from hash(i, dim).  A diagonal ±1 matrix is orthogonal,
+    so ALL in-replica pairwise cosines are preserved EXACTLY (the
+    near-dup structure replicates linearly, the embedding analog of the
+    doc twins' token salting) while cross-replica cosines decorrelate
+    to ~0 — naive replication would instead make every replica an
+    exact dup of every other and measure a designed quadratic, not
+    scale."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.tables import load
+
+    mode_dir = os.path.join(SKEW_DIR, f"xl_emb_r{EMB_REP}")
+    marker = os.path.join(mode_dir, "_BUILT")
+    if os.path.exists(marker):
+        return mode_dir
+    os.makedirs(mode_dir, exist_ok=True)
+    emb = load(spark, BASE_SF, "embeddings")
+    rep = emb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(EMB_REP - 1))).alias("i"), "*"
+    )
+    salted = F.transform(
+        "embedding",
+        lambda x, idx: x
+        * (F.pmod(F.hash(F.col("i"), idx), F.lit(2)) * 2 - 1).cast("float"),
+    )
+    rep.select(
+        (F.col("vec_id") * EMB_REP + F.col("i")).alias("vec_id"),
+        salted.alias("embedding"),
+        "label",
+    ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(mode_dir, "embeddings.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return mode_dir
+
+
+# embedding_near_dup_lsh (registered) is deliberately absent: its 8-bit
+# band space saturates at this scale (1.19e10 join rows, DNF in 590s —
+# `lsh_bucket_saturation`); the refined variant below is the scale path.
+ANN_XL_QUERIES = (
+    "ann_topk_bruteforce",
+    "ann_ivf_probe",
+    "ann_ivfpq_probe",
+    "ann_topk_hamming",
+    "embedding_near_dup_lsh_refined",
+)
+
+
+def main_ann_micro() -> None:
+    """Measure the ANN/embedding family on the XL embeddings twin —
+    2,000 vectors was fit-in-one-task territory; 800k exercises the
+    bounded-fit collects (65,536-row codebook caps), the broadcast
+    one-row query scans, and the RP-LSH banding at a size where bucket
+    mechanics matter.  No hot twin: the embedding hot key is an exact
+    duplicate class, whose near-dup pair OUTPUT is quadratic by
+    definition (exact-dedup-first is the pipeline answer, documented in
+    SURVEY §8) — there is no non-degenerate skew to measure."""
+    spark = get_spark(
+        app_name="measure_scaling_ann",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from osm2orc_spark.operators.similarity import (
+        embedding_near_dup_lsh_refined,
+    )
+
+    emb_dir = _build_xl_embeddings(spark)
+    qs = all_queries()
+    extra = {"embedding_near_dup_lsh_refined": embedding_near_dup_lsh_refined}
+    only = {q for q in os.environ.get("ANN_ONLY", "").split(",") if q}
+    for name in ANN_XL_QUERIES:
+        if only and name not in only:
+            continue
+        walls = []
+        n_out = 0
+        for i in range(XL_PASSES + 1):  # first pass warms
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            out = qs[name].fn(spark, emb_dir) if name in qs else extra[name](spark, emb_dir)
+            n_out = out.count()
+            walls.append(time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "micro": "ann_xl",
+                    "round": 8,
+                    "query": name,
+                    "emb_rep": EMB_REP,
+                    "vectors": 2000 * EMB_REP,
+                    "wall_min_sec": round(min(walls[1:]), 3),
+                    "out_rows": n_out,
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
 def main_streaming_micro() -> None:
     """Measure the Structured Streaming surface on the 40x XL event
     twins (4M rows; xl_hot holds 2M rows on ONE user) — the one runtime
@@ -935,6 +1041,7 @@ if __name__ == "__main__":
         "--positional-micro",
         "--components-micro",
         "--streaming-micro",
+        "--ann-micro",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -951,6 +1058,8 @@ if __name__ == "__main__":
         main_components_micro()
     elif "--streaming-micro" in args:
         main_streaming_micro()
+    elif "--ann-micro" in args:
+        main_ann_micro()
     elif "--skew" in args:
         main_skew()
     else:
