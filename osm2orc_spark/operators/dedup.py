@@ -26,7 +26,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1004,6 +1004,131 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         a.join(b, ["c", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return release_with(
+        cand.select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX),
+        sigs,
+    )
+
+
+# Level-1 simhash buckets above this size get their band key refined.
+# sf0.1 ALREADY has a 1,656-doc bucket (33% of the corpus shares one
+# 12-bit chunk value — `simhash_xl` in SCALING_SKEW.jsonl), so unlike
+# the RP-LSH cap this one is exercised at the driver SFs; the identity
+# test therefore covers the refined path, not just the cold one.
+SIMHASH_BUCKET_CAP = 256
+
+
+def simhash_near_dup_refined(
+    spark: SparkSession, sf_dir: str, *, bucket_cap: int = SIMHASH_BUCKET_CAP
+) -> DataFrame:
+    """Scale path for ``simhash_near_dup`` (NOT registered — frozen
+    registry; the dfcap/chunked/LSH-refined precedent), and unlike the
+    RP-LSH refinement this one is EXACT: output provably identical to
+    the registered query at ANY corpus size.
+
+    The registered 4 x 12-bit banding is sound by pigeonhole (<= 3 bit
+    errors cannot dirty all 4 chunks) but its bucket space is fixed at
+    4 x 2^12, so bucket SIZE — and the candidate join — grows linearly
+    with the corpus (quadratic pairs): measured 3.86M -> 202M join rows
+    for 40x docs, with the sf0.1 hot chunk alone holding 33% of all
+    docs (a 100 TB corpus would put ~n^2/18 pairs through that one
+    bucket's join).
+
+    Refinement recurses the pigeonhole (multi-index Hamming search, a
+    la HmSearch): docs in a HOT (c, cv) bucket agree on chunk c, so a
+    qualifying pair's <= 3 errors all lie in the residual 36 bits;
+    splitting the residual into FOUR 9-bit sub-chunks guarantees one
+    clean sub-chunk, so joining hot rows on (c, cv, s, scv) (4 rows per
+    doc-chunk) still generates every true pair — candidates shrink
+    ~(512/4)x per hot bucket. Cold buckets keep the level-1 key via a
+    (-1, -1) sentinel. Exactness argument: a clean chunk c exists for
+    every qualifying pair; if its bucket is cold the level-1 row
+    matches, if hot the clean-sub-chunk row matches — either way the
+    pair reaches the exact hamming verify, and the verify makes any
+    extra candidates harmless, so refined == registered always
+    (test-asserted at sf0.01 AND sf0.1, where the hot path is live)."""
+    sigs = _simhash_df(spark, sf_dir).persist()
+    # Per-chunk structs carry the residual's four 9-bit sub-chunk values
+    # alongside the 12-bit chunk value.  All shifts are per-c constants:
+    # the residual R = the other three chunks in cyclic order
+    # (c+1, c+2, c+3), so R's bit s*9..s*9+9 maps to fixed simhash bits.
+    def _residual(c: int) -> Column:
+        r = None
+        for k in (1, 2, 3):
+            cv_k = F.shiftright(F.col("simhash"), 12 * ((c + k) % 4)).bitwiseAND(
+                F.lit(4095)
+            )
+            term = cv_k * F.lit(2 ** (12 * (k - 1)))
+            r = term if r is None else r + term
+        return r
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("simhash"), 12 * c)
+            .bitwiseAND(F.lit(4095))
+            .alias("cv"),
+            F.array(
+                *[
+                    F.shiftright(_residual(c), 9 * s)
+                    .bitwiseAND(F.lit(511))
+                    .cast("long")
+                    .alias(f"r{s}")
+                    for s in range(4)
+                ]
+            ).alias("subs"),
+        )
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    chunks = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("ch")
+    ).select("doc_id", "simhash", "ch.c", F.col("ch.cv").alias("cv"), "ch.subs")
+    # Hot level-1 buckets: at most 4 * 2^12 = 16,384 rows at ANY corpus
+    # size — always broadcastable.
+    hot = (
+        chunks.groupBy("c", "cv")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") > bucket_cap)
+        .select("c", "cv")
+    )
+    cold_keys = chunks.join(F.broadcast(hot), ["c", "cv"], "left_anti").select(
+        "doc_id",
+        "simhash",
+        "c",
+        "cv",
+        F.lit(-1).alias("s"),
+        F.lit(-1).cast("long").alias("scv"),
+    )
+    hot_keys = (
+        chunks.join(F.broadcast(hot), ["c", "cv"], "left_semi")
+        .select(
+            "doc_id", "simhash", "c", "cv", F.posexplode("subs").alias("s", "scv")
+        )
+    )
+    keys = cold_keys.unionByName(hot_keys)
+    a = keys.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "c",
+        "cv",
+        "s",
+        "scv",
+    )
+    b = keys.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "c",
+        "cv",
+        "s",
+        "scv",
+    )
+    cand = (
+        a.join(b, ["c", "cv", "s", "scv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sig_a", "sig_b")
         .distinct()

@@ -172,3 +172,19 @@ def test_lsh_refined_identical_below_cap(spark, sf_correctness):
     n_both = reg.join(ref, ["vec_a", "vec_b", "cosine"]).count()
     assert n_reg > 0
     assert n_reg == n_ref == n_both
+
+
+def test_simhash_refined_exactly_identical(spark, sf_correctness):
+    """simhash_near_dup_refined is EXACT at any corpus size (recursive
+    pigeonhole — see the docstring); at the driver SFs the hot path is
+    LIVE (sf0.1 has a 1,656-doc chunk bucket vs cap 256), so this
+    asserts identity through the refined branch, not just the cold
+    one."""
+    from osm2orc_spark.operators.dedup import simhash_near_dup_refined
+
+    reg = QUERIES["simhash_near_dup"].fn(spark, sf_correctness)
+    ref = simhash_near_dup_refined(spark, sf_correctness)
+    n_reg, n_ref = reg.count(), ref.count()
+    n_both = reg.join(ref, ["doc_a", "doc_b", "hamming"]).count()
+    assert n_reg > 0
+    assert n_reg == n_ref == n_both
