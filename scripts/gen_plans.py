@@ -128,6 +128,26 @@ NOTES = {
         "does not dedup subtrees. Measured xl_hot: 1.01x skew ratio, "
         "2.9x faster than the registered spelling on the hot twin."
     ),
+    "embedding_near_dup_lsh_refined": (
+        "Adaptive band refinement (late r8, non-registered scale variant "
+        "of embedding_near_dup_lsh — output-identical below the cap): "
+        "hot level-1 buckets (membership table bounded at 2,048 rows, "
+        "BROADCAST anti/semi joins) extend their join key with the next "
+        "8-bit signature chunk; the candidate equi-join runs on "
+        "(c, cv, cv2) with a -1 sentinel for cold rows. Measured at 800k "
+        "vectors: 8.0e7 join rows vs the registered shape's 1.19e10 "
+        "(which DNFs); 65% recall at cos >= 0.9 on planted pairs."
+    ),
+    "simhash_near_dup_refined": (
+        "Recursive-pigeonhole SimHash refinement (late r8, non-registered "
+        "scale variant of simhash_near_dup — EXACT at any corpus size, "
+        "bit-identical at sf0.01/sf0.1 with the hot path live): hot "
+        "(c, cv) buckets (membership bounded at 16,384 rows, BROADCAST) "
+        "fan out to four 9-bit residual sub-chunk keys; <= 3 bit errors "
+        "guarantee one clean sub-chunk. 128x join-row cut in the "
+        "coincidence-dominated regime (2M random signatures); kept "
+        "non-default because truth-dominated corpora pay ~2x for it."
+    ),
 }
 
 
@@ -144,9 +164,15 @@ def main() -> None:
         "silently regress.",
         "",
     ]
+    from osm2orc_spark.operators.dedup import simhash_near_dup_refined
+    from osm2orc_spark.operators.similarity import embedding_near_dup_lsh_refined
     from osm2orc_spark.queries.relational import sessionize_events_chunked
 
-    extra = {"sessionize_events_chunked": sessionize_events_chunked}
+    extra = {
+        "sessionize_events_chunked": sessionize_events_chunked,
+        "embedding_near_dup_lsh_refined": embedding_near_dup_lsh_refined,
+        "simhash_near_dup_refined": simhash_near_dup_refined,
+    }
     for name, note in NOTES.items():
         df = (qs[name].fn if name in qs else extra[name])(spark, SF)
         buf = io.StringIO()

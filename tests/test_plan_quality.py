@@ -632,3 +632,28 @@ def test_dsir_persists_shared_frames(spark, sf_correctness):
     assert tree.count("InMemoryTableScan") >= 4, "dsir persists regressed"
     # and the explode feeds a cache, not a live recompute branch
     assert "InMemoryRelation" in tree and "Generate" in tree
+
+
+def test_refined_variants_broadcast_hot_tables_no_cartesian(spark, sf_correctness):
+    """The late-r8 refined scale variants: the hot-bucket membership
+    tables (bounded at 2,048 / 16,384 rows at ANY corpus size) must be
+    BROADCAST into the anti/semi routing joins, and no shape may fall
+    back to a cartesian product."""
+    import contextlib
+    import io
+
+    from osm2orc_spark.operators.dedup import simhash_near_dup_refined
+    from osm2orc_spark.operators.similarity import embedding_near_dup_lsh_refined
+
+    for fn in (embedding_near_dup_lsh_refined, simhash_near_dup_refined):
+        df = fn(spark, sf_correctness)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        # candidate generation must stay a key-equi join (at sf0.01 the
+        # planner broadcasts EVERY join side, so the pin is the absence
+        # of a non-equi fallback, not a specific shuffle strategy)
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
