@@ -1,0 +1,205 @@
+"""Split-and-stitch primitives for per-key full-stream window shapes.
+
+The r8 XL sweep (``xl_event_windows`` in SCALING_SKEW.jsonl) measured
+the whole per-user window family blowing up 3-6x on a 2x10^6-row hot
+user: ``window_lag_transitions`` 5.9x, ``event_run_islands`` 5.2x,
+``scd2_user_value_bands`` 5.0x, ``asof_join_next_event`` 5.0x,
+``asof_join_last_purchase`` 3.0x — every one a single unsplittable
+``PARTITION BY user_id`` WindowExec task, the same straggler class the
+r7 verdict ruled is NOT a semantic floor for sessionization.  These
+primitives generalize ``sessionize_events_chunked``'s cure (time-range
+chunking: ``chunk = ms DIV chunk_ms``, computable per-row with no
+window; chunk order == stream order, and equal-ts ties always share a
+chunk) to the three shapes the family needs.  Each is EXACT — output
+provably identical to the unbounded-window spelling — because the
+stitch term is the value the in-chunk window would have carried across
+the seam:
+
+- ``chunked_prev``: lag(1) of selected columns.  In-chunk lag + a
+  carry-in equal to the previous nonempty chunk's LAST row (a lag over
+  the per-chunk summary — bounded by time_span/chunk_ms rows per user,
+  independent of event count).
+- ``chunked_running_sum``: running sum (unbounded preceding .. current
+  row).  In-chunk running sum + the sum of all prior chunks' totals
+  (a window over the bounded summary).
+- ``chunked_running_last``: last(col, ignorenulls) over the running
+  frame.  In-chunk running last, coalesced with the nearest prior
+  nonempty carry from the summary — correct mid-chunk too, because an
+  in-chunk NULL means "nothing seen yet inside this chunk".
+
+Residual worst case (same as sessionize_events_chunked, documented
+there): a key whose rows all land in ONE chunk_ms window still
+serializes — time chunking bounds per-task rows by peak RATE, not
+lifetime volume; shrink chunk_ms for rate-skewed streams.
+
+All helpers take an explicit ``order_cols`` whose FIRST element must be
+the timestamp the chunk id is derived from (so chunk boundaries respect
+the stream order); ``ms_col`` is added internally and dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+#: Default time-range chunk width (1 h) — matches
+#: queries.relational.SESSION_CHUNK_MS.
+DEFAULT_CHUNK_MS = 3_600_000
+
+
+def _with_chunk(df: DataFrame, ts_col: str, chunk_ms: int, desc: bool) -> DataFrame:
+    ms = F.unix_millis(ts_col)
+    # floor(ms / chunk_ms) in double is exact here (quotient << 2^53 and
+    # non-integer quotients sit >= 1/chunk_ms from the next integer) —
+    # the same argument as sessionize_events_chunked.
+    chunk = F.floor(ms / F.lit(chunk_ms)).cast("bigint")
+    return df.withColumn("_ms", ms).withColumn(
+        "_chunk", (-chunk if desc else chunk)
+    )
+
+
+def _order(order_cols: tuple, desc: bool) -> list[Column]:
+    return [F.desc(c) if desc else F.asc(c) for c in order_cols]
+
+
+def chunked_prev(
+    df: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    order_cols: tuple = ("ts", "event_id"),
+    chunk_ms: int = DEFAULT_CHUNK_MS,
+    desc: bool = False,
+) -> DataFrame:
+    """df + ``prev_<col>`` for each value col == lag(col) OVER
+    (PARTITION BY key ORDER BY order_cols) — with every window bounded.
+
+    ``desc=True`` gives lead(col) under the same contract (the previous
+    row of the reversed order).  NULL-safe: the carry applies to the
+    chunk's FIRST row by position (in-chunk row_number == 1), never by
+    null-testing the lagged value, so mid-stream NULL values lag
+    correctly."""
+    d = _with_chunk(df, order_cols[0], chunk_ms, desc)
+    wl = W.partitionBy(key_col, "_chunk").orderBy(*_order(order_cols, desc))
+    out = d.withColumn("_rn", F.row_number().over(wl))
+    for c in value_cols:
+        out = out.withColumn(f"_inprev_{c}", F.lag(c).over(wl))
+    # Per-chunk summary: the LAST row's values in chunk order (max_by on
+    # the order tuple; for desc the order columns are negated by taking
+    # min_by).  One row per nonempty (key, chunk).
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    # value wrapped in a struct so a genuinely-NULL last value is still
+    # carried (max_by/min_by skip NULL values, but never NULL structs)
+    agg = [
+        (
+            F.min_by(F.struct(F.col(c)), ord_struct)
+            if desc
+            else F.max_by(F.struct(F.col(c)), ord_struct)
+        )[c].alias(f"_last_{c}")
+        for c in value_cols
+    ]
+    summ = d.groupBy(key_col, "_chunk").agg(*agg)
+    wc = W.partitionBy(key_col).orderBy("_chunk")
+    for c in value_cols:
+        summ = summ.withColumn(f"_carry_{c}", F.lag(f"_last_{c}").over(wc))
+    summ = summ.select(
+        key_col, "_chunk", *[f"_carry_{c}" for c in value_cols]
+    )
+    out = out.join(summ, [key_col, "_chunk"], "left")
+    for c in value_cols:
+        out = out.withColumn(
+            f"prev_{c}",
+            F.when(F.col("_rn") == 1, F.col(f"_carry_{c}")).otherwise(
+                F.col(f"_inprev_{c}")
+            ),
+        ).drop(f"_inprev_{c}", f"_carry_{c}")
+    return out.drop("_ms", "_chunk", "_rn")
+
+
+def chunked_running_sum(
+    df: DataFrame,
+    key_col: str,
+    value_col: Column | str,
+    out_col: str,
+    order_cols: tuple = ("ts", "event_id"),
+    chunk_ms: int = DEFAULT_CHUNK_MS,
+) -> DataFrame:
+    """df + ``out_col`` == SUM(value) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING) with every window bounded:
+    in-chunk running sum + the bounded-summary prefix of prior chunks'
+    totals."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    d = _with_chunk(df.withColumn("_v", v), order_cols[0], chunk_ms, False)
+    wl = (
+        W.partitionBy(key_col, "_chunk")
+        .orderBy(*_order(order_cols, False))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = d.withColumn("_run", F.sum("_v").over(wl))
+    summ = d.groupBy(key_col, "_chunk").agg(F.sum("_v").alias("_tot"))
+    wc = (
+        W.partitionBy(key_col)
+        .orderBy("_chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    summ = summ.select(
+        key_col, "_chunk", F.coalesce(F.sum("_tot").over(wc), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(summ, [key_col, "_chunk"], "left")
+        .withColumn(out_col, F.col("_run") + F.col("_off"))
+        .drop("_ms", "_chunk", "_v", "_run", "_off")
+    )
+
+
+def chunked_running_last(
+    df: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    order_cols: tuple,
+    chunk_ms: int = DEFAULT_CHUNK_MS,
+    desc: bool = False,
+) -> DataFrame:
+    """df + ``run_<col>`` == LAST(col IGNORE NULLS) OVER (PARTITION BY
+    key ORDER BY order_cols ROWS UNBOUNDED PRECEDING .. CURRENT ROW)
+    with every window bounded.  The carry-in is the nearest PRIOR
+    nonempty chunk value (last(ignorenulls) over the bounded summary),
+    and coalesce is correct mid-chunk: an in-chunk NULL means no
+    non-null row has been scanned inside this chunk yet."""
+    d = _with_chunk(df, order_cols[0], chunk_ms, desc)
+    wl = (
+        W.partitionBy(key_col, "_chunk")
+        .orderBy(*_order(order_cols, desc))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = d
+    for c in value_cols:
+        out = out.withColumn(f"_inrun_{c}", F.last(c, ignorenulls=True).over(wl))
+    # chunk summary: the chunk's final running value per col (the last
+    # non-null in chunk scan order) — max_by/min_by over non-null rows.
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    aggs = []
+    for c in value_cols:
+        picked = (
+            F.min_by(c, F.when(F.col(c).isNotNull(), ord_struct))
+            if desc
+            else F.max_by(c, F.when(F.col(c).isNotNull(), ord_struct))
+        )
+        aggs.append(picked.alias(f"_chval_{c}"))
+    summ = d.groupBy(key_col, "_chunk").agg(*aggs)
+    wc = (
+        W.partitionBy(key_col)
+        .orderBy("_chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    for c in value_cols:
+        summ = summ.withColumn(
+            f"_carry_{c}", F.last(f"_chval_{c}", ignorenulls=True).over(wc)
+        )
+    summ = summ.select(key_col, "_chunk", *[f"_carry_{c}" for c in value_cols])
+    out = out.join(summ, [key_col, "_chunk"], "left")
+    for c in value_cols:
+        out = out.withColumn(
+            f"run_{c}", F.coalesce(F.col(f"_inrun_{c}"), F.col(f"_carry_{c}"))
+        ).drop(f"_inrun_{c}", f"_carry_{c}")
+    return out.drop("_ms", "_chunk")

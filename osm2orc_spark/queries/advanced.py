@@ -1255,3 +1255,54 @@ def order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_month.select(
         "month", "net", F.sum("net").over(w).alias("open_backlog")
     ).orderBy("month")
+
+
+def asof_join_last_purchase_chunked(
+    spark: SparkSession, sf_dir: str, chunk_ms: int | None = None
+) -> DataFrame:
+    """Split-and-stitch twin of ``asof_join_last_purchase`` (late r8,
+    NOT registered — frozen registry): the union+window as-of's
+    unbounded carry window blew up 3.0x on the 2x10^6-row hot user
+    (`xl_event_windows` in SCALING_SKEW.jsonl); ``chunked_running_last``
+    computes the identical carry with every window bounded (in-chunk
+    running last + nearest prior nonempty chunk carry over the bounded
+    summary).  Output proven identical at sf0.01 and on the xl_hot
+    twin."""
+    from osm2orc_spark.operators.chunked import (
+        DEFAULT_CHUNK_MS,
+        chunked_running_last,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    others = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        "event_id",
+    )
+    tagged = purchases.unionByName(others).select(
+        "*",
+        F.coalesce("purchase_id", "event_id").alias("oid"),
+        F.when(F.col("side") == 0, F.col("ts")).alias("p_ts"),
+    )
+    d = chunked_running_last(
+        tagged,
+        "user_id",
+        ["purchase_id", "p_ts"],
+        ("ts", "side", "oid"),
+        chunk_ms or DEFAULT_CHUNK_MS,
+    )
+    return (
+        d.filter((F.col("side") == 1) & F.col("run_purchase_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("run_purchase_id").alias("asof_purchase_id"),
+            F.col("run_p_ts").alias("asof_purchase_ts"),
+        )
+    )

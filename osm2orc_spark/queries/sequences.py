@@ -583,3 +583,140 @@ def scd2_user_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_events"),
         F.lead("valid_from").over(cw).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-and-stitch twins of the per-user window family (late r8, NOT
+# registered — frozen registry; sessionize_events_chunked precedent).
+# The xl_event_windows sweep measured the whole family blowing up 3-6x
+# on a 2x10^6-row hot user (one unsplittable PARTITION BY user_id
+# WindowExec task); the operators/chunked.py primitives compute the
+# identical results with every window bounded.  Identity is
+# test-asserted at sf0.01 and on the xl_hot twin.
+# ---------------------------------------------------------------------------
+def event_run_islands_chunked(
+    spark: SparkSession, sf_dir: str, chunk_ms: int | None = None
+) -> DataFrame:
+    """Islands via change-flag + chunked running sum: the rn-diff island
+    key of the registered spelling is replaced by run_id =
+    running_sum(type != prev_type), which induces the SAME grouping —
+    the output never exposes the key, only per-run aggregates."""
+    from osm2orc_spark.operators.chunked import (
+        DEFAULT_CHUNK_MS,
+        chunked_prev,
+        chunked_running_sum,
+    )
+
+    cm = chunk_ms or DEFAULT_CHUNK_MS
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    d = chunked_prev(ev, "user_id", ["event_type"], ("ts", "event_id"), cm)
+    d = d.withColumn(
+        "_new_run",
+        F.when(
+            F.col("prev_event_type").isNull()
+            | (F.col("event_type") != F.col("prev_event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    d = chunked_running_sum(d, "user_id", "_new_run", "_rid", ("ts", "event_id"), cm)
+    return (
+        d.groupBy("user_id", "event_type", "_rid")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ts").alias("run_start"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .select("user_id", "event_type", "run_len", "run_start", "first_event_id")
+        .orderBy("user_id", "run_start", "first_event_id")
+    )
+
+
+def asof_join_next_event_chunked(
+    spark: SparkSession, sf_dir: str, chunk_ms: int | None = None
+) -> DataFrame:
+    """Forward as-of via chunked running last over the DESC scan: the
+    carry-in from later chunks replaces the unbounded ignore-nulls
+    window."""
+    from osm2orc_spark.operators.chunked import (
+        DEFAULT_CHUNK_MS,
+        chunked_running_last,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        is_p.alias("is_p"),
+        F.when(F.col("event_type") != "purchase", F.col("event_id")).alias("e_id"),
+        F.when(F.col("event_type") != "purchase", F.col("ts")).alias("e_ts"),
+    )
+    d = chunked_running_last(
+        tagged,
+        "user_id",
+        ["e_id", "e_ts"],
+        ("ts", "is_p", "event_id"),
+        chunk_ms or DEFAULT_CHUNK_MS,
+        desc=True,
+    )
+    return (
+        d.filter((F.col("is_p") == 1) & F.col("run_e_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            F.col("run_e_id").alias("next_event_id"),
+            F.col("run_e_ts").alias("next_event_ts"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def scd2_user_value_bands_chunked(
+    spark: SparkSession, sf_dir: str, chunk_ms: int | None = None
+) -> DataFrame:
+    """SCD2 with every window bounded: prev_band via chunked_prev, the
+    global row number via chunked_running_sum(1), n_user via a plain
+    groupBy+join (map-side combinable), and the change-stream lead via
+    chunked_prev over the DESC order — the change stream is usually
+    tiny, but a band-flapping hot user makes it the same straggler, so
+    it gets the same treatment."""
+    from osm2orc_spark.operators.chunked import (
+        DEFAULT_CHUNK_MS,
+        chunked_prev,
+        chunked_running_sum,
+    )
+
+    cm = chunk_ms or DEFAULT_CHUNK_MS
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    d = chunked_prev(ev, "user_id", ["band"], ("ts", "event_id"), cm)
+    d = chunked_running_sum(d, "user_id", F.lit(1), "rn", ("ts", "event_id"), cm)
+    n_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user"))
+    changes = (
+        d.filter(F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band")))
+        .select("user_id", "band", F.col("ts").alias("valid_from"), "rn")
+        .join(n_user, "user_id")
+    )
+    led = chunked_prev(
+        changes, "user_id", ["valid_from", "rn"], ("valid_from", "rn"), cm, desc=True
+    )
+    return led.select(
+        "user_id",
+        "band",
+        "valid_from",
+        F.col("prev_valid_from").alias("valid_to"),
+        (F.coalesce(F.col("prev_rn"), F.col("n_user") + 1) - F.col("rn"))
+        .cast("bigint")
+        .alias("n_events"),
+        F.col("prev_valid_from").isNull().alias("is_current"),
+    )

@@ -1,0 +1,121 @@
+"""Split-and-stitch window family: exactness of the chunked primitives
+and of the five *_chunked variants (late r8).
+
+The xl_event_windows sweep measured the per-user window family blowing
+up 3-6x on a 2x10^6-row hot user; the cure (operators/chunked.py) must
+be OUTPUT-IDENTICAL — the primitives are checked directly against the
+unbounded-window spelling they replace, and every variant against its
+registered twin.  A tiny chunk width (forcing MANY seams through the
+stitch paths) is used alongside the default, so seam handling is
+exercised even at sf0.01 where the default 1 h chunk may leave few
+boundaries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from osm2orc_spark.operators.chunked import (
+    chunked_prev,
+    chunked_running_last,
+    chunked_running_sum,
+)
+from osm2orc_spark.tables import load
+
+# 1-minute chunks: the sf0.01 event stream spans days, so every user
+# crosses many seams — the stitch paths do real work.
+TINY_CHUNK_MS = 60_000
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_correctness):
+    return load(spark, sf_correctness, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+
+
+@pytest.mark.parametrize("chunk_ms", [TINY_CHUNK_MS, 3_600_000])
+def test_chunked_prev_equals_lag(spark, events, chunk_ms):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    exp = events.select(
+        "user_id", "event_id", F.lag("event_type").over(w).alias("p")
+    )
+    got = chunked_prev(
+        events, "user_id", ["event_type"], ("ts", "event_id"), chunk_ms
+    ).select("user_id", "event_id", F.col("prev_event_type").alias("p"))
+    assert exp.exceptAll(got).count() == 0
+    assert got.exceptAll(exp).count() == 0
+
+
+@pytest.mark.parametrize("chunk_ms", [TINY_CHUNK_MS, 3_600_000])
+def test_chunked_running_sum_equals_window(spark, events, chunk_ms):
+    flag = (F.col("event_type") == "purchase").cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    exp = events.select("user_id", "event_id", F.sum(flag).over(w).alias("rs"))
+    got = chunked_running_sum(
+        events, "user_id", flag, "rs", ("ts", "event_id"), chunk_ms
+    ).select("user_id", "event_id", "rs")
+    assert exp.exceptAll(got).count() == 0
+    assert got.exceptAll(exp).count() == 0
+
+
+@pytest.mark.parametrize("chunk_ms", [TINY_CHUNK_MS, 3_600_000])
+def test_chunked_running_last_desc_equals_window(spark, events, chunk_ms):
+    d = events.withColumn(
+        "is_p", (F.col("event_type") == "purchase").cast("int")
+    ).withColumn(
+        "e_id", F.when(F.col("event_type") != "purchase", F.col("event_id"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("is_p"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    exp = d.select(
+        "user_id", "event_id", F.last("e_id", ignorenulls=True).over(w).alias("r")
+    )
+    got = chunked_running_last(
+        d, "user_id", ["e_id"], ("ts", "is_p", "event_id"), chunk_ms, desc=True
+    ).select("user_id", "event_id", F.col("run_e_id").alias("r"))
+    assert exp.exceptAll(got).count() == 0
+    assert got.exceptAll(exp).count() == 0
+
+
+def _variant_pairs():
+    from osm2orc_spark.queries.advanced import asof_join_last_purchase_chunked
+    from osm2orc_spark.queries.relational import window_lag_transitions_chunked
+    from osm2orc_spark.queries.sequences import (
+        asof_join_next_event_chunked,
+        event_run_islands_chunked,
+        scd2_user_value_bands_chunked,
+    )
+
+    return [
+        ("window_lag_transitions", window_lag_transitions_chunked),
+        ("event_run_islands", event_run_islands_chunked),
+        ("asof_join_next_event", asof_join_next_event_chunked),
+        ("scd2_user_value_bands", scd2_user_value_bands_chunked),
+        ("asof_join_last_purchase", asof_join_last_purchase_chunked),
+    ]
+
+
+@pytest.mark.parametrize("name,fn", _variant_pairs())
+@pytest.mark.parametrize("chunk_ms", [TINY_CHUNK_MS, None])
+def test_chunked_variant_identical_to_registered(
+    spark, sf_correctness, name, fn, chunk_ms
+):
+    from osm2orc_spark.registry import all_queries
+
+    reg = all_queries()[name].fn(spark, sf_correctness)
+    chk = fn(spark, sf_correctness, chunk_ms=chunk_ms)
+    n_reg, n_chk = reg.count(), chk.count()
+    assert n_reg > 0
+    assert n_reg == n_chk
+    assert reg.exceptAll(chk.select(*reg.columns)).count() == 0
+    assert chk.select(*reg.columns).exceptAll(reg).count() == 0
