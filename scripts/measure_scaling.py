@@ -141,9 +141,86 @@ XL_PASSES = 2
 
 def _extra_fns() -> dict:
     """Non-registered scale-path variants measurable by this harness."""
-    from osm2orc_spark.queries.relational import sessionize_events_chunked
+    from osm2orc_spark.queries.advanced import asof_join_last_purchase_chunked
+    from osm2orc_spark.queries.relational import (
+        sessionize_events_chunked,
+        window_lag_transitions_chunked,
+    )
+    from osm2orc_spark.queries.sequences import (
+        asof_join_next_event_chunked,
+        event_run_islands_chunked,
+        scd2_user_value_bands_chunked,
+    )
 
-    return {"sessionize_events_chunked": sessionize_events_chunked}
+    return {
+        "sessionize_events_chunked": sessionize_events_chunked,
+        "window_lag_transitions_chunked": window_lag_transitions_chunked,
+        "event_run_islands_chunked": event_run_islands_chunked,
+        "asof_join_next_event_chunked": asof_join_next_event_chunked,
+        "scd2_user_value_bands_chunked": scd2_user_value_bands_chunked,
+        "asof_join_last_purchase_chunked": asof_join_last_purchase_chunked,
+    }
+
+
+# The per-user window family (late r8): each registered query and its
+# chunked twin, measured on both XL event twins by --event-windows.
+# The registered spellings blow up 3-6x on the 2M-row hot user; the
+# chunked twins hold 0.81-1.30 (xl_event_windows* in SCALING_SKEW.jsonl).
+EVENT_WINDOW_PAIRS = [
+    ("window_lag_transitions", "window_lag_transitions_chunked"),
+    ("event_run_islands", "event_run_islands_chunked"),
+    ("asof_join_next_event", "asof_join_next_event_chunked"),
+    ("scd2_user_value_bands", "scd2_user_value_bands_chunked"),
+    ("asof_join_last_purchase", "asof_join_last_purchase_chunked"),
+]
+
+
+def main_event_windows() -> None:
+    """Reproduce the xl_event_windows + xl_event_windows_chunked record:
+    walls (warm + XL_PASSES, min) on both XL event twins for every
+    registered per-user window query and its chunked twin, plus a
+    row-identity check of each pair on the xl_hot twin."""
+    spark = get_spark(
+        app_name="measure_scaling_event_windows",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = _build_xl_data(spark)
+    qs = all_queries()
+    extra = _extra_fns()
+    for reg_name, chk_name in EVENT_WINDOW_PAIRS:
+        for name in (reg_name, chk_name):
+            fn = qs[name].fn if name in qs else extra[name]
+            rec = {"micro": "xl_event_windows" + ("_chunked" if name == chk_name else ""),
+                   "round": 8, "query": name, "xl_rep": XL_REP}
+            walls = {}
+            for mode in ("xl_base", "xl_hot"):
+                w = []
+                for i in range(XL_PASSES + 1):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn(spark, dirs[mode]).count()
+                    w.append(time.perf_counter() - t0)
+                walls[mode] = min(w[1:])
+                rec[f"{mode.split('_')[1]}_wall_min_sec"] = round(walls[mode], 3)
+            rec["skew_ratio"] = round(walls["xl_hot"] / walls["xl_base"], 2)
+            print(json.dumps(rec), flush=True)
+        reg = qs[reg_name].fn(spark, dirs["xl_hot"])
+        chk = extra[chk_name](spark, dirs["xl_hot"])
+        n_reg, n_chk = reg.count(), chk.count()
+        same = (
+            n_reg == n_chk
+            and reg.exceptAll(chk.select(*reg.columns)).count() == 0
+            and chk.select(*reg.columns).exceptAll(reg).count() == 0
+        )
+        print(
+            json.dumps(
+                {"micro": "xl_event_windows_identity", "round": 8,
+                 "pair": reg_name, "rows": n_reg, "identical": same}
+            ),
+            flush=True,
+        )
+    spark.stop()
 
 
 def _sessionize_xl_identity(spark, hot_dir: str) -> dict:
@@ -1042,6 +1119,7 @@ if __name__ == "__main__":
         "--components-micro",
         "--streaming-micro",
         "--ann-micro",
+        "--event-windows",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -1060,6 +1138,8 @@ if __name__ == "__main__":
         main_streaming_micro()
     elif "--ann-micro" in args:
         main_ann_micro()
+    elif "--event-windows" in args:
+        main_event_windows()
     elif "--skew" in args:
         main_skew()
     else:
