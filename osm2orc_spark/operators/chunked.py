@@ -127,7 +127,10 @@ def chunked_running_sum(
     """df + ``out_col`` == SUM(value) OVER (PARTITION BY key ORDER BY
     order_cols ROWS UNBOUNDED PRECEDING) with every window bounded:
     in-chunk running sum + the bounded-summary prefix of prior chunks'
-    totals."""
+    totals.  NULL-exact: the sum runs over coalesce(value, 0) with a
+    running non-null count deciding NULL-vs-value, so all-NULL prefixes
+    return NULL exactly like the unbounded window (r8 advice fix;
+    test_chunked_running_sum_null_semantics)."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     d = _with_chunk(df.withColumn("_v", v), order_cols[0], chunk_ms, False)
     wl = (
@@ -135,20 +138,42 @@ def chunked_running_sum(
         .orderBy(*_order(order_cols, False))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    local = d.withColumn("_run", F.sum("_v").over(wl))
-    summ = d.groupBy(key_col, "_chunk").agg(F.sum("_v").alias("_tot"))
+    # Exact SUM-window NULL semantics (r8 advice): SUM ignores NULL
+    # values and returns NULL only while the ENTIRE prefix is NULL.  The
+    # naive "_run + _off" stitch breaks when a row's whole in-chunk
+    # prefix is NULL but prior chunks contributed values (NULL + off ->
+    # NULL, where the unbounded window returns off).  So the running sum
+    # runs over coalesce(_v, 0) and a running non-null COUNT (in-chunk +
+    # prior-chunk prefix) decides NULL-vs-value — identical to the
+    # unbounded spelling for every NULL pattern, including all-NULL
+    # prefixes (count 0 -> NULL).
+    local = d.withColumn(
+        "_run", F.sum(F.coalesce(F.col("_v"), F.lit(0))).over(wl)
+    ).withColumn("_nn", F.count("_v").over(wl))
+    summ = d.groupBy(key_col, "_chunk").agg(
+        F.sum(F.coalesce(F.col("_v"), F.lit(0))).alias("_tot"),
+        F.count("_v").alias("_cnt"),
+    )
     wc = (
         W.partitionBy(key_col)
         .orderBy("_chunk")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     summ = summ.select(
-        key_col, "_chunk", F.coalesce(F.sum("_tot").over(wc), F.lit(0)).alias("_off")
+        key_col,
+        "_chunk",
+        F.coalesce(F.sum("_tot").over(wc), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_cnt").over(wc), F.lit(0)).alias("_offnn"),
     )
     return (
         local.join(summ, [key_col, "_chunk"], "left")
-        .withColumn(out_col, F.col("_run") + F.col("_off"))
-        .drop("_ms", "_chunk", "_v", "_run", "_off")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_nn") + F.col("_offnn") > 0, F.col("_run") + F.col("_off")
+            ),
+        )
+        .drop("_ms", "_chunk", "_v", "_run", "_nn", "_off", "_offnn")
     )
 
 

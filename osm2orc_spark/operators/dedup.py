@@ -979,10 +979,20 @@ SIMHASH_HAMMING_MAX = 3
     "the candidate pairs only. Same LSH shape as dedup_minhash_lsh but "
     "with O(1) signature storage per doc and cheap integer verify — the "
     "preferred plan when the near-dup notion is 'few differing tokens' "
-    "rather than a Jaccard threshold.",
+    "rather than a Jaccard threshold. Auto-switches to the EXACT "
+    "recursive-pigeonhole refinement (bit-identical at any size) once "
+    "the corpus outgrows the 4x2^12 bucket space — "
+    "n_docs > SIMHASH_REFINE_MIN_DOCS, the coincidence-dominated regime "
+    "where candidates go Theta(n^2/4096); measured 1.95e9 -> 15.3e6 "
+    "pairs at 2e6 signatures (r8 verdict #1b). Below it the "
+    "truth-dominated banding is kept (refinement pays ~2x there).",
     tags=("dedup",),
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
+    if switches.table_rows(spark, sf_dir, "documents") > switches.SIMHASH_REFINE_MIN_DOCS:
+        return simhash_near_dup_refined(spark, sf_dir)
     sigs = _simhash_df(spark, sf_dir).persist()
     chunk_structs = [
         F.struct(
@@ -1027,8 +1037,9 @@ SIMHASH_BUCKET_CAP = 256
 def simhash_near_dup_refined(
     spark: SparkSession, sf_dir: str, *, bucket_cap: int = SIMHASH_BUCKET_CAP
 ) -> DataFrame:
-    """Scale path for ``simhash_near_dup`` (NOT registered — frozen
-    registry; the dfcap/chunked/LSH-refined precedent), and unlike the
+    """Scale path for ``simhash_near_dup`` — since r9 the registered
+    query's own hot path (it auto-delegates here when the corpus exceeds
+    switches.SIMHASH_REFINE_MIN_DOCS; r8 verdict #1b) — and unlike the
     RP-LSH refinement this one is EXACT: output provably identical to
     the registered query at ANY corpus size.
 

@@ -1,0 +1,112 @@
+"""Data-dependent strategy switches for registered queries (r8 verdict #1).
+
+Round 8 proved, with XL measurement, that three registered query families
+have scale-safe spellings that are output-identical but only existed as
+opt-in variants:
+
+- the per-user window family (``sessionize_events``,
+  ``window_lag_transitions``, ``event_transitions``,
+  ``event_run_islands``, ``scd2_user_value_bands``,
+  ``asof_join_next_event``, ``asof_join_last_purchase``) blows up 3-5.9x
+  on a 2x10^6-row hot user (one unsplittable PARTITION BY user_id
+  WindowExec task; ``xl_event_windows`` in SCALING_SKEW.jsonl) while the
+  chunked split-and-stitch twins hold 0.81-1.30x;
+- ``simhash_near_dup``'s fixed 4x2^12 bucket space goes Theta(n^2/4096)
+  once coincidence-dominated (1.95e9 candidate pairs at 2e6 random
+  signatures vs 15.3e6 refined) — the recursive-pigeonhole refinement is
+  EXACT at any size but pays ~2x on truth-dominated corpora;
+- ``embedding_near_dup_lsh``'s 8x8-bit banding saturates its 2^8 bucket
+  space (1.19e10 join rows at 800k vectors, DNF) — adaptive band
+  refinement moves 148x fewer rows and is output-identical below the
+  bucket cap.
+
+This module is the switchboard: cheap, memoized, data-derived probes that
+let each REGISTERED query pick its measured scale path automatically,
+exactly like the in-repo precedent (``dedup_components``' edge-count
+strategy pick, dedup.py).  Below every threshold the registered plan is
+byte-identical to the r8 plan, so driver oracle hashes at the gate SFs
+are untouched.
+
+Probe results memoize per (sf_dir, probe) for the process lifetime: the
+inputs are immutable driver parquet (TESTDATA.md) or write-once twins,
+and memoization keeps bench passes 2..N free of the probe job.  Tests
+that rewrite a directory in place must call :func:`probe_cache_clear`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from osm2orc_spark.tables import load
+
+# Per-key row count above which the per-user window family switches to
+# the chunked split-and-stitch spelling.  Measured anchors
+# (SCALING_SKEW.jsonl xl_event_windows, 2x10^6 rows on one user):
+# registered spellings 3.0-5.9x vs the uniform twin, chunked twins
+# 0.81-1.30x.  10^5 rows sort comfortably inside one window task (the
+# sf0.1 hot_user twin's 10k-row key showed no straggle in the r6 sweep),
+# so below the threshold the single-exchange registered plan — which
+# wins locally by 1.5-3.5x on uniform data — is kept.
+HOT_KEY_ROWS = 100_000
+
+# Corpus size above which simhash_near_dup switches to the EXACT
+# recursive-pigeonhole refinement.  The 4x12-bit banding holds
+# 4096 values per chunk position, so at n docs the MEAN bucket size is
+# n/4096; once it passes the refinement bucket cap the buckets are
+# coincidence-dominated (pairs Theta(n^2/4096)) and refinement wins
+# 128x (measured at 2e6 signatures).  Below it, bucket mass is
+# truth-dominated (real near-dup families) where refinement's 4x
+# sub-chunk fan-out costs ~2x for nothing — keep the registered banding.
+# 4096 * SIMHASH_BUCKET_CAP(=256) = 2^20.
+SIMHASH_REFINE_MIN_DOCS = 4096 * 256
+
+_PROBE_CACHE: dict[tuple[str, str], int] = {}
+
+
+def probe_cache_clear() -> None:
+    """Drop all memoized probe results (tests that rewrite a dir)."""
+    _PROBE_CACHE.clear()
+
+
+def _cache_key(sf_dir: str, probe: str) -> tuple[str, str]:
+    return (os.path.abspath(sf_dir), probe)
+
+
+def cached_probe(sf_dir: str, probe: str, compute) -> int:
+    """Memoized integer probe: ``compute()`` runs once per (dir, probe)."""
+    key = _cache_key(sf_dir, probe)
+    if key not in _PROBE_CACHE:
+        _PROBE_CACHE[key] = int(compute())
+    return _PROBE_CACHE[key]
+
+
+def max_key_rows(
+    spark: SparkSession, sf_dir: str, table: str = "events", key: str = "user_id"
+) -> int:
+    """Largest per-key row count in ``table`` — the straggler probe for
+    PARTITION BY ``key`` windows.  One narrow scan (column pruning keeps
+    it to the key column) + a map-side-combinable groupBy; memoized, so
+    all window-family queries in a process share a single probe job."""
+
+    def _compute() -> int:
+        row = (
+            load(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .first()
+        )
+        return row["m"] or 0
+
+    return cached_probe(sf_dir, f"max_key_rows:{table}:{key}", _compute)
+
+
+def table_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Memoized row count of a driver table (parquet count-star —
+    answered from footer statistics, no data scan)."""
+    return cached_probe(
+        sf_dir, f"table_rows:{table}", lambda: load(spark, sf_dir, table).count()
+    )

@@ -55,10 +55,17 @@ DEC = "decimal(18,2)"
     "shuffle on user_id, no range blow-up, state per key is a single "
     "carried row. The naive range join (oracle SQL) is quadratic per key; "
     "the union+window plan is the 100 TB path and is how as-of joins are "
-    "done in production Spark (same shape as flint/pandas merge_asof).",
+    "done in production Spark (same shape as flint/pandas merge_asof). "
+    "Auto-switches to the proven-identical chunked spelling when the "
+    "hot-key probe exceeds HOT_KEY_ROWS (r8 verdict #1; 3.0x hot-user "
+    "blow-up in xl_event_windows).",
     tags=("join", "asof"),
 )
 def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
+    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
+        return asof_join_last_purchase_chunked(spark, sf_dir)
     ev = load(spark, sf_dir, "events")
     # side 0 = purchase (sorts before an event at the same ts, making the
     # join inclusive: purchase.ts <= event.ts); within equal (ts, side),

@@ -469,10 +469,17 @@ def array_agg_sorted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Window lag + transition matrix (C25) — the README's "
     "'count tag additions, not edits' window idiom. One shuffle on "
-    "user_id serves both the window and the downstream agg.",
+    "user_id serves both the window and the downstream agg. "
+    "Auto-switches to the proven-identical chunked split-and-stitch "
+    "spelling when the hot-key probe exceeds HOT_KEY_ROWS (r8 verdict "
+    "#1; measured 5.9x hot-user blow-up in xl_event_windows).",
     tags=("relational", "window"),
 )
 def window_lag_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
+    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
+        return window_lag_transitions_chunked(spark, sf_dir)
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -486,9 +493,10 @@ def window_lag_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_lag_transitions_chunked(
     spark: SparkSession, sf_dir: str, chunk_ms: int | None = None
 ) -> DataFrame:
-    """Split-and-stitch twin of ``window_lag_transitions`` (NOT
-    registered — frozen registry; the sessionize_events_chunked
-    precedent): the measured 5.9x hot-user blow-up (`xl_event_windows`
+    """Split-and-stitch twin of ``window_lag_transitions`` — since r9
+    the registered query's own hot path (it auto-delegates here when the
+    max-per-user-rows probe exceeds switches.HOT_KEY_ROWS; r8 verdict
+    #1): the measured 5.9x hot-user blow-up (`xl_event_windows`
     in SCALING_SKEW.jsonl) is the unbounded per-user lag window;
     ``chunked_prev`` computes the identical lag with every window
     bounded (in-chunk lag + a bounded-summary carry).  Output proven
@@ -728,10 +736,17 @@ def top3_items_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Sessionization: lag-gap detection (30 min) + running-sum session "
     "ids + per-session agg. All three steps share one hash partitioning "
-    "on user_id — one shuffle total.",
+    "on user_id — one shuffle total. Auto-switches to the proven-"
+    "identical split-and-stitch spelling when the hot-key probe exceeds "
+    "HOT_KEY_ROWS (r8 verdict #1; 2.9x faster outright on the 2e6-row "
+    "hot-user twin, sessionize_chunked_xl_identity).",
     tags=("relational", "window"),
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
+    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
+        return sessionize_events_chunked(spark, sf_dir)
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis("ts")
@@ -797,8 +812,11 @@ def sessionize_events_chunked(
     streams; same-ts ties never force a merge error because a seam can
     only separate distinct chunk ids, hence distinct ms values.
 
-    Not registered: the registry is frozen at 162 (the *_sketch_only
-    precedent); equivalence to the registered query is asserted by
+    Since r9 this is the registered query's own hot path: the registry
+    stays frozen at 162, but ``sessionize_events`` auto-delegates here
+    when the max-per-user-rows probe exceeds switches.HOT_KEY_ROWS (r8
+    verdict #1 — the dedup_components strategy-switch precedent).
+    Equivalence to the unbounded spelling is asserted by
     tests/test_advanced.py::test_sessionize_chunked_* at sf0.01 + on
     adversarial synthetic seams, and on the xl_event twin by
     scripts/measure_scaling.py --skew-xl (bit-identical check recorded

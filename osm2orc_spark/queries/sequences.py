@@ -65,10 +65,17 @@ _SEQ_KEY_SQL = "printf('%020d-%012d', epoch_us(ts), event_id)"
     doc="First-order Markov transition counts over each user's event "
     "stream (lag window on (ts, event_id) order, then a global "
     "(from, to) count). One user_id shuffle for the window; the "
-    "transition matrix is |types|^2 rows with map-side partial counts.",
+    "transition matrix is |types|^2 rows with map-side partial counts. "
+    "Auto-switches to the chunked split-and-stitch lag when the "
+    "hot-key probe exceeds HOT_KEY_ROWS (r8 verdict #1 — same "
+    "unbounded-lag shape as window_lag_transitions).",
     tags=("sequence", "window"),
 )
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
+    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
+        return event_transitions_chunked(spark, sf_dir)
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -152,10 +159,17 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gaps-and-islands: maximal runs of consecutive same-type events "
     "per user (difference of two row_numbers = island id), keeping runs "
     "of length >= 3. Both windows share the user_id partitioning, so "
-    "Catalyst plans ONE exchange and two sorts within it.",
+    "Catalyst plans ONE exchange and two sorts within it. Auto-switches "
+    "to the proven-identical chunked spelling when the hot-key probe "
+    "exceeds HOT_KEY_ROWS (r8 verdict #1; 5.2x hot-user blow-up in "
+    "xl_event_windows).",
     tags=("sequence", "window"),
 )
 def event_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
+    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
+        return event_run_islands_chunked(spark, sf_dir)
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_typ = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
@@ -209,10 +223,17 @@ def event_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "places the purchase before its same-ts events in scan order). Same "
     "union-scan shape as asof_join_last_purchase reversed — one user_id "
     "shuffle, no join explosion. Twin of queries/advanced.py's backward "
-    "variant; together they cover both as-of directions.",
+    "variant; together they cover both as-of directions. Auto-switches "
+    "to the proven-identical chunked spelling when the hot-key probe "
+    "exceeds HOT_KEY_ROWS (r8 verdict #1; 5.0x hot-user blow-up in "
+    "xl_event_windows).",
     tags=("sequence", "asof", "window"),
 )
 def asof_join_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
+    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
+        return asof_join_next_event_chunked(spark, sf_dir)
     ev = load(spark, sf_dir, "events")
     is_p = (F.col("event_type") == "purchase").cast("int")
     tagged = ev.select(
@@ -544,10 +565,17 @@ def weekly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plans ONE exchange for the whole derivation; the change-point "
     "filter shrinks the stream before the second (lead) window sorts "
     "it. At 100 TB this is the standard dimension-history load: shuffle "
-    "once by the dimension key, never globally.",
+    "once by the dimension key, never globally. Auto-switches to the "
+    "proven-identical chunked spelling when the hot-key probe exceeds "
+    "HOT_KEY_ROWS (r8 verdict #1; 5.0x hot-user blow-up in "
+    "xl_event_windows).",
     tags=("sequence", "window"),
 )
 def scd2_user_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
+    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
+        return scd2_user_value_bands_chunked(spark, sf_dir)
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "ts",
@@ -594,6 +622,31 @@ def scd2_user_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical results with every window bounded.  Identity is
 # test-asserted at sf0.01 and on the xl_hot twin.
 # ---------------------------------------------------------------------------
+def event_transitions_chunked(
+    spark: SparkSession, sf_dir: str, chunk_ms: int | None = None
+) -> DataFrame:
+    """Split-and-stitch twin of ``event_transitions`` (r9: the
+    registered query's hot path — same unbounded per-user lag shape as
+    ``window_lag_transitions``, so the same chunked_prev cure; output
+    identical because the lag is, and the downstream (from, to) count
+    is key-order-free)."""
+    from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS, chunked_prev
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    d = chunked_prev(
+        ev, "user_id", ["event_type"], ("ts", "event_id"), chunk_ms or DEFAULT_CHUNK_MS
+    )
+    return (
+        d.filter(F.col("prev_event_type").isNotNull())
+        .groupBy(
+            F.col("prev_event_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "from_type", "to_type")
+    )
+
+
 def event_run_islands_chunked(
     spark: SparkSession, sf_dir: str, chunk_ms: int | None = None
 ) -> DataFrame:

@@ -93,11 +93,13 @@ def _variant_pairs():
     from osm2orc_spark.queries.sequences import (
         asof_join_next_event_chunked,
         event_run_islands_chunked,
+        event_transitions_chunked,
         scd2_user_value_bands_chunked,
     )
 
     return [
         ("window_lag_transitions", window_lag_transitions_chunked),
+        ("event_transitions", event_transitions_chunked),
         ("event_run_islands", event_run_islands_chunked),
         ("asof_join_next_event", asof_join_next_event_chunked),
         ("scd2_user_value_bands", scd2_user_value_bands_chunked),

@@ -1,0 +1,172 @@
+"""Strategy-switch wiring (r8 verdict #1): the registered queries pick
+their measured scale path automatically, and the switched output is
+identical to the unbounded/banded spelling they replace.
+
+The *algorithms* are proven elsewhere (test_chunked_windows.py,
+test_dedup_invariants.py's refined-identity, the XL sweeps); what THIS
+file proves is the wiring — probe correctness, memoization, and that
+forcing each switch (threshold -> 0 via monkeypatch) end-to-end through
+the REGISTERED entry point reproduces the default-path result exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2orc_spark.operators import switches
+
+
+@pytest.fixture(autouse=True)
+def _clear_probe_cache():
+    # Thresholds are monkeypatched per-test; probe VALUES stay valid
+    # (they're data-derived), but clear anyway so tests are order-free.
+    switches.probe_cache_clear()
+    yield
+    switches.probe_cache_clear()
+
+
+def test_max_key_rows_probe(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, i) for i in range(7)] + [(2, i) for i in range(3)],
+        "user_id int, event_id int",
+    ).withColumn("ts", F.timestamp_millis(F.lit(0)))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    assert switches.max_key_rows(spark, str(tmp_path)) == 7
+    # memoized: a second call answers from the cache (poke the cache to
+    # prove the path is hit, then restore)
+    key = (str(tmp_path), f"max_key_rows:events:user_id")
+    import os
+
+    key = (os.path.abspath(str(tmp_path)), "max_key_rows:events:user_id")
+    assert switches._PROBE_CACHE[key] == 7
+    switches._PROBE_CACHE[key] = 99
+    assert switches.max_key_rows(spark, str(tmp_path)) == 99
+
+
+def test_table_rows_probe(spark, sf_smoke):
+    from osm2orc_spark.tables import load
+
+    n = load(spark, sf_smoke, "documents").count()
+    assert switches.table_rows(spark, sf_smoke, "documents") == n
+
+
+WINDOW_FAMILY = [
+    "sessionize_events",
+    "window_lag_transitions",
+    "event_transitions",
+    "event_run_islands",
+    "scd2_user_value_bands",
+    "asof_join_next_event",
+    "asof_join_last_purchase",
+]
+
+
+@pytest.mark.parametrize("name", WINDOW_FAMILY)
+def test_window_family_switch_identity(spark, sf_correctness, name, monkeypatch):
+    """Registered query with the switch FORCED (threshold 0) equals the
+    registered query on its default (unbounded-window) path."""
+    from osm2orc_spark.registry import all_queries
+
+    fn = all_queries()[name].fn
+    base = fn(spark, sf_correctness)  # default: probe << threshold
+    monkeypatch.setattr(switches, "HOT_KEY_ROWS", 0)
+    switched = fn(spark, sf_correctness)
+    n_base, n_sw = base.count(), switched.count()
+    assert n_base > 0
+    assert n_base == n_sw
+    assert base.exceptAll(switched.select(*base.columns)).count() == 0
+    assert switched.select(*base.columns).exceptAll(base).count() == 0
+
+
+def test_simhash_switch_identity(spark, sf_correctness, monkeypatch):
+    from osm2orc_spark.registry import all_queries
+
+    fn = all_queries()["simhash_near_dup"].fn
+    base = fn(spark, sf_correctness)
+    monkeypatch.setattr(switches, "SIMHASH_REFINE_MIN_DOCS", 0)
+    switched = fn(spark, sf_correctness)
+    assert base.count() == switched.count()
+    assert base.exceptAll(switched.select(*base.columns)).count() == 0
+    assert switched.select(*base.columns).exceptAll(base).count() == 0
+
+
+def test_lsh_switch_identity(spark, sf_correctness, monkeypatch):
+    from osm2orc_spark.operators import similarity
+    from osm2orc_spark.registry import all_queries
+
+    fn = all_queries()["embedding_near_dup_lsh"].fn
+    base = fn(spark, sf_correctness)
+    base_rows = base.collect()
+    assert len(base_rows) > 0
+    # Force the refinement branch: every nonempty bucket is "hot".
+    monkeypatch.setattr(similarity, "LSH_BUCKET_CAP", 0)
+    switched = fn(spark, sf_correctness)
+    sw_rows = switched.collect()
+    # Refinement with cap 0 narrows bands to 16 bits — output must be a
+    # SUBSET (band-LSH recall shrinks, never grows) and every surviving
+    # pair keeps its exact cosine.
+    base_map = {(r.vec_a, r.vec_b): r.cosine for r in base_rows}
+    assert len(sw_rows) <= len(base_rows)
+    for r in sw_rows:
+        assert (r.vec_a, r.vec_b) in base_map
+        assert base_map[(r.vec_a, r.vec_b)] == r.cosine
+
+
+def test_lsh_auto_path_below_cap_identical(spark, sf_correctness):
+    """At the gate SF no bucket exceeds the cap, so the registered query
+    and the probe-free refined spelling agree exactly (the refined plan
+    degenerates to the registered semantics)."""
+    from osm2orc_spark.operators.similarity import embedding_near_dup_lsh_refined
+    from osm2orc_spark.registry import all_queries
+
+    base = all_queries()["embedding_near_dup_lsh"].fn(spark, sf_correctness)
+    ref = embedding_near_dup_lsh_refined(spark, sf_correctness)
+    assert base.count() == ref.count()
+    assert base.exceptAll(ref.select(*base.columns)).count() == 0
+
+
+def test_chunked_running_sum_null_semantics(spark):
+    """r8 advice (medium): chunked_running_sum must reproduce the
+    unbounded SUM window's NULL semantics exactly — NULL only while the
+    whole prefix is NULL, prior-chunk values carried across an
+    in-chunk all-NULL prefix."""
+    from pyspark.sql.window import Window as W
+
+    from osm2orc_spark.operators.chunked import chunked_running_sum
+
+    # Construct the adversarial shape: chunk 0 has values, chunk 1's
+    # entire prefix is NULL (rows 3,4), a later value (row 5), and user
+    # 2 is all-NULL everywhere (expects NULL throughout).
+    rows = [
+        (1, 0, 10), (1, 1, None), (1, 2, 5),        # chunk 0 (ms 0..2)
+        (1, 61_000, None), (1, 62_000, None),       # chunk 1: all-NULL prefix
+        (1, 63_000, 7),
+        (2, 0, None), (2, 61_000, None),            # all-NULL user
+    ]
+    df = spark.createDataFrame(
+        [(u, ms, v) for u, ms, v in rows], "user_id int, ms long, v int"
+    ).select(
+        "user_id",
+        F.timestamp_millis("ms").alias("ts"),
+        F.col("ms").alias("event_id"),
+        "v",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    exp = df.select("user_id", "event_id", F.sum("v").over(w).alias("rs"))
+    got = chunked_running_sum(
+        df, "user_id", "v", "rs", ("ts", "event_id"), 60_000
+    ).select("user_id", "event_id", "rs")
+    assert exp.exceptAll(got).count() == 0
+    assert got.exceptAll(exp).count() == 0
+    # The specific advice scenario: row at ms=61000/62000 (NULL in-chunk
+    # prefix, non-null prior chunks) must carry 15, not NULL.
+    vals = {r.event_id: r.rs for r in got.filter(F.col("user_id") == 1).collect()}
+    assert vals[61_000] == 15 and vals[62_000] == 15 and vals[63_000] == 22
+    assert all(
+        r.rs is None for r in got.filter(F.col("user_id") == 2).collect()
+    )
