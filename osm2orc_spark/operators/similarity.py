@@ -586,6 +586,17 @@ def ann_ivf_kmeans(
     cents = _lloyd_fit_ints(
         spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS, fit_fraction=fit_fraction
     )
+    return _ivf_topk(spark, sf_dir, cents)
+
+
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, cents: list[list[int]]
+) -> DataFrame:
+    """The IVF probe core with the fitted centroids as a parameter — the
+    fused registered query (``ann_ivf_kmeans``) passes a fresh fit; the
+    fit-once/probe-many surface (``operators.ann_index``) passes a
+    prebuilt index, so probe cost is priced separately from the bounded
+    fit (r8 verdict #4)."""
     emb = load(spark, sf_dir, "embeddings")
     q_row = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
     q_id = q_row["vec_id"]

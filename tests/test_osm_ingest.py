@@ -349,3 +349,84 @@ class TestTailMetadataAppend:
                 assert fa.read() == fb.read(), (a, b)
         assert read_user_metadata(spark, twin)["bounds"] == "1, 2, 3, 4"
         assert spark.read.orc(twin).count() == planet.count()
+
+
+class TestTailAppendR9:
+    """r9: postscript keeps its trailing magic (r8 advice — strict
+    readers require magic-last) and the Hadoop-FS truncate/append tail
+    path is byte-identical to the posix path (r8 verdict #5)."""
+
+    @staticmethod
+    def _postscript(fp: str) -> bytes:
+        with open(fp, "rb") as f:
+            f.seek(0, 2)
+            size = f.tell()
+            f.seek(size - 1)
+            ps_len = f.read(1)[0]
+            f.seek(size - 1 - ps_len)
+            return f.read(ps_len)
+
+    def test_postscript_magic_stays_last(self, spark, planet, tmp_path):
+        import glob
+
+        from osm2orc_spark.sinks.orc import append_user_metadata_tail
+
+        out = str(tmp_path / "magic")
+        planet.write.mode("overwrite").format("orc").save(out)
+        for fp in sorted(glob.glob(out + "/*.orc")):
+            assert self._postscript(fp).endswith(b"ORC")  # writer invariant
+            append_user_metadata_tail(fp, {"k": "v"})
+            ps = self._postscript(fp)
+            assert ps.endswith(b"ORC"), "stamped postscript lost magic-last"
+            # stamping again must preserve it too (field-1 splice is
+            # position-stable)
+            append_user_metadata_tail(fp, {"k2": "v2"})
+            assert self._postscript(fp).endswith(b"ORC")
+        assert spark.read.orc(out).count() == planet.count()
+
+    def test_fs_tail_append_byte_identical_to_posix(self, spark, planet, tmp_path):
+        """Drive the remote-FS code path (ranged tail read + truncate +
+        append through the Hadoop FileSystem API) against the raw local
+        FS: the stamped file must be byte-identical to the posix r+b
+        path and fully readable — proving the remote path rewrites only
+        the tail, never copying the file."""
+        import glob
+        import shutil
+
+        from osm2orc_spark.sinks.orc import (
+            append_user_metadata_tail,
+            append_user_metadata_tail_fs,
+            read_user_metadata,
+        )
+
+        src = str(tmp_path / "fs_src")
+        planet.repartition(2).write.mode("overwrite").format("orc").save(src)
+        twin = str(tmp_path / "fs_twin")
+        shutil.copytree(src, twin)
+        meta = {"osm.schema.version": "0.6", "bounds": "1, 2, 3, 4"}
+        src_parts = sorted(glob.glob(src + "/*.orc"))
+        twin_parts = sorted(glob.glob(twin + "/*.orc"))
+        assert len(src_parts) == len(twin_parts) >= 2
+        for fp in src_parts:
+            append_user_metadata_tail(fp, meta)
+        for fp in twin_parts:
+            append_user_metadata_tail_fs(spark, f"file:{fp}", meta)
+        for a, b in zip(src_parts, twin_parts):
+            with open(a, "rb") as fa, open(b, "rb") as fb:
+                assert fa.read() == fb.read(), (a, b)
+        assert read_user_metadata(spark, twin)["bounds"] == "1, 2, 3, 4"
+        assert spark.read.orc(twin).count() == planet.count()
+
+    def test_scheme_detection(self):
+        from osm2orc_spark.sinks.orc import _path_scheme, _strip_file_scheme
+
+        assert _path_scheme("hdfs:/tmp/out") == "hdfs"  # single-slash URI
+        assert _path_scheme("hdfs://nn/tmp/out") == "hdfs"
+        assert _path_scheme("s3a://bucket/key") == "s3a"
+        assert _path_scheme("file:///tmp/x") == "file"
+        assert _path_scheme("file:/tmp/x") == "file"
+        assert _path_scheme("/tmp/x") is None
+        assert _path_scheme("relative/dir") is None
+        assert _strip_file_scheme("file:///tmp/x") == "/tmp/x"
+        assert _strip_file_scheme("file:/tmp/x") == "/tmp/x"
+        assert _strip_file_scheme("/tmp/x") == "/tmp/x"
