@@ -186,9 +186,35 @@ DRIVER_VERIFIED_R06: frozenset[str] = frozenset({
     "osm_changesets_liberty_island", "osm_tag_additions_window",
 })
 
+# Triple-green rows from the round-8 gate (CORRECTNESS_r08.json): 50/50
+# green, zero failures, zero errors — the GATE_PRIORITY_R08 re-gates
+# (dedup verify shapes, the try_divide cosine family) plus stale
+# re-confirmations.
+DRIVER_VERIFIED_R08: frozenset[str] = frozenset({
+    "ann_hamming_recall", "ann_ivf_index_stats", "ann_ivf_kmeans",
+    "ann_ivf_probe", "ann_ivf_recall", "ann_ivfpq_probe", "ann_ivfpq_recall",
+    "ann_matryoshka_rerank", "ann_pq_adc", "ann_topk_batch",
+    "ann_topk_bruteforce", "ann_topk_hamming", "asof_join_tolerance",
+    "cohort_monthly_retention", "curation_contamination_report",
+    "curation_dsir_select", "curation_epoch_mix", "customer_rfm_segments",
+    "dedup_components", "dedup_containment_pairs", "dedup_containment_ppjoin",
+    "dedup_minhash_calibration", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_ppjoin", "dedup_semantic_kmeans", "embedding_lsh_calibration",
+    "embedding_near_dup_lsh", "embedding_near_dup_pairs",
+    "embedding_prototype_prune", "event_transitions",
+    "funnel_view_click_purchase", "grouping_sets_orders",
+    "histogram_event_values", "multimodal_audio_chunks",
+    "multimodal_frame_sample", "order_backlog_curve", "order_fulfillment_lag",
+    "osm_relation_members", "osm_way_bbox", "part_abc_pareto",
+    "rolling_hour_user_activity", "stream_dedup_events", "stream_hourly_rollup",
+    "stream_ohlc_bars", "stream_purchase_attribution", "stream_session_windows",
+    "stream_user_totals", "text_quality_classifier", "unpivot_order_measures",
+})
+
 DRIVER_VERIFIED: frozenset[str] = (
     DRIVER_VERIFIED_R01 | DRIVER_VERIFIED_R02 | DRIVER_VERIFIED_R03
     | DRIVER_VERIFIED_R04 | DRIVER_VERIFIED_R05 | DRIVER_VERIFIED_R06
+    | DRIVER_VERIFIED_R08
 )
 
 # Explicit gate order for round 5.  Every registered query has a driver row
@@ -314,6 +340,32 @@ DRIVER_VERIFIED_R07: frozenset[str] = frozenset({
 # round's stale re-confirmations get the remaining ~33 slots —
 # correctness-first ordering (impl-touched before stale) follows the
 # standing precedent.
+# Explicit gate order for round 9 (registry frozen at 162).  r9 wired
+# the measured scale paths INTO the registered queries as automatic
+# strategy switches (r8 verdict #1): below every probe threshold the
+# gate-SF plans are byte-identical to r8 (thresholds sit far above the
+# gate SFs), but the registered IMPLEMENTATIONS changed, so the whole
+# switched family re-earns its green first — the r6/r7/r8 "identical by
+# construction, re-gated anyway" precedent:
+# (a) the per-user window family now probes max-rows-per-key and
+#     delegates to the proven chunked split-and-stitch spellings when
+#     hot (operators/switches.py);
+# (b) simhash_near_dup probes corpus size and delegates to the exact
+#     recursive-pigeonhole refinement in the coincidence regime;
+# (c) embedding_near_dup_lsh probes its level-1 bucket sizes and
+#     engages adaptive band refinement when saturated;
+# (d) ann_ivf_kmeans's probe core was extracted to _ivf_topk (shared
+#     with the new fit-once/probe-many surface) — pure extraction.
+# The remaining slots fall to the stalest never-re-confirmed greens.
+GATE_PRIORITY_R09: tuple[str, ...] = (
+    "sessionize_events", "window_lag_transitions", "event_transitions",
+    "event_run_islands", "scd2_user_value_bands", "asof_join_next_event",
+    "asof_join_last_purchase",
+    "simhash_near_dup", "embedding_near_dup_lsh",
+    "ann_ivf_kmeans",
+)
+
+
 GATE_PRIORITY_R08: tuple[str, ...] = (
     # plan-shape changes first. r8 late change: the dedup verify family
     # moved from exploded fan-out joins to in-task array_intersect over
@@ -348,7 +400,7 @@ def all_queries() -> dict[str, Query]:
     from osm2orc_spark.streaming import events  # noqa: F401
 
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
-    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R08)}
+    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R09)}
     # Staleness tier for verified re-confirmations: the round a query was
     # LAST driver-confirmed — oldest greens re-confirm first (r5 verdict
     # #7: "then never-re-confirmed r1 greens").
@@ -356,14 +408,14 @@ def all_queries() -> dict[str, Query]:
     for rnd, names in enumerate(
         (DRIVER_VERIFIED_R01, DRIVER_VERIFIED_R02, DRIVER_VERIFIED_R03,
          DRIVER_VERIFIED_R04, DRIVER_VERIFIED_R05, DRIVER_VERIFIED_R06,
-         DRIVER_VERIFIED_R07),
+         DRIVER_VERIFIED_R07, DRIVER_VERIFIED_R08),
         start=1,
     ):
         for n in names:
             last_confirmed[n] = rnd  # later rounds overwrite earlier ones
 
     def key(name: str) -> tuple[int, int, int]:
-        # The r8 priority list re-gates impl-touched queries first.
+        # The r9 priority list re-gates impl-touched queries first.
         if name in prio_index:
             return (0, prio_index[name], 0)
         no_oracle = REGISTRY[name].oracle is None

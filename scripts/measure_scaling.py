@@ -934,6 +934,62 @@ def main_streaming_micro() -> None:
     spark.stop()
 
 
+def main_trigger_scaling() -> None:
+    """Trigger-width scaling for the streaming paths (r8 verdict #6):
+    the streaming_xl walls at maxFilesPerTrigger=1 price PER-MICRO-BATCH
+    fixed overhead (32 files -> 32 batches), not engine throughput.
+    This micro re-runs the watermarked shuffle agg (hourly rollup, the
+    r8 line) AND the applyInPandasWithState stateful kernel
+    (transitions) over the 4M-row xl_base twin at mFPT 1/8/32, one
+    timed pass after warm each, recording where the Arrow-batched
+    stateful path saturates."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.streaming.events import (
+        hourly_rollup_stream,
+        read_events_stream,
+        run_to_memory,
+        transitions_stream,
+    )
+
+    spark = get_spark(
+        app_name="measure_scaling_trigger",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = _build_xl_data(spark)
+    path = os.path.join(dirs["xl_base"], "events.parquet")
+    n_rows = spark.read.parquet(path).count()
+
+    def rollup(mfpt: int, tag: str):
+        ev = read_events_stream(spark, path, max_files_per_trigger=mfpt)
+        return run_to_memory(hourly_rollup_stream(ev), f"trig_roll_{tag}")
+
+    def transitions(mfpt: int, tag: str):
+        ev = read_events_stream(spark, path, max_files_per_trigger=mfpt)
+        steps = run_to_memory(
+            transitions_stream(ev), f"trig_trans_{tag}", output_mode="update"
+        )
+        return steps.groupBy("from_type", "to_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    for qname, builder in (("stream_hourly_rollup", rollup),
+                           ("stream_transitions", transitions)):
+        rec: dict = {"micro": "streaming_trigger_scaling", "round": 9,
+                     "query": qname, "xl_rep": XL_REP, "rows": n_rows}
+        for mfpt in (1, 8, 32):
+            wall = None
+            for i in range(2):  # warm + timed
+                t0 = time.perf_counter()
+                builder(mfpt, f"{qname}_{mfpt}_{i}").count()
+                wall = time.perf_counter() - t0
+            rec[f"mfpt{mfpt}_wall_sec"] = round(wall, 3)
+            rec[f"mfpt{mfpt}_rows_per_sec"] = round(n_rows / wall)
+        print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
 def main_components_micro() -> None:
     """Measure dedup_components' two physical strategies on the 40x XL
     twins: the default measured-edge-count switch (bounded driver
@@ -1120,6 +1176,7 @@ if __name__ == "__main__":
         "--streaming-micro",
         "--ann-micro",
         "--event-windows",
+        "--trigger-scaling",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -1140,6 +1197,8 @@ if __name__ == "__main__":
         main_ann_micro()
     elif "--event-windows" in args:
         main_event_windows()
+    elif "--trigger-scaling" in args:
+        main_trigger_scaling()
     elif "--skew" in args:
         main_skew()
     else:
