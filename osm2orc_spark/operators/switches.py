@@ -52,6 +52,17 @@ from osm2orc_spark.tables import load
 # wins locally by 1.5-3.5x on uniform data — is kept.
 HOT_KEY_ROWS = 100_000
 
+# Hybrid-split cap: with 1..HOT_KEY_MAX_LIST hot keys the window family
+# runs a HYBRID plan — hot keys through the chunked split-and-stitch
+# spelling, everyone else through the single-exchange window plan, union
+# of the two (per-key windows make the split exact: disjoint key sets
+# compute independently).  The hot set rides as an `isin` scan predicate
+# (driver literals, no join).  Beyond the cap (only possible when
+# total_rows > cap * HOT_KEY_ROWS ~ 10^8 at the defaults, i.e. most of
+# the table is hot keys) the all-chunked spelling takes over — bounded
+# for EVERY key with no driver-side list at all.
+HOT_KEY_MAX_LIST = 1024
+
 # Corpus size above which simhash_near_dup switches to the EXACT
 # recursive-pigeonhole refinement.  The 4x12-bit banding holds
 # 4096 values per chunk position, so at n docs the MEAN bucket size is
@@ -63,7 +74,7 @@ HOT_KEY_ROWS = 100_000
 # 4096 * SIMHASH_BUCKET_CAP(=256) = 2^20.
 SIMHASH_REFINE_MIN_DOCS = 4096 * 256
 
-_PROBE_CACHE: dict[tuple[str, str], int] = {}
+_PROBE_CACHE: dict[tuple[str, str], int | tuple[int, ...]] = {}
 
 
 def probe_cache_clear() -> None:
@@ -102,6 +113,51 @@ def max_key_rows(
         return row["m"] or 0
 
     return cached_probe(sf_dir, f"max_key_rows:{table}:{key}", _compute)
+
+
+def hot_key_list(
+    spark: SparkSession, sf_dir: str, table: str = "events", key: str = "user_id"
+) -> tuple[int, ...]:
+    """The keys of ``table`` holding more than HOT_KEY_ROWS rows, capped
+    at HOT_KEY_MAX_LIST + 1 entries (the +1 lets callers detect
+    overflow and fall back to the all-chunked plan).  Same single
+    narrow-scan probe shape as :func:`max_key_rows`; memoized per
+    (dir, threshold) — the threshold is part of the cache key because
+    tests monkeypatch it."""
+    threshold = HOT_KEY_ROWS
+    probe = f"hot_keys:{table}:{key}:{threshold}"
+    cache_key = _cache_key(sf_dir, probe)
+    if cache_key not in _PROBE_CACHE:
+        rows = (
+            load(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > threshold)
+            .select(key)
+            .limit(HOT_KEY_MAX_LIST + 1)
+            .collect()
+        )
+        _PROBE_CACHE[cache_key] = tuple(sorted(r[key] for r in rows))
+    return _PROBE_CACHE[cache_key]
+
+
+def window_strategy(
+    spark: SparkSession, sf_dir: str, table: str = "events", key: str = "user_id"
+) -> tuple[str, tuple[int, ...]]:
+    """The per-key window family's three-level strategy pick:
+
+    - ``("window", ())``  — no hot key; the r8 single-exchange plan.
+    - ``("hybrid", hot)`` — 1..HOT_KEY_MAX_LIST hot keys; split on the
+      key set, chunked for hot / window for the rest, union (exact).
+    - ``("chunked", ())`` — more hot keys than the list cap; every key
+      takes the bounded split-and-stitch plan.
+    """
+    hot = hot_key_list(spark, sf_dir, table, key)
+    if not hot:
+        return ("window", ())
+    if len(hot) > HOT_KEY_MAX_LIST:
+        return ("chunked", ())
+    return ("hybrid", hot)
 
 
 def table_rows(spark: SparkSession, sf_dir: str, table: str) -> int:

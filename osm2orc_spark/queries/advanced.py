@@ -56,17 +56,28 @@ DEC = "decimal(18,2)"
     "carried row. The naive range join (oracle SQL) is quadratic per key; "
     "the union+window plan is the 100 TB path and is how as-of joins are "
     "done in production Spark (same shape as flint/pandas merge_asof). "
-    "Auto-switches to the proven-identical chunked spelling when the "
-    "hot-key probe exceeds HOT_KEY_ROWS (r8 verdict #1; 3.0x hot-user "
-    "blow-up in xl_event_windows).",
+    "Hot keys auto-route to the proven-identical chunked spelling (r8 "
+    "verdict #1; 3.0x hot-user blow-up in xl_event_windows); bounded "
+    "hot sets split hybrid — the carry is per-user, union exact.",
     tags=("join", "asof"),
 )
 def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2orc_spark.operators import switches
 
-    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
-        return asof_join_last_purchase_chunked(spark, sf_dir)
+    strategy, hot = switches.window_strategy(spark, sf_dir)
     ev = load(spark, sf_dir, "events")
+    if strategy == "window":
+        return _asof_last_window_core(ev)
+    if strategy == "chunked":
+        return _asof_last_chunked_core(ev, None)
+    return _asof_last_window_core(
+        ev.filter(~F.col("user_id").isin(*hot))
+    ).unionByName(
+        _asof_last_chunked_core(ev.filter(F.col("user_id").isin(*hot)), None)
+    )
+
+
+def _asof_last_tagged(ev: DataFrame) -> DataFrame:
     # side 0 = purchase (sorts before an event at the same ts, making the
     # join inclusive: purchase.ts <= event.ts); within equal (ts, side),
     # event_id ascending makes "last" = max event_id — the oracle tie-break.
@@ -80,12 +91,17 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("purchase_id"),
         "event_id",
     )
+    return purchases.unionByName(others)
+
+
+def _asof_last_window_core(ev: DataFrame) -> DataFrame:
+    """The r8 registered union+window plan, parameterized over input."""
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "side", F.coalesce("purchase_id", "event_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    tagged = purchases.unionByName(others).select(
+    tagged = _asof_last_tagged(ev).select(
         "*",
         F.last("purchase_id", ignorenulls=True).over(w).alias("asof_purchase_id"),
         F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
@@ -1267,31 +1283,25 @@ def order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_join_last_purchase_chunked(
     spark: SparkSession, sf_dir: str, chunk_ms: int | None = None
 ) -> DataFrame:
-    """Split-and-stitch twin of ``asof_join_last_purchase`` (late r8,
-    NOT registered — frozen registry): the union+window as-of's
-    unbounded carry window blew up 3.0x on the 2x10^6-row hot user
-    (`xl_event_windows` in SCALING_SKEW.jsonl); ``chunked_running_last``
-    computes the identical carry with every window bounded (in-chunk
-    running last + nearest prior nonempty chunk carry over the bounded
-    summary).  Output proven identical at sf0.01 and on the xl_hot
-    twin."""
+    """Split-and-stitch twin of ``asof_join_last_purchase`` — since r9
+    the registered query's own hot path (per-key routing via
+    operators/switches.py): the union+window as-of's unbounded carry
+    window blew up 3.0x on the 2x10^6-row hot user (`xl_event_windows`
+    in SCALING_SKEW.jsonl); ``chunked_running_last`` computes the
+    identical carry with every window bounded (in-chunk running last +
+    nearest prior nonempty chunk carry over the bounded summary).
+    Output proven identical at sf0.01 and on the xl_hot twin."""
+    ev = load(spark, sf_dir, "events")
+    return _asof_last_chunked_core(ev, chunk_ms)
+
+
+def _asof_last_chunked_core(ev: DataFrame, chunk_ms: int | None) -> DataFrame:
     from osm2orc_spark.operators.chunked import (
         DEFAULT_CHUNK_MS,
         chunked_running_last,
     )
 
-    ev = load(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(0).alias("side"),
-        F.col("event_id").alias("purchase_id"),
-        F.lit(None).cast("bigint").alias("event_id"),
-    )
-    others = ev.filter(F.col("event_type") != "purchase").select(
-        "user_id", "ts", F.lit(1).alias("side"),
-        F.lit(None).cast("bigint").alias("purchase_id"),
-        "event_id",
-    )
-    tagged = purchases.unionByName(others).select(
+    tagged = _asof_last_tagged(ev).select(
         "*",
         F.coalesce("purchase_id", "event_id").alias("oid"),
         F.when(F.col("side") == 0, F.col("ts")).alias("p_ts"),

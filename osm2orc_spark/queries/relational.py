@@ -469,24 +469,54 @@ def array_agg_sorted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Window lag + transition matrix (C25) — the README's "
     "'count tag additions, not edits' window idiom. One shuffle on "
-    "user_id serves both the window and the downstream agg. "
-    "Auto-switches to the proven-identical chunked split-and-stitch "
-    "spelling when the hot-key probe exceeds HOT_KEY_ROWS (r8 verdict "
-    "#1; measured 5.9x hot-user blow-up in xl_event_windows).",
+    "user_id serves both the window and the downstream agg. Hot keys "
+    "auto-route to the proven-identical chunked lag (r8 verdict #1; "
+    "measured 5.9x hot-user blow-up in xl_event_windows): bounded hot "
+    "sets split HYBRID at the lag frame — hot keys chunked, the rest "
+    "windowed, one global count over the union.",
     tags=("relational", "window"),
 )
 def window_lag_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osm2orc_spark.operators import switches
-
-    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
-        return window_lag_transitions_chunked(spark, sf_dir)
-    ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = lag_type_frame(spark, sf_dir)
     return (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
+        lagged.filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("curr_type"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def lag_type_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user-stream lag) rows ``(prev_type, event_type)`` for every
+    event, computed by the picked window strategy — shared by
+    window_lag_transitions and sequences.event_transitions (identical
+    lag, different output aliases/ordering).  The per-row lag is
+    key-local, so the hybrid union is exact at the FRAME level and any
+    downstream aggregate over it is exact too."""
+    from osm2orc_spark.operators import switches
+    from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS, chunked_prev
+
+    strategy, hot = switches.window_strategy(spark, sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def _window_lag(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lag("event_type").over(w).alias("prev_type"), "event_type"
+        )
+
+    def _chunked_lag(df: DataFrame) -> DataFrame:
+        return chunked_prev(
+            df, "user_id", ["event_type"], ("ts", "event_id"), DEFAULT_CHUNK_MS
+        ).select(F.col("prev_event_type").alias("prev_type"), "event_type")
+
+    if strategy == "window":
+        return _window_lag(ev)
+    if strategy == "chunked":
+        return _chunked_lag(ev)
+    return _window_lag(ev.filter(~F.col("user_id").isin(*hot))).unionByName(
+        _chunked_lag(ev.filter(F.col("user_id").isin(*hot)))
     )
 
 
@@ -736,18 +766,36 @@ def top3_items_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Sessionization: lag-gap detection (30 min) + running-sum session "
     "ids + per-session agg. All three steps share one hash partitioning "
-    "on user_id — one shuffle total. Auto-switches to the proven-"
-    "identical split-and-stitch spelling when the hot-key probe exceeds "
-    "HOT_KEY_ROWS (r8 verdict #1; 2.9x faster outright on the 2e6-row "
-    "hot-user twin, sessionize_chunked_xl_identity).",
+    "on user_id — one shuffle total. Hot keys auto-route to the proven-"
+    "identical split-and-stitch spelling (r8 verdict #1): a memoized "
+    "probe lists keys over HOT_KEY_ROWS; with a bounded hot set the plan "
+    "is a HYBRID — hot keys chunked, everyone else on the window plan, "
+    "union (exact: per-key windows compute independently on disjoint "
+    "key sets) — so only the straggler keys pay the chunked premium.",
     tags=("relational", "window"),
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2orc_spark.operators import switches
 
-    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
+    strategy, hot = switches.window_strategy(spark, sf_dir)
+    if strategy == "chunked":
         return sessionize_events_chunked(spark, sf_dir)
     ev = load(spark, sf_dir, "events")
+    if strategy == "window":
+        return _sessionize_window(ev)
+    return _sessionize_window(
+        ev.filter(~F.col("user_id").isin(*hot))
+    ).unionByName(
+        sessionize_events_chunked(
+            spark, sf_dir, ev=ev.filter(F.col("user_id").isin(*hot))
+        )
+    )
+
+
+def _sessionize_window(ev: DataFrame) -> DataFrame:
+    """The single-exchange window spelling of sessionization (the r8
+    registered plan, now parameterized over its input for the hybrid
+    split)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis("ts")
     flagged = ev.withColumn(
@@ -770,7 +818,10 @@ SESSION_CHUNK_MS = 3_600_000  # split-and-stitch time-range width (1 h)
 
 
 def sessionize_events_chunked(
-    spark: SparkSession, sf_dir: str, chunk_ms: int = SESSION_CHUNK_MS
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_ms: int = SESSION_CHUNK_MS,
+    ev: DataFrame | None = None,
 ) -> DataFrame:
     """Split-and-stitch sessionization — output PROVEN identical to the
     registered ``sessionize_events`` (r7 verdict #1), with the hot-user
@@ -821,8 +872,12 @@ def sessionize_events_chunked(
     adversarial synthetic seams, and on the xl_event twin by
     scripts/measure_scaling.py --skew-xl (bit-identical check recorded
     in SCALING_SKEW.jsonl).
+
+    ``ev`` overrides the events input — the hybrid strategy passes the
+    hot-key slice here (per-key independence makes the split exact).
     """
-    ev = load(spark, sf_dir, "events")
+    if ev is None:
+        ev = load(spark, sf_dir, "events")
     ms = F.unix_millis("ts")
     # floor(ms / chunk_ms) in double is exact here: the quotient is far
     # below 2^53 and a non-integer true quotient sits >= 1/chunk_ms away

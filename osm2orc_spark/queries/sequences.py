@@ -66,21 +66,17 @@ _SEQ_KEY_SQL = "printf('%020d-%012d', epoch_us(ts), event_id)"
     "stream (lag window on (ts, event_id) order, then a global "
     "(from, to) count). One user_id shuffle for the window; the "
     "transition matrix is |types|^2 rows with map-side partial counts. "
-    "Auto-switches to the chunked split-and-stitch lag when the "
-    "hot-key probe exceeds HOT_KEY_ROWS (r8 verdict #1 — same "
-    "unbounded-lag shape as window_lag_transitions).",
+    "Hot keys auto-route to the chunked split-and-stitch lag (r8 "
+    "verdict #1 — same unbounded-lag shape as window_lag_transitions; "
+    "bounded hot sets split hybrid at the shared lag frame).",
     tags=("sequence", "window"),
 )
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osm2orc_spark.operators import switches
+    from osm2orc_spark.queries.relational import lag_type_frame
 
-    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
-        return event_transitions_chunked(spark, sf_dir)
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
+    seq = lag_type_frame(spark, sf_dir).select(
+        F.col("prev_type").alias("from_type"),
         F.col("event_type").alias("to_type"),
-        F.lag("event_type").over(w).alias("from_type"),
     )
     return (
         seq.filter(F.col("from_type").isNotNull())
@@ -159,18 +155,30 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gaps-and-islands: maximal runs of consecutive same-type events "
     "per user (difference of two row_numbers = island id), keeping runs "
     "of length >= 3. Both windows share the user_id partitioning, so "
-    "Catalyst plans ONE exchange and two sorts within it. Auto-switches "
-    "to the proven-identical chunked spelling when the hot-key probe "
-    "exceeds HOT_KEY_ROWS (r8 verdict #1; 5.2x hot-user blow-up in "
-    "xl_event_windows).",
+    "Catalyst plans ONE exchange and two sorts within it. Hot keys "
+    "auto-route to the proven-identical chunked spelling (r8 verdict "
+    "#1; 5.2x hot-user blow-up in xl_event_windows); bounded hot sets "
+    "split hybrid — runs are per-user, so the union is exact.",
     tags=("sequence", "window"),
 )
 def event_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2orc_spark.operators import switches
 
-    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
-        return event_run_islands_chunked(spark, sf_dir)
+    strategy, hot = switches.window_strategy(spark, sf_dir)
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    if strategy == "window":
+        core = _islands_window_core(ev)
+    elif strategy == "chunked":
+        core = _islands_chunked_core(ev, None)
+    else:
+        core = _islands_window_core(
+            ev.filter(~F.col("user_id").isin(*hot))
+        ).unionByName(_islands_chunked_core(ev.filter(F.col("user_id").isin(*hot)), None))
+    return core.orderBy("user_id", "run_start", "first_event_id")
+
+
+def _islands_window_core(ev: DataFrame) -> DataFrame:
+    """rn-diff islands (the r8 registered plan), sans final sort."""
     w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_typ = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     marked = ev.withColumn(
@@ -185,7 +193,6 @@ def event_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("run_len") >= 3)
         .select("user_id", "event_type", "run_len", "run_start", "first_event_id")
-        .orderBy("user_id", "run_start", "first_event_id")
     )
 
 
@@ -223,20 +230,34 @@ def event_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "places the purchase before its same-ts events in scan order). Same "
     "union-scan shape as asof_join_last_purchase reversed — one user_id "
     "shuffle, no join explosion. Twin of queries/advanced.py's backward "
-    "variant; together they cover both as-of directions. Auto-switches "
-    "to the proven-identical chunked spelling when the hot-key probe "
-    "exceeds HOT_KEY_ROWS (r8 verdict #1; 5.0x hot-user blow-up in "
-    "xl_event_windows).",
+    "variant; together they cover both as-of directions. Hot keys "
+    "auto-route to the proven-identical chunked spelling (r8 verdict "
+    "#1; 5.0x hot-user blow-up in xl_event_windows); bounded hot sets "
+    "split hybrid — the as-of carry is per-user, so the union is "
+    "exact.",
     tags=("sequence", "asof", "window"),
 )
 def asof_join_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2orc_spark.operators import switches
 
-    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
-        return asof_join_next_event_chunked(spark, sf_dir)
+    strategy, hot = switches.window_strategy(spark, sf_dir)
     ev = load(spark, sf_dir, "events")
+    if strategy == "window":
+        core = _asof_next_window_core(ev)
+    elif strategy == "chunked":
+        core = _asof_next_chunked_core(ev, None)
+    else:
+        core = _asof_next_window_core(
+            ev.filter(~F.col("user_id").isin(*hot))
+        ).unionByName(
+            _asof_next_chunked_core(ev.filter(F.col("user_id").isin(*hot)), None)
+        )
+    return core.orderBy("purchase_id")
+
+
+def _asof_next_tagged(ev: DataFrame) -> DataFrame:
     is_p = (F.col("event_type") == "purchase").cast("int")
-    tagged = ev.select(
+    return ev.select(
         "user_id",
         "ts",
         "event_id",
@@ -244,6 +265,11 @@ def asof_join_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") != "purchase", F.col("event_id")).alias("e_id"),
         F.when(F.col("event_type") != "purchase", F.col("ts")).alias("e_ts"),
     )
+
+
+def _asof_next_window_core(ev: DataFrame) -> DataFrame:
+    """The r8 registered union-scan plan, sans final sort."""
+    tagged = _asof_next_tagged(ev)
     w = (
         W.partitionBy("user_id")
         .orderBy(F.desc("ts"), F.desc("is_p"), F.desc("event_id"))
@@ -266,7 +292,6 @@ def asof_join_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_event_id",
             "next_event_ts",
         )
-        .orderBy("purchase_id")
     )
 
 
@@ -565,18 +590,28 @@ def weekly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plans ONE exchange for the whole derivation; the change-point "
     "filter shrinks the stream before the second (lead) window sorts "
     "it. At 100 TB this is the standard dimension-history load: shuffle "
-    "once by the dimension key, never globally. Auto-switches to the "
-    "proven-identical chunked spelling when the hot-key probe exceeds "
-    "HOT_KEY_ROWS (r8 verdict #1; 5.0x hot-user blow-up in "
-    "xl_event_windows).",
+    "once by the dimension key, never globally. Hot keys auto-route to "
+    "the proven-identical chunked spelling (r8 verdict #1; 5.0x "
+    "hot-user blow-up in xl_event_windows); bounded hot sets split "
+    "hybrid — intervals are per-user, so the union is exact.",
     tags=("sequence", "window"),
 )
 def scd2_user_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2orc_spark.operators import switches
 
-    if switches.max_key_rows(spark, sf_dir) > switches.HOT_KEY_ROWS:
-        return scd2_user_value_bands_chunked(spark, sf_dir)
-    ev = load(spark, sf_dir, "events").select(
+    strategy, hot = switches.window_strategy(spark, sf_dir)
+    ev = _scd2_banded(load(spark, sf_dir, "events"))
+    if strategy == "window":
+        return _scd2_window_core(ev)
+    if strategy == "chunked":
+        return _scd2_chunked_core(ev, None)
+    return _scd2_window_core(
+        ev.filter(~F.col("user_id").isin(*hot))
+    ).unionByName(_scd2_chunked_core(ev.filter(F.col("user_id").isin(*hot)), None))
+
+
+def _scd2_banded(ev: DataFrame) -> DataFrame:
+    return ev.select(
         "user_id",
         "ts",
         "event_id",
@@ -585,6 +620,10 @@ def scd2_user_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
         .alias("band"),
     )
+
+
+def _scd2_window_core(ev: DataFrame) -> DataFrame:
+    """The r8 registered lag/lead interval build over pre-banded rows."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
@@ -654,6 +693,13 @@ def event_run_islands_chunked(
     key of the registered spelling is replaced by run_id =
     running_sum(type != prev_type), which induces the SAME grouping —
     the output never exposes the key, only per-run aggregates."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return _islands_chunked_core(ev, chunk_ms).orderBy(
+        "user_id", "run_start", "first_event_id"
+    )
+
+
+def _islands_chunked_core(ev: DataFrame, chunk_ms: int | None) -> DataFrame:
     from osm2orc_spark.operators.chunked import (
         DEFAULT_CHUNK_MS,
         chunked_prev,
@@ -661,7 +707,6 @@ def event_run_islands_chunked(
     )
 
     cm = chunk_ms or DEFAULT_CHUNK_MS
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     d = chunked_prev(ev, "user_id", ["event_type"], ("ts", "event_id"), cm)
     d = d.withColumn(
         "_new_run",
@@ -681,7 +726,6 @@ def event_run_islands_chunked(
         )
         .filter(F.col("run_len") >= 3)
         .select("user_id", "event_type", "run_len", "run_start", "first_event_id")
-        .orderBy("user_id", "run_start", "first_event_id")
     )
 
 
@@ -691,21 +735,17 @@ def asof_join_next_event_chunked(
     """Forward as-of via chunked running last over the DESC scan: the
     carry-in from later chunks replaces the unbounded ignore-nulls
     window."""
+    ev = load(spark, sf_dir, "events")
+    return _asof_next_chunked_core(ev, chunk_ms).orderBy("purchase_id")
+
+
+def _asof_next_chunked_core(ev: DataFrame, chunk_ms: int | None) -> DataFrame:
     from osm2orc_spark.operators.chunked import (
         DEFAULT_CHUNK_MS,
         chunked_running_last,
     )
 
-    ev = load(spark, sf_dir, "events")
-    is_p = (F.col("event_type") == "purchase").cast("int")
-    tagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        is_p.alias("is_p"),
-        F.when(F.col("event_type") != "purchase", F.col("event_id")).alias("e_id"),
-        F.when(F.col("event_type") != "purchase", F.col("ts")).alias("e_ts"),
-    )
+    tagged = _asof_next_tagged(ev)
     d = chunked_running_last(
         tagged,
         "user_id",
@@ -723,7 +763,6 @@ def asof_join_next_event_chunked(
             F.col("run_e_id").alias("next_event_id"),
             F.col("run_e_ts").alias("next_event_ts"),
         )
-        .orderBy("purchase_id")
     )
 
 
@@ -736,6 +775,11 @@ def scd2_user_value_bands_chunked(
     chunked_prev over the DESC order — the change stream is usually
     tiny, but a band-flapping hot user makes it the same straggler, so
     it gets the same treatment."""
+    ev = _scd2_banded(load(spark, sf_dir, "events"))
+    return _scd2_chunked_core(ev, chunk_ms)
+
+
+def _scd2_chunked_core(ev: DataFrame, chunk_ms: int | None) -> DataFrame:
     from osm2orc_spark.operators.chunked import (
         DEFAULT_CHUNK_MS,
         chunked_prev,
@@ -743,15 +787,6 @@ def scd2_user_value_bands_chunked(
     )
 
     cm = chunk_ms or DEFAULT_CHUNK_MS
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(F.col("value") < 20, "low")
-        .when(F.col("value") < 60, "mid")
-        .otherwise("high")
-        .alias("band"),
-    )
     d = chunked_prev(ev, "user_id", ["band"], ("ts", "event_id"), cm)
     d = chunked_running_sum(d, "user_id", F.lit(1), "rn", ("ts", "event_id"), cm)
     n_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user"))

@@ -149,6 +149,7 @@ def _extra_fns() -> dict:
     from osm2orc_spark.queries.sequences import (
         asof_join_next_event_chunked,
         event_run_islands_chunked,
+        event_transitions_chunked,
         scd2_user_value_bands_chunked,
     )
 
@@ -156,6 +157,7 @@ def _extra_fns() -> dict:
         "sessionize_events_chunked": sessionize_events_chunked,
         "window_lag_transitions_chunked": window_lag_transitions_chunked,
         "event_run_islands_chunked": event_run_islands_chunked,
+        "event_transitions_chunked": event_transitions_chunked,
         "asof_join_next_event_chunked": asof_join_next_event_chunked,
         "scd2_user_value_bands_chunked": scd2_user_value_bands_chunked,
         "asof_join_last_purchase_chunked": asof_join_last_purchase_chunked,
@@ -168,6 +170,7 @@ def _extra_fns() -> dict:
 # chunked twins hold 0.81-1.30 (xl_event_windows* in SCALING_SKEW.jsonl).
 EVENT_WINDOW_PAIRS = [
     ("window_lag_transitions", "window_lag_transitions_chunked"),
+    ("event_transitions", "event_transitions_chunked"),
     ("event_run_islands", "event_run_islands_chunked"),
     ("asof_join_next_event", "asof_join_next_event_chunked"),
     ("scd2_user_value_bands", "scd2_user_value_bands_chunked"),
@@ -179,7 +182,16 @@ def main_event_windows() -> None:
     """Reproduce the xl_event_windows + xl_event_windows_chunked record:
     walls (warm + XL_PASSES, min) on both XL event twins for every
     registered per-user window query and its chunked twin, plus a
-    row-identity check of each pair on the xl_hot twin."""
+    row-identity check of each pair on the xl_hot twin.
+
+    r9: the REGISTERED queries now auto-switch to the chunked spelling
+    when the max-rows-per-key probe exceeds switches.HOT_KEY_ROWS
+    (r8 verdict #1) — each record carries the strategy that actually
+    ran (the probe is memoized, so the warm pass pays it once per twin;
+    timed passes are probe-free, the steady-state a probe-once/run-many
+    deployment sees)."""
+    from osm2orc_spark.operators import switches
+
     spark = get_spark(
         app_name="measure_scaling_event_windows",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -188,11 +200,17 @@ def main_event_windows() -> None:
     dirs = _build_xl_data(spark)
     qs = all_queries()
     extra = _extra_fns()
+    engaged = {
+        mode: switches.window_strategy(spark, dirs[mode])[0]
+        for mode in ("xl_base", "xl_hot")
+    }
     for reg_name, chk_name in EVENT_WINDOW_PAIRS:
         for name in (reg_name, chk_name):
             fn = qs[name].fn if name in qs else extra[name]
             rec = {"micro": "xl_event_windows" + ("_chunked" if name == chk_name else ""),
-                   "round": 8, "query": name, "xl_rep": XL_REP}
+                   "round": 9, "query": name, "xl_rep": XL_REP}
+            if name == reg_name:
+                rec["strategy"] = dict(engaged)
             walls = {}
             for mode in ("xl_base", "xl_hot"):
                 w = []
@@ -215,7 +233,7 @@ def main_event_windows() -> None:
         )
         print(
             json.dumps(
-                {"micro": "xl_event_windows_identity", "round": 8,
+                {"micro": "xl_event_windows_identity", "round": 9,
                  "pair": reg_name, "rows": n_reg, "identical": same}
             ),
             flush=True,
@@ -877,6 +895,131 @@ def main_ann_micro() -> None:
     spark.stop()
 
 
+def main_banding_xl() -> None:
+    """r9 (r8 verdict #1a/#1b done-criteria): run the REGISTERED banding
+    queries to completion in the regimes where their r8 spellings
+    failed or would fail, now that the strategy switches are wired in:
+
+    - ``embedding_near_dup_lsh`` on the 800k-vector twin — the r8
+      registered spelling DNF'd in 590 s there (1.19e10 join rows,
+      ``lsh_bucket_saturation``); the probe now engages adaptive band
+      refinement automatically.  One timed pass (the r8 refined record
+      was one-pass too).
+    - ``simhash_near_dup`` on a 2.2M-doc coincidence-regime twin (tiny
+      8-random-token docs -> uniform signatures; n >> 4096*cap, the
+      regime where the fixed banding is Theta(n^2/4096): 1.95e9
+      candidate pairs analytic at 2e6 signatures) — the probe now
+      engages the exact recursive pigeonhole.
+
+    Plus the fit-once/probe-many record (r8 verdict #4): build the
+    IVF/IVF-PQ index ONCE on the 800k twin, then time the prebuilt
+    probes — the fused r8 walls (12.2 s / 24.3 s) were dominated by
+    per-call fits this split amortizes away."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators import switches
+    from osm2orc_spark.operators.ann_index import (
+        ann_build_index,
+        ann_ivf_probe_prebuilt,
+        ann_ivfpq_probe_prebuilt,
+    )
+
+    spark = get_spark(
+        app_name="measure_scaling_banding",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    only = {q for q in os.environ.get("BANDING_ONLY", "").split(",") if q}
+
+    if not only or "lsh" in only:
+        emb_dir = _build_xl_embeddings(spark)
+        t0 = time.perf_counter()
+        n = qs["embedding_near_dup_lsh"].fn(spark, emb_dir).count()
+        wall = time.perf_counter() - t0
+        probe = switches._PROBE_CACHE.get(
+            (os.path.abspath(emb_dir), "lsh_max_bucket")
+        )
+        print(json.dumps({
+            "micro": "lsh_registered_xl", "round": 9, "emb_rep": EMB_REP,
+            "vectors": 2000 * EMB_REP, "wall_sec": round(wall, 3),
+            "out_rows": n, "max_bucket_probe": probe,
+            "strategy": "refined" if (probe or 0) > 256 else "banded",
+            "note": "REGISTERED query, one pass — the r8 registered "
+                    "spelling DNF'd in 590s on this twin "
+                    "(lsh_bucket_saturation)",
+        }), flush=True)
+
+    if not only or "ann" in only:
+        emb_dir = _build_xl_embeddings(spark)
+        t0 = time.perf_counter()
+        idx_ivf = ann_build_index(spark, emb_dir, kind="ivf")
+        build_ivf = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idx_pq = ann_build_index(spark, emb_dir, kind="ivfpq")
+        build_pq = time.perf_counter() - t0
+        for name, fn, build in (
+            ("ann_ivf_probe_prebuilt",
+             lambda: ann_ivf_probe_prebuilt(spark, emb_dir, idx_ivf), build_ivf),
+            ("ann_ivfpq_probe_prebuilt",
+             lambda: ann_ivfpq_probe_prebuilt(spark, emb_dir, idx_pq), build_pq),
+        ):
+            walls = []
+            n = 0
+            for _ in range(XL_PASSES + 1):  # warm + timed
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = fn().count()
+                walls.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "micro": "ann_prebuilt_xl", "round": 9, "emb_rep": EMB_REP,
+                "vectors": 2000 * EMB_REP, "query": name,
+                "build_once_sec": round(build, 3),
+                "probe_wall_min_sec": round(min(walls[1:]), 3),
+                "out_rows": n,
+            }), flush=True)
+
+    if not only or "simhash" in only:
+        n_docs = int(os.environ.get("SIMHASH_XL_DOCS", "2200000"))
+        twin = os.path.join(SKEW_DIR, f"simhash_coin_{n_docs}")
+        marker = os.path.join(twin, "_BUILT")
+        if not os.path.exists(marker):
+            os.makedirs(twin, exist_ok=True)
+            toks = [
+                F.substring(
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{j}"))),
+                    1, 8,
+                )
+                for j in range(8)
+            ]
+            spark.range(n_docs).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", *toks).alias("text"),
+                F.lit("xx").alias("lang"),
+                F.lit("synthetic").alias("source"),
+                F.lit(71).alias("n_chars"),
+            ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(twin, "documents.parquet"))
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        t0 = time.perf_counter()
+        n = qs["simhash_near_dup"].fn(spark, twin).count()
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "micro": "simhash_registered_xl", "round": 9, "docs": n_docs,
+            "wall_sec": round(wall, 3), "out_rows": n,
+            "strategy": "refined"
+            if n_docs > switches.SIMHASH_REFINE_MIN_DOCS else "banded",
+            "note": "REGISTERED query, one pass, coincidence-dominated "
+                    "regime (uniform random signatures, n >> 4096*cap; "
+                    "registered banding is Theta(n^2/4096) here — 1.95e9 "
+                    "candidate pairs analytic at 2e6 signatures, "
+                    "simhash_coincidence_regime)",
+        }), flush=True)
+    spark.stop()
+
+
 def main_streaming_micro() -> None:
     """Measure the Structured Streaming surface on the 40x XL event
     twins (4M rows; xl_hot holds 2M rows on ONE user) — the one runtime
@@ -1177,6 +1320,7 @@ if __name__ == "__main__":
         "--ann-micro",
         "--event-windows",
         "--trigger-scaling",
+        "--banding-xl",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -1199,6 +1343,8 @@ if __name__ == "__main__":
         main_event_windows()
     elif "--trigger-scaling" in args:
         main_trigger_scaling()
+    elif "--banding-xl" in args:
+        main_banding_xl()
     elif "--skew" in args:
         main_skew()
     else:

@@ -218,3 +218,33 @@ class TestAnnIndexSurface:
         df.write.parquet(out)
         back = index_from_df(spark.read.parquet(out))
         assert back == idx
+
+
+@pytest.mark.parametrize("name", WINDOW_FAMILY)
+def test_window_family_hybrid_identity(spark, sf_correctness, name, monkeypatch):
+    """TRUE hybrid: pick a threshold that makes SOME keys hot and some
+    cold (the median per-user count), so the split+union path is
+    exercised with both branches nonempty — output must equal the
+    unbounded-window default exactly."""
+    from osm2orc_spark.registry import all_queries
+    from osm2orc_spark.tables import load
+
+    counts = sorted(
+        r["n"]
+        for r in load(spark, sf_correctness, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    med = counts[len(counts) // 2]
+    assert counts[0] <= med < counts[-1], "need a genuinely mixed split"
+    fn = all_queries()[name].fn
+    base = fn(spark, sf_correctness)  # default threshold: pure window
+    base_n = base.count()
+    monkeypatch.setattr(switches, "HOT_KEY_ROWS", int(med))
+    strategy, hot = switches.window_strategy(spark, sf_correctness)
+    assert strategy == "hybrid" and 0 < len(hot) < len(counts)
+    hybrid = fn(spark, sf_correctness)
+    assert base_n == hybrid.count()
+    assert base.exceptAll(hybrid.select(*base.columns)).count() == 0
+    assert hybrid.select(*base.columns).exceptAll(base).count() == 0
