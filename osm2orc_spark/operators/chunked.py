@@ -116,6 +116,59 @@ def chunked_prev(
     return out.drop("_ms", "_chunk", "_rn")
 
 
+def chunked_prev_and_rn(
+    df: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    order_cols: tuple = ("ts", "event_id"),
+    chunk_ms: int = DEFAULT_CHUNK_MS,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """``chunked_prev`` + row_number in ONE pass: df + ``prev_<col>``
+    for each value col (== lag over the unbounded per-key window) AND
+    ``rn_col`` (== row_number over the same window) — one event-level
+    window pass, one bounded summary, one join, where composing the two
+    primitives would pay two of each (measured: the scd2 chunked core's
+    two-pass spelling held a 2.08x hot ratio at XL; the fusion is the
+    cure).  Ascending order only (row_number has no desc use here)."""
+    d = _with_chunk(df, order_cols[0], chunk_ms, False)
+    wl = W.partitionBy(key_col, "_chunk").orderBy(*_order(order_cols, False))
+    out = d.withColumn("_rn", F.row_number().over(wl))
+    for c in value_cols:
+        out = out.withColumn(f"_inprev_{c}", F.lag(c).over(wl))
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    # value wrapped in a struct so a genuinely-NULL last value is still
+    # carried (max_by skips NULL values, never NULL structs)
+    aggs += [
+        F.max_by(F.struct(F.col(c)), ord_struct)[c].alias(f"_last_{c}")
+        for c in value_cols
+    ]
+    summ = d.groupBy(key_col, "_chunk").agg(*aggs)
+    wc = W.partitionBy(key_col).orderBy("_chunk")
+    sel = [
+        F.col(key_col),
+        F.col("_chunk"),
+        F.coalesce(
+            F.sum("_cnt").over(wc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("_off"),
+    ]
+    sel += [F.lag(f"_last_{c}").over(wc).alias(f"_carry_{c}") for c in value_cols]
+    summ = summ.select(*sel)
+    out = out.join(summ, [key_col, "_chunk"], "left")
+    for c in value_cols:
+        out = out.withColumn(
+            f"prev_{c}",
+            F.when(F.col("_rn") == 1, F.col(f"_carry_{c}")).otherwise(
+                F.col(f"_inprev_{c}")
+            ),
+        ).drop(f"_inprev_{c}", f"_carry_{c}")
+    return (
+        out.withColumn(rn_col, F.col("_off") + F.col("_rn"))
+        .drop("_ms", "_chunk", "_rn", "_off")
+    )
+
+
 def chunked_running_sum(
     df: DataFrame,
     key_col: str,

@@ -700,32 +700,88 @@ def event_run_islands_chunked(
 
 
 def _islands_chunked_core(ev: DataFrame, chunk_ms: int | None) -> DataFrame:
-    from osm2orc_spark.operators.chunked import (
-        DEFAULT_CHUNK_MS,
-        chunked_prev,
-        chunked_running_sum,
-    )
+    """Fused split-and-stitch islands — the sessionize_events_chunked
+    dataflow with the type-equality fuse rule instead of the time-gap
+    rule: ONE event-level window pass (in-chunk lag + running sum share
+    the window), one groupBy down to local runs, the stitch/renumber
+    windows over the BOUNDED per-chunk summary, one join back.  The
+    r8 two-primitive composition (chunked_prev then chunked_running_sum)
+    paid two chunk passes + two summary joins and held a 3.3x hot ratio
+    at XL; this is the same math with the passes shared.
+
+    Exactness: a chunk's first local run fuses with the previous
+    nonempty chunk's last run iff their types match (runs are
+    consecutive-in-stream by construction — chunk ids are monotone in
+    (ts, event_id) order, equal-ts ties share a chunk), and the
+    renumber is the sessionize closed form: global id = prefix + local
+    id - fused with prefix = SUM(starts - fused) over prior chunks
+    (a fused-through chunk contributes 0).  Identity to the registered
+    rn-diff spelling is asserted at tiny chunk widths (many seams), in
+    the hybrid tests, and on the XL hot twin."""
+    from osm2orc_spark.operators.cache import release_with
+    from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS
 
     cm = chunk_ms or DEFAULT_CHUNK_MS
-    d = chunked_prev(ev, "user_id", ["event_type"], ("ts", "event_id"), cm)
-    d = d.withColumn(
-        "_new_run",
+    ms = F.unix_millis("ts")
+    evc = ev.withColumn("_chunk", F.floor(ms / F.lit(cm)).cast("bigint"))
+    wl = W.partitionBy("user_id", "_chunk").orderBy("ts", "event_id")
+    flagged = evc.withColumn("_prev", F.lag("event_type").over(wl)).withColumn(
+        "_f",
         F.when(
-            F.col("prev_event_type").isNull()
-            | (F.col("event_type") != F.col("prev_event_type")),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+            F.col("_prev").isNull() | (F.col("event_type") != F.col("_prev")), 1
+        ).otherwise(0),
     )
-    d = chunked_running_sum(d, "user_id", "_new_run", "_rid", ("ts", "event_id"), cm)
-    return (
-        d.groupBy("user_id", "event_type", "_rid")
+    local = flagged.withColumn(
+        "_lrid", F.sum("_f").over(wl.rowsBetween(W.unboundedPreceding, 0)).cast("bigint")
+    )
+    # One row per LOCAL run; persisted — it feeds both the stitch build
+    # and the final join (Catalyst does not dedup identical subtrees).
+    lruns = local.groupBy("user_id", "_chunk", "_lrid", "event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("ts").alias("_min_ts"),
+        F.min("event_id").alias("_min_eid"),
+    ).persist()
+    csum = lruns.groupBy("user_id", "_chunk").agg(
+        F.max("_lrid").alias("starts"),
+        F.min_by("event_type", "_lrid").alias("first_type"),
+        F.max_by("event_type", "_lrid").alias("last_type"),
+    )
+    wc = W.partitionBy("user_id").orderBy("_chunk")
+    stitched = csum.select(
+        "user_id",
+        "_chunk",
+        "starts",
+        # lag NULL (first nonempty chunk) -> condition NULL -> 0: no fuse.
+        F.when(F.col("first_type") == F.lag("last_type").over(wc), 1)
+        .otherwise(0)
+        .alias("fused"),
+    ).withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum(F.col("starts") - F.col("fused")).over(
+                wc.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    return release_with(
+        lruns.join(
+            stitched.select("user_id", "_chunk", "fused", "prefix"),
+            ["user_id", "_chunk"],
+        )
+        .groupBy(
+            "user_id",
+            "event_type",
+            (F.col("prefix") + F.col("_lrid") - F.col("fused")).alias("_rid"),
+        )
         .agg(
-            F.count(F.lit(1)).alias("run_len"),
-            F.min("ts").alias("run_start"),
-            F.min("event_id").alias("first_event_id"),
+            F.sum("_n").alias("run_len"),
+            F.min("_min_ts").alias("run_start"),
+            F.min("_min_eid").alias("first_event_id"),
         )
         .filter(F.col("run_len") >= 3)
-        .select("user_id", "event_type", "run_len", "run_start", "first_event_id")
+        .select("user_id", "event_type", "run_len", "run_start", "first_event_id"),
+        lruns,
     )
 
 
@@ -783,12 +839,13 @@ def _scd2_chunked_core(ev: DataFrame, chunk_ms: int | None) -> DataFrame:
     from osm2orc_spark.operators.chunked import (
         DEFAULT_CHUNK_MS,
         chunked_prev,
-        chunked_running_sum,
+        chunked_prev_and_rn,
     )
 
     cm = chunk_ms or DEFAULT_CHUNK_MS
-    d = chunked_prev(ev, "user_id", ["band"], ("ts", "event_id"), cm)
-    d = chunked_running_sum(d, "user_id", F.lit(1), "rn", ("ts", "event_id"), cm)
+    # prev_band + rn fused into one chunk pass / one summary join (the
+    # two-pass prev-then-running-sum spelling held a 2.08x hot ratio).
+    d = chunked_prev_and_rn(ev, "user_id", ["band"], ("ts", "event_id"), cm)
     n_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user"))
     changes = (
         d.filter(F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band")))
