@@ -836,21 +836,52 @@ def scd2_user_value_bands_chunked(
 
 
 def _scd2_chunked_core(ev: DataFrame, chunk_ms: int | None) -> DataFrame:
+    """Fully-fused chunked SCD2 front end: prev_band, the global row
+    number AND n_user all arrive through ONE chunk pass + ONE bounded
+    summary join — n_user is SUM(per-chunk counts) over the user's
+    summary rows, so the separate event-level groupBy + change-stream
+    join the two-primitive spelling paid (a full exchange each on
+    band-flappy data, where changes are most rows) disappears.  The
+    change-stream lead stays a chunked_prev over the DESC order."""
     from osm2orc_spark.operators.chunked import (
         DEFAULT_CHUNK_MS,
+        _with_chunk,
         chunked_prev,
-        chunked_prev_and_rn,
     )
 
     cm = chunk_ms or DEFAULT_CHUNK_MS
-    # prev_band + rn fused into one chunk pass / one summary join (the
-    # two-pass prev-then-running-sum spelling held a 2.08x hot ratio).
-    d = chunked_prev_and_rn(ev, "user_id", ["band"], ("ts", "event_id"), cm)
-    n_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user"))
-    changes = (
-        d.filter(F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band")))
-        .select("user_id", "band", F.col("ts").alias("valid_from"), "rn")
-        .join(n_user, "user_id")
+    d = _with_chunk(ev, "ts", cm, False)
+    wl = W.partitionBy("user_id", "_chunk").orderBy("ts", "event_id")
+    out = d.withColumn("_rn", F.row_number().over(wl)).withColumn(
+        "_inprev", F.lag("band").over(wl)
+    )
+    ord_struct = F.struct(F.col("ts"), F.col("event_id"))
+    summ = d.groupBy("user_id", "_chunk").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        # struct-wrapped so a NULL last value would still carry (bands
+        # are non-null here; kept for the primitive-parity argument)
+        F.max_by(F.struct(F.col("band")), ord_struct)["band"].alias("_last"),
+    )
+    wc = W.partitionBy("user_id").orderBy("_chunk")
+    summ = summ.select(
+        "user_id",
+        "_chunk",
+        F.coalesce(
+            F.sum("_cnt").over(wc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("_off"),
+        F.lag("_last").over(wc).alias("_carry"),
+        F.sum("_cnt").over(W.partitionBy("user_id")).alias("n_user"),
+    )
+    j = out.join(summ, ["user_id", "_chunk"], "left")
+    prev_band = F.when(F.col("_rn") == 1, F.col("_carry")).otherwise(
+        F.col("_inprev")
+    )
+    changes = j.filter(prev_band.isNull() | (F.col("band") != prev_band)).select(
+        "user_id",
+        "band",
+        F.col("ts").alias("valid_from"),
+        (F.col("_off") + F.col("_rn")).alias("rn"),
+        "n_user",
     )
     led = chunked_prev(
         changes, "user_id", ["valid_from", "rn"], ("valid_from", "rn"), cm, desc=True

@@ -136,7 +136,7 @@ XL_QUERIES = [
     ("salted_hot_key_agg", "event"),
     ("anomaly_zscore_events", "event"),
 ]
-XL_PASSES = 2
+XL_PASSES = int(os.environ.get("SKEW_XL_PASSES", "2"))
 
 
 def _extra_fns() -> dict:
