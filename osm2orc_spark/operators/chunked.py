@@ -35,6 +35,13 @@ lifetime volume; shrink chunk_ms for rate-skewed streams.
 All helpers take an explicit ``order_cols`` whose FIRST element must be
 the timestamp the chunk id is derived from (so chunk boundaries respect
 the stream order); ``ms_col`` is added internally and dropped.
+
+Precondition: ``key_col`` must be NON-NULL — the stitch joins match on
+the key and NULL != NULL in a join, so NULL-key rows would lose their
+carry (or the row, for inner-join stitches).  The registered window
+queries enforce this by routing NULL-key rows through the plain window
+branch in every strategy (operators/switches.py:window_strategy;
+test_hybrid_null_keys_not_dropped).
 """
 
 from __future__ import annotations

@@ -137,7 +137,18 @@ def hot_key_list(
             .limit(HOT_KEY_MAX_LIST + 1)
             .collect()
         )
-        _PROBE_CACHE[cache_key] = tuple(sorted(r[key] for r in rows))
+        # NULL keys are excluded: they cannot ride an `isin` predicate
+        # (NULL isin -> NULL) and the chunked primitives' stitch joins
+        # require non-null keys (NULL != NULL in a join) — the
+        # registered dispatchers route ALL NULL-key rows through the
+        # window branch instead (cold_pred / the isNull split in the
+        # all-chunked branch), so a hot NULL key keeps the unbounded
+        # window: correct always, straggle-bounded only for real keys
+        # (a NULL-hot stream is a data-quality bug upstream of any
+        # engine strategy).
+        _PROBE_CACHE[cache_key] = tuple(
+            sorted(r[key] for r in rows if r[key] is not None)
+        )
     return _PROBE_CACHE[cache_key]
 
 
@@ -147,10 +158,16 @@ def window_strategy(
     """The per-key window family's three-level strategy pick:
 
     - ``("window", ())``  — no hot key; the r8 single-exchange plan.
-    - ``("hybrid", hot)`` — 1..HOT_KEY_MAX_LIST hot keys; split on the
-      key set, chunked for hot / window for the rest, union (exact).
-    - ``("chunked", ())`` — more hot keys than the list cap; every key
-      takes the bounded split-and-stitch plan.
+    - ``("hybrid", hot)`` — 1..HOT_KEY_MAX_LIST non-null hot keys;
+      split on the key set, chunked for hot / window for the rest,
+      union (exact).  Callers route NULL keys to the window branch
+      with the explicit ``cold_pred`` (``isNull() | ~isin(hot)``) —
+      plain ``~isin`` is NULL for NULL keys and would drop them from
+      both branches.
+    - ``("chunked", ())`` — more hot keys than the list cap; every
+      NON-NULL key takes the bounded split-and-stitch plan and callers
+      still route NULL-key rows through the window core (the chunked
+      stitch joins require non-null keys).
     """
     hot = hot_key_list(spark, sf_dir, table, key)
     if not hot:
@@ -158,6 +175,18 @@ def window_strategy(
     if len(hot) > HOT_KEY_MAX_LIST:
         return ("chunked", ())
     return ("hybrid", hot)
+
+
+def hot_pred(key: str, hot: tuple) -> "F.Column":
+    """Scan predicate selecting the hot-key rows of a hybrid split."""
+    return F.col(key).isin(*hot)
+
+
+def cold_pred(key: str, hot: tuple) -> "F.Column":
+    """Complement of :func:`hot_pred` INCLUDING NULL keys: plain
+    ``~isin`` evaluates to NULL for a NULL key, which would silently
+    drop those rows from both hybrid branches."""
+    return F.col(key).isNull() | ~F.col(key).isin(*hot)
 
 
 def table_rows(spark: SparkSession, sf_dir: str, table: str) -> int:

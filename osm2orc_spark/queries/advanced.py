@@ -69,11 +69,15 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     if strategy == "window":
         return _asof_last_window_core(ev)
     if strategy == "chunked":
-        return _asof_last_chunked_core(ev, None)
+        return _asof_last_window_core(
+            ev.filter(F.col("user_id").isNull())
+        ).unionByName(
+            _asof_last_chunked_core(ev.filter(F.col("user_id").isNotNull()), None)
+        )
     return _asof_last_window_core(
-        ev.filter(~F.col("user_id").isin(*hot))
+        ev.filter(switches.cold_pred("user_id", hot))
     ).unionByName(
-        _asof_last_chunked_core(ev.filter(F.col("user_id").isin(*hot)), None)
+        _asof_last_chunked_core(ev.filter(switches.hot_pred("user_id", hot)), None)
     )
 
 

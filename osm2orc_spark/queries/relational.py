@@ -514,9 +514,11 @@ def lag_type_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     if strategy == "window":
         return _window_lag(ev)
     if strategy == "chunked":
-        return _chunked_lag(ev)
-    return _window_lag(ev.filter(~F.col("user_id").isin(*hot))).unionByName(
-        _chunked_lag(ev.filter(F.col("user_id").isin(*hot)))
+        return _window_lag(ev.filter(F.col("user_id").isNull())).unionByName(
+            _chunked_lag(ev.filter(F.col("user_id").isNotNull()))
+        )
+    return _window_lag(ev.filter(switches.cold_pred("user_id", hot))).unionByName(
+        _chunked_lag(ev.filter(switches.hot_pred("user_id", hot)))
     )
 
 
@@ -778,16 +780,24 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2orc_spark.operators import switches
 
     strategy, hot = switches.window_strategy(spark, sf_dir)
-    if strategy == "chunked":
-        return sessionize_events_chunked(spark, sf_dir)
     ev = load(spark, sf_dir, "events")
     if strategy == "window":
         return _sessionize_window(ev)
+    if strategy == "chunked":
+        # NULL keys stay on the window plan (chunked stitch joins need
+        # non-null keys; see switches.window_strategy).
+        return _sessionize_window(
+            ev.filter(F.col("user_id").isNull())
+        ).unionByName(
+            sessionize_events_chunked(
+                spark, sf_dir, ev=ev.filter(F.col("user_id").isNotNull())
+            )
+        )
     return _sessionize_window(
-        ev.filter(~F.col("user_id").isin(*hot))
+        ev.filter(switches.cold_pred("user_id", hot))
     ).unionByName(
         sessionize_events_chunked(
-            spark, sf_dir, ev=ev.filter(F.col("user_id").isin(*hot))
+            spark, sf_dir, ev=ev.filter(switches.hot_pred("user_id", hot))
         )
     )
 

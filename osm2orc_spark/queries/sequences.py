@@ -169,11 +169,17 @@ def event_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     if strategy == "window":
         core = _islands_window_core(ev)
     elif strategy == "chunked":
-        core = _islands_chunked_core(ev, None)
+        core = _islands_window_core(
+            ev.filter(F.col("user_id").isNull())
+        ).unionByName(
+            _islands_chunked_core(ev.filter(F.col("user_id").isNotNull()), None)
+        )
     else:
         core = _islands_window_core(
-            ev.filter(~F.col("user_id").isin(*hot))
-        ).unionByName(_islands_chunked_core(ev.filter(F.col("user_id").isin(*hot)), None))
+            ev.filter(switches.cold_pred("user_id", hot))
+        ).unionByName(
+            _islands_chunked_core(ev.filter(switches.hot_pred("user_id", hot)), None)
+        )
     return core.orderBy("user_id", "run_start", "first_event_id")
 
 
@@ -245,12 +251,16 @@ def asof_join_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     if strategy == "window":
         core = _asof_next_window_core(ev)
     elif strategy == "chunked":
-        core = _asof_next_chunked_core(ev, None)
+        core = _asof_next_window_core(
+            ev.filter(F.col("user_id").isNull())
+        ).unionByName(
+            _asof_next_chunked_core(ev.filter(F.col("user_id").isNotNull()), None)
+        )
     else:
         core = _asof_next_window_core(
-            ev.filter(~F.col("user_id").isin(*hot))
+            ev.filter(switches.cold_pred("user_id", hot))
         ).unionByName(
-            _asof_next_chunked_core(ev.filter(F.col("user_id").isin(*hot)), None)
+            _asof_next_chunked_core(ev.filter(switches.hot_pred("user_id", hot)), None)
         )
     return core.orderBy("purchase_id")
 
@@ -604,10 +614,16 @@ def scd2_user_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     if strategy == "window":
         return _scd2_window_core(ev)
     if strategy == "chunked":
-        return _scd2_chunked_core(ev, None)
+        return _scd2_window_core(
+            ev.filter(F.col("user_id").isNull())
+        ).unionByName(
+            _scd2_chunked_core(ev.filter(F.col("user_id").isNotNull()), None)
+        )
     return _scd2_window_core(
-        ev.filter(~F.col("user_id").isin(*hot))
-    ).unionByName(_scd2_chunked_core(ev.filter(F.col("user_id").isin(*hot)), None))
+        ev.filter(switches.cold_pred("user_id", hot))
+    ).unionByName(
+        _scd2_chunked_core(ev.filter(switches.hot_pred("user_id", hot)), None)
+    )
 
 
 def _scd2_banded(ev: DataFrame) -> DataFrame:
