@@ -882,7 +882,7 @@ def main_ann_micro() -> None:
             json.dumps(
                 {
                     "micro": "ann_xl",
-                    "round": 8,
+                    "round": 9,
                     "query": name,
                     "emb_rep": EMB_REP,
                     "vectors": 2000 * EMB_REP,
@@ -1057,7 +1057,7 @@ def main_streaming_micro() -> None:
     ):
         if only and name not in only:
             continue
-        rec: dict = {"micro": "streaming_xl", "round": 8, "query": name,
+        rec: dict = {"micro": "streaming_xl", "round": 9, "query": name,
                      "xl_rep": XL_REP}
         walls = {}
         for mode in ("xl_base", "xl_hot"):
@@ -1150,7 +1150,7 @@ def main_components_micro() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     dirs = _build_xl_data(spark)
     for mode in ("xl_base", "xl_hot"):
-        rec: dict = {"micro": "components_strategies_xl", "round": 8,
+        rec: dict = {"micro": "components_strategies_xl", "round": 9,
                      "mode": mode, "xl_rep": XL_REP}
         for tag, kw in (("unionfind", {}), ("fixpoint", {"collect_max_edges": -1})):
             walls = []
