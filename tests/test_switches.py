@@ -295,3 +295,22 @@ def test_hybrid_null_keys_not_dropped(spark, tmp_path, monkeypatch):
     assert got3.count() == exp.count()
     assert exp.exceptAll(got3.select(*exp.columns)).count() == 0
     assert got3.filter(F.col("user_id").isNull()).count() > 0
+
+
+def test_vectorized_ann_scan_zero_norm_null(spark, tmp_path):
+    """The Arrow ANN kernel must emit NULL cosine for zero-norm vectors
+    (try_divide semantics), not inf/nan."""
+    import math
+
+    from osm2orc_spark.operators.similarity import QUANT, _ann_scan_vectorized
+
+    rows = [(i, i % 3, [float(i + j) / 10 for j in range(4)]) for i in range(1, 6)]
+    rows.append((9, 0, [0.0, 0.0, 0.0, 0.0]))  # zero-norm vector
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    cents = [[0, 0, 0, 0], [1000000, 1000000, 1000000, 1000000]]
+    qq = [math.floor(0.05 * QUANT)] * 4
+    out = _ann_scan_vectorized(df, cents, qq, q_id=1, probe=[0, 1]).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert 1 not in by_id  # query row excluded
+    assert by_id[9].cosine is None  # zero norm -> NULL, like try_divide
+    assert all(r.cosine is not None for r in out if r.vec_id != 9)
