@@ -591,13 +591,19 @@ def transitions_stream(events: DataFrame) -> DataFrame:
         # 1000x-off epochs under [us] delivery (r4 advice).
         pdf = pdf.assign(_us=pdf["ts"].astype("datetime64[us]").astype("int64"))
         pdf = pdf.sort_values(["_us", "event_id"])
-        froms, tos = [], []
-        last_type = prev[2] if prev else None
-        for t in pdf["event_type"]:
-            if last_type is not None:
-                froms.append(last_type)
-                tos.append(t)
-            last_type = t
+        # Vectorized pair stream (r9): the per-row Python loop capped the
+        # whole stateful path at ~352k rows/s (streaming_trigger_scaling);
+        # shifting the type array emits the identical (from, to) pairs in
+        # the identical scan order.
+        import numpy as np
+
+        types = pdf["event_type"].to_numpy()
+        if prev is not None:
+            froms = np.concatenate(([prev[2]], types[:-1]))
+            tos = types
+        else:
+            froms = types[:-1]
+            tos = types[1:]
         tail = pdf.iloc[-1]
         state.update((int(tail["_us"]), int(tail["event_id"]), str(tail["event_type"])))
         yield pd.DataFrame(
@@ -689,18 +695,36 @@ def scd2_intervals_stream(events: DataFrame) -> DataFrame:
         pdf = pdf.assign(_us=pdf["ts"].astype("datetime64[us]").astype("int64"))
         pdf = pdf.sort_values(["_us", "event_id"])
         band, from_us, n = state.get if state.exists else (None, 0, 0)
+        # Vectorized run-length encoding (r9): the per-row Python loop
+        # was the stateful path's throughput ceiling
+        # (streaming_trigger_scaling); runs over the sorted band array
+        # emit the identical closed intervals in the identical order —
+        # the carried open interval either merges with the first run
+        # (same band) or closes at the batch's first row.
+        import numpy as np
+
+        b_arr = pdf["band"].to_numpy()
+        us_arr = pdf["_us"].to_numpy().astype("int64")
+        starts = np.flatnonzero(np.concatenate(([True], b_arr[1:] != b_arr[:-1])))
+        lens = np.diff(np.concatenate((starts, [len(b_arr)])))
+        run_bands = b_arr[starts]
+        run_from = us_arr[starts].copy()
         bands, v_from, v_to, counts = [], [], [], []
-        for b, us in zip(pdf["band"], pdf["_us"]):
-            if band is None:
-                band, from_us, n = b, int(us), 1
-            elif b == band:
-                n += 1
+        if band is not None:
+            if run_bands[0] == band:
+                run_from[0] = from_us
+                lens[0] += n
             else:
                 bands.append(band)
-                v_from.append(from_us)
-                v_to.append(int(us))
-                counts.append(n)
-                band, from_us, n = b, int(us), 1
+                v_from.append(int(from_us))
+                v_to.append(int(us_arr[0]))
+                counts.append(int(n))
+        if len(starts) > 1:
+            bands.extend(run_bands[:-1].tolist())
+            v_from.extend(run_from[:-1].tolist())
+            v_to.extend(us_arr[starts[1:]].tolist())
+            counts.extend(lens[:-1].tolist())
+        band, from_us, n = run_bands[-1], int(run_from[-1]), int(lens[-1])
         state.update((band, int(from_us), int(n)))
         yield pd.DataFrame(
             {
