@@ -616,6 +616,8 @@ def _ann_scan_vectorized(
     probe: list[int],
     books: list[list[list[int]]] | None = None,
     lut: list[list[int]] | None = None,
+    assign_by: str = "sqdist",
+    cent_ids: list[int] | None = None,
 ) -> DataFrame:
     """Arrow-vectorized ANN scan: cluster assignment, the query cosine,
     and (with ``books``/``lut``) the PQ-ADC approximate dot all run as
@@ -638,7 +640,16 @@ def _ann_scan_vectorized(
 
     Emits ``(vec_id, label, cid[, approx_dot], cosine)`` for rows in
     the probed clusters (query row excluded); no join, no exchange —
-    the TakeOrdered consumers keep the plan shuffle-free."""
+    the TakeOrdered consumers keep the plan shuffle-free.
+
+    ``assign_by="sqdist"`` (the Lloyd's-fit queries) assigns each
+    vector to its min-squared-distance centroid (first-minimum ties);
+    ``assign_by="cosine"`` (ann_ivf_probe's fixed-centroid variant)
+    assigns to the max-cosine centroid, reproducing the max_by(cid,
+    struct(cos, -cid)) semantics exactly: np.argmax takes the FIRST
+    maximum (= lowest cid on float ties), NULL cosines (zero norms)
+    become -inf so they lose to any real value, and an all-NULL row
+    falls to cid 0 — the same pick the struct ordering makes."""
     dim = len(qq)
     with_pq = books is not None
 
@@ -668,8 +679,22 @@ def _ann_scan_vectorized(
                 .reshape(-1, dim)
             )
             n2 = (Xq * Xq).sum(axis=1)
-            d = n2[:, None] - 2 * (Xq @ cent.T) + cn2[None, :]
-            cid = d.argmin(axis=1)
+            if assign_by == "cosine":
+                denomc = np.sqrt(n2.astype(np.float64))[:, None] * np.sqrt(
+                    cn2.astype(np.float64)
+                )[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cosc = (Xq @ cent.T).astype(np.float64) / denomc
+                cosc[denomc == 0.0] = -np.inf  # NULL loses to any value
+                cid = cosc.argmax(axis=1)  # first max == lowest cid on ties
+            else:
+                d = n2[:, None] - 2 * (Xq @ cent.T) + cn2[None, :]
+                cid = d.argmin(axis=1)
+            if cent_ids is not None:
+                # positional index -> the centroid's real id (rows were
+                # passed sorted by id, so first-max ties still resolve
+                # to the lowest id)
+                cid = np.array(cent_ids, dtype=np.int64)[cid]
             dotq = Xq @ qv
             denom = np.sqrt(n2.astype(np.float64)) * np.sqrt(qn2)
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -1145,37 +1170,74 @@ def embedding_lsh_calibration(
     LIMIT {TOP_K}
     """,
     doc="IVF-style probed ANN: assign every vector to its best of 8 "
-    "deterministic centroids (broadcast cross join — centroids are tiny), "
-    "probe the query's 2 best clusters, score only those members. The "
-    "production variant is ann_ivf_kmeans: same probe/assign dataflow with "
-    "centroids from the bounded-sample integer Lloyd's fit.",
+    "deterministic centroids, probe the query's 2 best clusters, score "
+    "only those members. The production variant is ann_ivf_kmeans: same "
+    "probe/assign dataflow with centroids from the bounded-sample "
+    "integer Lloyd's fit. r9: cosine argmax + the query cosine run in "
+    "the shared Arrow kernel (collect-identical to the expression form "
+    "— test-asserted — and join-free: the r8 max_by shape still "
+    "exchanged one row per vector; the kernel exchanges nothing before "
+    "the TakeOrdered).",
     tags=("similarity",),
 )
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    # Bounded collects: < N_CENTROIDS centroid rows + the 1 query row.
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cent_ids = [int(r["vec_id"]) for r in cent_rows]
+    cents = [
+        [math.floor(float(x) * QUANT) for x in r["embedding"]] for r in cent_rows
+    ]
+    q_row = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding").collect()[0]
+    q_id = int(q_row["vec_id"])
+    qq = [math.floor(float(x) * QUANT) for x in q_row["embedding"]]
+    # Probe ranking (cos DESC nulls last, cid) in driver floats — the
+    # identical IEEE expression the ccos frame computed (exact int dot,
+    # sqrt/multiply/divide in the same order).
+    qn2 = sum(v * v for v in qq)
+    ranked = []
+    for cid, c in zip(cent_ids, cents):
+        cn2 = sum(v * v for v in c)
+        cos = (
+            float(sum(a * b for a, b in zip(qq, c)))
+            / (math.sqrt(float(qn2)) * math.sqrt(float(cn2)))
+            if qn2 > 0 and cn2 > 0
+            else None
+        )
+        ranked.append((cos, cid))
+    ranked.sort(key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]))
+    probe = [cid for _, cid in ranked[:N_PROBE]]
+    return (
+        _ann_scan_vectorized(
+            emb, cents, qq, q_id, probe, assign_by="cosine", cent_ids=cent_ids
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+def _ann_ivf_probe_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 expression/aggregate form of ``ann_ivf_probe`` (ccos
+    persist + max_by argmax + broadcast probe join), kept as the
+    reference implementation the vectorized registered query is
+    identity-tested against (tests/test_switches.py)."""
     emb = load(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
     ev, cv = _quant(F.col("embedding")), _quant(F.col("c_emb"))
-    # ccos feeds three consumers (corpus assignment, the query's probe
-    # ranking, and the final candidate join) — persist the one
-    # corpus-x-centroids pass instead of recomputing the scored cross
-    # join per consumer. n_vectors x k rows: small at any corpus size
-    # relative to the corpus itself (k is fixed).
     ccos = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cid",
         _cosine(_dot(ev, cv), _dot(ev, ev), _dot(cv, cv)).alias("cos"),
     ).persist()
-    # Argmax-per-vector as a map-side-combinable max_by aggregate (r7
-    # verdict #6): the row_number() OVER (PARTITION BY vec_id) spelling
-    # shuffled all n x k assignment rows into window tasks; max_by
-    # pre-combines to ONE row per vector per task before the exchange
-    # (~k x less shuffle volume at any corpus size).  The struct
-    # ordering (cos, -cid) reproduces the window's (cos DESC, cid ASC)
-    # pick exactly, NULL cos included (struct null fields compare
-    # smallest — verified vs the window on ties/nulls in
-    # tests/test_advanced.py::test_maxby_assign_equals_window_argmax).
+    # max_by struct (cos, -cid) == (cos DESC, cid ASC) argmax, NULLs
+    # included (verified vs the window form in tests/test_advanced.py).
     assign = ccos.groupBy("vec_id").agg(
         F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias(
             "cid"
@@ -1188,10 +1250,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = (
         ccos.join(F.broadcast(q), ccos.vec_id == F.col("q_id"))
-        # Unpartitioned window is BOUNDED: the frame is the one query row
-        # joined to k=N_CENTROIDS(=8) centroid cosines — k rows total at
-        # any corpus size.  The "No Partition Defined" warning it logs is
-        # expected and harmless (r7 verdict #7).
+        # Bounded unpartitioned window: k rows total at any corpus size.
         .withColumn("rn", F.row_number().over(W.orderBy(F.desc("cos"), "cid")))
         .filter(F.col("rn") <= N_PROBE)
         .select("cid")

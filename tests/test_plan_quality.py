@@ -605,17 +605,25 @@ def test_sketch_only_variants_are_single_scan_constant_memory(spark, sf_correctn
 
 
 def test_ivf_assign_is_partial_maxby_not_window(spark, sf_correctness):
-    """r7 verdict #6: the per-vector best-centroid assignment in
-    ann_ivf_probe / ann_ivf_index_stats must be a map-side-combinable
-    max_by aggregate (partial_max_by in the plan), not a row_number
-    window over the n x k assignment frame — the aggregate pre-combines
-    to one row per vector per task before the exchange."""
-    for name in ("ann_ivf_probe", "ann_ivf_index_stats"):
-        plan = plan_of(spark, sf_correctness, name)
-        assert "partial_max_by" in plan, f"{name}: no partial max_by"
-        assert "windowspecdefinition(vec_id" not in plan, (
-            f"{name}: per-vector window shuffle is back"
-        )
+    """r7 verdict #6 (as amended r9): the per-vector best-centroid
+    assignment must never be a row_number window over the n x k
+    assignment frame.  ann_ivf_index_stats keeps the map-side
+    max_by aggregate (partial_max_by pre-combines to one row per vector
+    per task before the exchange); ann_ivf_probe moved further in r9 —
+    the assignment runs inside the Arrow kernel, so its plan has NO
+    assignment join/exchange at all (mapInArrow scan straight into the
+    TakeOrdered; collect-identical to the max_by reference form,
+    test_ann_ivf_probe_vectorized_equals_expr)."""
+    plan = plan_of(spark, sf_correctness, "ann_ivf_index_stats")
+    assert "partial_max_by" in plan, "ann_ivf_index_stats: no partial max_by"
+    assert "windowspecdefinition(vec_id" not in plan
+    probe_plan = plan_of(spark, sf_correctness, "ann_ivf_probe")
+    assert "MapInArrow" in probe_plan or "mapInArrow" in probe_plan.lower()
+    assert "windowspecdefinition(vec_id" not in probe_plan
+    assert "Join" not in probe_plan.split("\n\n")[0], (
+        "ann_ivf_probe: the kernel plan regained a join"
+    )
+    assert "TakeOrderedAndProject" in probe_plan
 
 
 def test_dsir_persists_shared_frames(spark, sf_correctness):

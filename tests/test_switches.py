@@ -314,3 +314,16 @@ def test_vectorized_ann_scan_zero_norm_null(spark, tmp_path):
     assert 1 not in by_id  # query row excluded
     assert by_id[9].cosine is None  # zero norm -> NULL, like try_divide
     assert all(r.cosine is not None for r in out if r.vec_id != 9)
+
+
+def test_ann_ivf_probe_vectorized_equals_expr(spark, sf_correctness):
+    """The vectorized registered ann_ivf_probe must collect-identically
+    match the r8 expression/aggregate reference form (cosine argmax,
+    probe ranking, query scoring — bit-for-bit)."""
+    from osm2orc_spark.operators.similarity import _ann_ivf_probe_expr
+    from osm2orc_spark.registry import all_queries
+
+    new = all_queries()["ann_ivf_probe"].fn(spark, sf_correctness).collect()
+    ref = _ann_ivf_probe_expr(spark, sf_correctness).collect()
+    assert len(new) > 0
+    assert new == ref
