@@ -355,14 +355,21 @@ DRIVER_VERIFIED_R07: frozenset[str] = frozenset({
 # (c) embedding_near_dup_lsh probes its level-1 bucket sizes and
 #     engages adaptive band refinement when saturated;
 # (d) ann_ivf_kmeans's probe core was extracted to _ivf_topk (shared
-#     with the new fit-once/probe-many surface) — pure extraction.
+#     with the new fit-once/probe-many surface), and the IVF / IVF-PQ
+#     probe scans moved to the Arrow-vectorized kernel
+#     (_ann_scan_vectorized — collect-identical to the expression
+#     forms, test-asserted; ann_probe_vectorized in SCALING_SKEW);
+# (e) the stream_transitions / stream_scd2_intervals stateful kernels
+#     were vectorized (identical emissions, oracle-checked).
 # The remaining slots fall to the stalest never-re-confirmed greens.
 GATE_PRIORITY_R09: tuple[str, ...] = (
     "sessionize_events", "window_lag_transitions", "event_transitions",
     "event_run_islands", "scd2_user_value_bands", "asof_join_next_event",
     "asof_join_last_purchase",
     "simhash_near_dup", "embedding_near_dup_lsh",
-    "ann_ivf_kmeans",
+    "ann_ivf_kmeans", "ann_ivf_probe", "ann_ivfpq_probe", "ann_ivfpq_recall",
+    "ann_ivf_recall",
+    "stream_transitions", "stream_scd2_intervals",
 )
 
 
