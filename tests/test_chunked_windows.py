@@ -121,3 +121,74 @@ def test_chunked_variant_identical_to_registered(
     assert n_reg == n_chk
     assert reg.exceptAll(chk.select(*reg.columns)).count() == 0
     assert chk.select(*reg.columns).exceptAll(reg).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property-based exactness: the primitives must equal their unbounded-
+# window spellings on ARBITRARY streams — NULL values, timestamp ties
+# (same chunk by construction), empty chunks, single-row users — at a
+# seam-heavy chunk width AND one so large everything shares one chunk
+# (the degenerate case where the stitch must be a no-op).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # user_id
+        st.integers(min_value=0, max_value=40),           # ts slot (ties likely)
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # value
+        st.sampled_from(["a", "b", None]),                # type (lag payload)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_rows, chunk_ms=st.sampled_from([7, 1_000_000]))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunked_primitives_equal_windows_property(spark, rows, chunk_ms):
+    from pyspark.sql.window import Window as W
+
+    from osm2orc_spark.operators.chunked import (
+        chunked_prev,
+        chunked_running_last,
+        chunked_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(u, ts * 3, i, v, t) for i, (u, ts, v, t) in enumerate(rows)],
+        "user_id int, ms long, event_id long, v int, t string",
+    ).select(
+        "user_id",
+        F.timestamp_millis("ms").alias("ts"),
+        "event_id",
+        "v",
+        "t",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, 0)
+    exp = df.select(
+        "user_id",
+        "event_id",
+        F.lag("t").over(w).alias("p"),
+        F.sum("v").over(wf).alias("rs"),
+        F.last("v", ignorenulls=True).over(wf).alias("rl"),
+    ).collect()
+    got_p = chunked_prev(df, "user_id", ["t"], ("ts", "event_id"), chunk_ms)
+    got_s = chunked_running_sum(df, "user_id", "v", "rs", ("ts", "event_id"), chunk_ms)
+    got_l = chunked_running_last(df, "user_id", ["v"], ("ts", "event_id"), chunk_ms)
+    by_id = {}
+    for r in got_p.collect():
+        by_id[r.event_id] = [r.prev_t]
+    for r in got_s.collect():
+        by_id[r.event_id].append(r.rs)
+    for r in got_l.collect():
+        by_id[r.event_id].append(r.run_v)
+    for r in exp:
+        assert by_id[r.event_id] == [r.p, r.rs, r.rl], (
+            r.event_id, by_id[r.event_id], (r.p, r.rs, r.rl))
