@@ -170,6 +170,8 @@ def test_chunked_primitives_equal_windows_property(spark, rows, chunk_ms):
         "v",
         "t",
     )
+    from osm2orc_spark.operators.chunked import chunked_prev_and_rn
+
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(W.unboundedPreceding, 0)
     exp = df.select(
@@ -178,10 +180,12 @@ def test_chunked_primitives_equal_windows_property(spark, rows, chunk_ms):
         F.lag("t").over(w).alias("p"),
         F.sum("v").over(wf).alias("rs"),
         F.last("v", ignorenulls=True).over(wf).alias("rl"),
+        F.row_number().over(w).alias("rn"),
     ).collect()
     got_p = chunked_prev(df, "user_id", ["t"], ("ts", "event_id"), chunk_ms)
     got_s = chunked_running_sum(df, "user_id", "v", "rs", ("ts", "event_id"), chunk_ms)
     got_l = chunked_running_last(df, "user_id", ["v"], ("ts", "event_id"), chunk_ms)
+    got_pr = chunked_prev_and_rn(df, "user_id", ["t"], ("ts", "event_id"), chunk_ms)
     by_id = {}
     for r in got_p.collect():
         by_id[r.event_id] = [r.prev_t]
@@ -189,6 +193,8 @@ def test_chunked_primitives_equal_windows_property(spark, rows, chunk_ms):
         by_id[r.event_id].append(r.rs)
     for r in got_l.collect():
         by_id[r.event_id].append(r.run_v)
+    for r in got_pr.collect():
+        by_id[r.event_id].extend([r.prev_t, r.rn])
     for r in exp:
-        assert by_id[r.event_id] == [r.p, r.rs, r.rl], (
-            r.event_id, by_id[r.event_id], (r.p, r.rs, r.rl))
+        assert by_id[r.event_id] == [r.p, r.rs, r.rl, r.p, r.rn], (
+            r.event_id, by_id[r.event_id], (r.p, r.rs, r.rl, r.rn))
