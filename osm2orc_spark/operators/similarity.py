@@ -360,10 +360,28 @@ def _fit_sample_rows(
 def _blocked_argmin(X, cents):
     """First-minimum argmin of squared distance, computed in row blocks so
     the n×k×d int64 temp never exceeds ~_FIT_BLOCK_ROWS·k·d·8 bytes (the
-    unblocked broadcast was multi-GB at the 65k-row cap)."""
+    unblocked broadcast was multi-GB at the 65k-row cap).
+
+    Above 64 centroids the broadcast-subtract tensor is replaced by the
+    GEMM expansion |x|² - 2x·Cᵀ + |c|² in float64 — EXACT, not
+    approximate: every operand and partial sum is an integer below 2^53
+    (values ~2^21, 64-dim dots ≤ 2^48), and float64 addition of exactly-
+    representable integers whose partials stay under 2^53 is exact in
+    ANY summation order, so BLAS reordering cannot perturb a single bit
+    and the first-minimum argmin is identical (test-asserted against
+    the tensor path)."""
     import numpy as np
 
     out = np.empty(len(X), dtype=np.int64)
+    if len(cents) > 64:
+        Cf = cents.astype(np.float64)
+        cn2 = (Cf * Cf).sum(axis=1)
+        block = max(256, _FIT_BLOCK_ROWS // max(1, len(cents) // 64))
+        for s in range(0, len(X), block):
+            blk = X[s : s + block].astype(np.float64)
+            d = (blk * blk).sum(axis=1)[:, None] - 2.0 * (blk @ Cf.T) + cn2[None, :]
+            out[s : s + block] = d.argmin(axis=1)
+        return out
     for s in range(0, len(X), _FIT_BLOCK_ROWS):
         blk = X[s : s + _FIT_BLOCK_ROWS]
         d = ((blk[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -2279,6 +2297,21 @@ SEMDEDUP_COS = 0.4  # same near-dup bar as embedding_near_dup_pairs
     tags=("dedup", "similarity"),
 )
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
+    # r9 strategy switch (the r8-verdict banding precedent, found by the
+    # same XL methodology): with FIXED k=8 the in-cluster self-join is
+    # Theta(n^2/8) — measured 4.0e10 join rows at 800k vectors
+    # (`semantic_kmeans_saturation` in SCALING_SKEW.jsonl), the same
+    # DNF class as the r8 LSH banding.  SemDeDup's own recipe is
+    # clusters PROPORTIONAL to corpus size; above the bounded-fit
+    # sample size the query scales k so the mean cluster stays
+    # ~SEMDEDUP_TARGET_CLUSTER and the join is ~n*target/2 rows —
+    # linear in n.  Below the threshold (both gate SFs) the plan is
+    # byte-identical to r8.
+    n = switches.table_rows(spark, sf_dir, "embeddings")
+    if n > SEMDEDUP_KSCALE_MIN_VECTORS:
+        return _semantic_kmeans_kscaled(spark, sf_dir, n)
     cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS)
     emb = load(spark, sf_dir, "embeddings")
     qe = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
@@ -2299,6 +2332,12 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("qv"), F.col("qv")).alias("n2"),
         )
     )
+    return _semantic_near_tail(asg)
+
+
+def _semantic_near_tail(asg: DataFrame) -> DataFrame:
+    """The SemDeDup keeper rule over an assignment frame (vec_id, qv,
+    cid, n2): in-cluster pairs, cosine gate, keeper = min neighbor."""
     a, b = asg.alias("a"), asg.alias("b")
     near = (
         a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("b.vec_id") < F.col("a.vec_id")))
@@ -2323,6 +2362,75 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# Above this corpus size dedup_semantic_kmeans scales its cluster count
+# (k = ceil(n / SEMDEDUP_TARGET_CLUSTER)) instead of keeping the fixed
+# k=8 whose in-cluster join is Theta(n^2/8).  Set to the bounded-fit
+# sample size: below it the whole corpus fits the fit sample and the
+# fixed-k plan is exact and cheap (both gate SFs are far below).
+SEMDEDUP_KSCALE_MIN_VECTORS = MAX_FIT_ROWS
+SEMDEDUP_TARGET_CLUSTER = 256
+
+
+def _semantic_kmeans_kscaled(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """The scaled-k SemDeDup path: k = ceil(n / target) clusters fitted
+    on the bounded sample (capped at MAX_FIT_ROWS // 4 so seeds stay a
+    minority of the sample), assignment via the Arrow kernel (literal
+    SQL expressions are infeasible at thousands of centroids; the
+    float64 GEMM distances are EXACT — the _blocked_argmin argument),
+    then the identical keeper tail.  Semantics above the threshold are
+    SemDeDup's at-scale semantics: finer blocking finds near-dup pairs
+    within tighter clusters (near-dups co-cluster by construction —
+    that is the algorithm's premise); the keeper rule is unchanged."""
+    k = min(MAX_FIT_ROWS // 4, max(N_CENTROIDS, -(-n // SEMDEDUP_TARGET_CLUSTER)))
+    cents = _lloyd_fit_ints(spark, sf_dir, k, IVF_KM_ITERS)
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(cents[0])
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        Cf = np.array(cents, dtype=np.float64)
+        cn2 = (Cf * Cf).sum(axis=1)
+        # row sub-blocks keep the n_b x k distance matrix ~100 MB
+        block = max(256, 8_388_608 // max(1, len(cents)))
+        for b in batches:
+            vec_id = b.column(b.schema.get_field_index("vec_id")).to_numpy(
+                zero_copy_only=False
+            )
+            flat = (
+                b.column(b.schema.get_field_index("embedding"))
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+            )
+            Xq = (
+                np.floor(flat.astype(np.float64) * QUANT)
+                .astype(np.int64)
+                .reshape(-1, dim)
+            )
+            cid = np.empty(len(Xq), dtype=np.int32)
+            Xf = Xq.astype(np.float64)
+            xn2 = (Xf * Xf).sum(axis=1)
+            for s in range(0, len(Xq), block):
+                e = s + block
+                d = xn2[s:e, None] - 2.0 * (Xf[s:e] @ Cf.T) + cn2[None, :]
+                cid[s:e] = d.argmin(axis=1)
+            n2 = (Xq * Xq).sum(axis=1)
+            offsets = pa.array(
+                (np.arange(len(Xq) + 1) * dim).astype(np.int32), type=pa.int32()
+            )
+            qv = pa.ListArray.from_arrays(offsets, pa.array(Xq.reshape(-1)))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vec_id), qv, pa.array(cid), pa.array(n2)],
+                names=["vec_id", "qv", "cid", "n2"],
+            )
+
+    asg = emb.select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id long, qv array<bigint>, cid int, n2 bigint"
+    )
+    return _semantic_near_tail(asg)
 
 
 # ---------------------------------------------------------------------------

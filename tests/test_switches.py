@@ -327,3 +327,40 @@ def test_ann_ivf_probe_vectorized_equals_expr(spark, sf_correctness):
     ref = _ann_ivf_probe_expr(spark, sf_correctness).collect()
     assert len(new) > 0
     assert new == ref
+
+
+def test_semantic_kmeans_kscale_switch(spark, sf_correctness, monkeypatch):
+    """Forcing the k-scaled path at the gate SF resolves to the SAME k=8
+    (n/256 < 8), so the kernel-assigned output must be identical to the
+    registered literal-expression path — proving the switch wiring and
+    the kernel's exact-assignment claim in one shot."""
+    from osm2orc_spark.operators import similarity
+    from osm2orc_spark.registry import all_queries
+
+    fn = all_queries()["dedup_semantic_kmeans"].fn
+    base = fn(spark, sf_correctness).collect()
+    monkeypatch.setattr(similarity, "SEMDEDUP_KSCALE_MIN_VECTORS", 0)
+    forced = fn(spark, sf_correctness).collect()
+    assert len(base) > 0
+    assert base == forced
+
+
+def test_gemm_argmin_exact_vs_tensor():
+    """The float64 GEMM distance expansion used above 64 centroids must
+    reproduce the int64 tensor path's first-minimum argmin bit-for-bit
+    (all operands are integers < 2^53, exactly representable)."""
+    import numpy as np
+
+    from osm2orc_spark.operators.similarity import _blocked_argmin
+
+    rng = np.random.RandomState(7)
+    X = rng.randint(-(2**21), 2**21, size=(1000, 64)).astype(np.int64)
+    C = rng.randint(-(2**21), 2**21, size=(100, 64)).astype(np.int64)
+    C[10] = C[11]  # force exact distance ties -> first-min tie-break
+    got = _blocked_argmin(X, C)          # k=100 -> GEMM path
+    exp = np.empty(len(X), dtype=np.int64)
+    for s in range(0, len(X), 128):
+        blk = X[s : s + 128]
+        d = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        exp[s : s + 128] = d.argmin(axis=1)
+    assert (got == exp).all()
