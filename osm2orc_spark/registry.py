@@ -368,7 +368,7 @@ GATE_PRIORITY_R09: tuple[str, ...] = (
     "asof_join_last_purchase",
     "simhash_near_dup", "embedding_near_dup_lsh",
     "ann_ivf_kmeans", "ann_ivf_probe", "ann_ivfpq_probe", "ann_ivfpq_recall",
-    "ann_ivf_recall",
+    "ann_ivf_recall", "dedup_semantic_kmeans",
     "stream_transitions", "stream_scd2_intervals",
 )
 
