@@ -60,6 +60,12 @@ HEADLINE = [
     # r4: the composed IVF-PQ tier — cluster pruning + ADC codes + exact
     # re-rank in one join-free scan stage
     "ann_ivfpq_probe",
+    # r10: the fit-once/probe-many surface (registered per r9 verdict #3).
+    # The index memoizes per process, so the interleaved min-of-N records
+    # the PROBE-ONLY steady state — the production cost model this
+    # surface exists to price (pass 1 pays the bounded build).
+    "ann_ivf_probe_prebuilt",
+    "ann_ivfpq_probe_prebuilt",
 ]
 
 

@@ -146,3 +146,80 @@ def ann_ivfpq_probe_prebuilt(
         nprobe or N_PROBE,
         shortlist or PQ_SHORTLIST,
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered prebuilt-probe queries (r9 verdict #3): the driver has only
+# ever hash-checked the FUSED fit+probe queries, but the XL record
+# (``ann_prebuilt_xl``: probe 0.85-0.93 s vs 12-24 s fused) shows
+# fit-once/probe-many is the cost model a 100 TB deployment actually
+# pays.  These registrations put that surface under the oracle gate.
+#
+# The index memoizes per (sf_dir, kind) — the same probe-once/run-many
+# posture as operators/switches.py, and the production semantics this
+# surface exists to price: the FIRST call in a process pays the bounded
+# fit (plus the index_to_df/index_from_df round-trip, so the small-table
+# persistence path is exercised under the gate too), subsequent calls
+# are probe-only.  The fits are deterministic (integer Lloyd's,
+# md5-ranked seeds), so the oracle is EXACTLY the fused query's oracle —
+# same centroids, same codebooks, same shared probe core.
+# ---------------------------------------------------------------------------
+_INDEX_CACHE: dict[tuple[str, str], AnnIndex] = {}
+
+
+def index_cache_clear() -> None:
+    """Drop memoized indexes (tests that rewrite a dir in place)."""
+    _INDEX_CACHE.clear()
+
+
+def cached_index(spark: SparkSession, sf_dir: str, kind: str) -> AnnIndex:
+    """Build-once-per-process index for ``sf_dir``: fit, round-trip
+    through the small-table form (schema + rebuild exercised on the
+    gate path), memoize."""
+    import os
+
+    key = (os.path.abspath(sf_dir), kind)
+    if key not in _INDEX_CACHE:
+        built = ann_build_index(spark, sf_dir, kind=kind)
+        _INDEX_CACHE[key] = index_from_df(index_to_df(spark, built))
+    return _INDEX_CACHE[key]
+
+
+def _register_prebuilt_queries() -> None:
+    from osm2orc_spark.operators import similarity  # noqa: F401 — fused oracles
+    from osm2orc_spark.registry import REGISTRY, register
+
+    register(
+        "ann_ivf_probe_prebuilt",
+        oracle=REGISTRY["ann_ivf_kmeans"].oracle,
+        doc="Fit-once/probe-many IVF retrieval — the production-priced "
+        "path: the coarse index is built ONCE per corpus (bounded "
+        "deterministic Lloyd's fit, MAX_FIT_ROWS cap), round-tripped "
+        "through its k-row table form, memoized, and every call probes "
+        "via the shared _ivf_topk core (centroids baked into the scan "
+        "as literals — join-free and exchange-free before TakeOrdered). "
+        "Output — and oracle — identical to the fused ann_ivf_kmeans "
+        "because the fit is deterministic; what changes is the COST "
+        "MODEL: XL record 0.85 s/probe vs 12.2 s fused at 800k vectors "
+        "(ann_prebuilt_xl in SCALING_SKEW.jsonl).",
+        tags=("similarity",),
+    )(lambda spark, sf_dir: ann_ivf_probe_prebuilt(
+        spark, sf_dir, cached_index(spark, sf_dir, "ivf")
+    ))
+
+    register(
+        "ann_ivfpq_probe_prebuilt",
+        oracle=REGISTRY["ann_ivfpq_probe"].oracle,
+        doc="Fit-once/probe-many IVF-PQ retrieval: coarse centroids + "
+        "8 PQ codebooks built once (136-row table form), probes via the "
+        "shared _ivfpq_topk core (cluster pruning + ADC LUT + exact "
+        "re-rank in one vectorized scan stage). Output/oracle identical "
+        "to the fused ann_ivfpq_probe; the XL record prices the probe "
+        "at 0.93 s vs 24.3 s fused (r8) / 9.1 s fused-vectorized (r9).",
+        tags=("similarity",),
+    )(lambda spark, sf_dir: ann_ivfpq_probe_prebuilt(
+        spark, sf_dir, cached_index(spark, sf_dir, "ivfpq")
+    ))
+
+
+_register_prebuilt_queries()

@@ -211,10 +211,36 @@ DRIVER_VERIFIED_R08: frozenset[str] = frozenset({
     "stream_user_totals", "text_quality_classifier", "unpivot_order_measures",
 })
 
+# Triple-green rows from the round-9 gate (CORRECTNESS_r09.json): 50/50
+# green, zero failures, zero errors — the GATE_PRIORITY_R09 re-gates
+# (the strategy-switched window/banding/ANN families) plus stale
+# re-confirmations.
+DRIVER_VERIFIED_R09: frozenset[str] = frozenset({
+    "ann_ivf_kmeans", "ann_ivf_probe", "ann_ivf_recall", "ann_ivfpq_probe",
+    "ann_ivfpq_recall", "anomaly_zscore_events",
+    "anti_join_customers_without_orders", "approx_percentiles_value_by_type",
+    "array_agg_sorted_lines", "asof_join_last_purchase", "asof_join_next_event",
+    "composite_key_self_join", "cte_chain_order_items",
+    "dedup_boilerplate_chunks", "dedup_exact", "dedup_semantic_kmeans",
+    "distinct_parts_per_supplier", "embedding_dim_stats",
+    "embedding_near_dup_lsh", "event_cooccurrence_pmi", "event_run_islands",
+    "event_transitions", "explode_with_ordinality", "filter_like_prefix",
+    "fuzzy_name_match", "hourly_spine_fill", "json_prop_extraction",
+    "latest_event_agg_join", "latest_event_window", "monthly_event_stats",
+    "ohlc_hourly_bars", "order_by_case_precedence",
+    "pivot_returnflag_by_status", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "rollup_region_nation_customers", "scd2_user_value_bands",
+    "semi_join_customers_with_open_orders", "sessionize_events",
+    "simhash_near_dup", "simhash_signature", "stream_scd2_intervals",
+    "stream_transitions", "top3_items_per_supplier", "tumbling_window_hourly",
+    "union_all_literals", "weekly_activity_profile", "window_lag_transitions",
+})
+
 DRIVER_VERIFIED: frozenset[str] = (
     DRIVER_VERIFIED_R01 | DRIVER_VERIFIED_R02 | DRIVER_VERIFIED_R03
     | DRIVER_VERIFIED_R04 | DRIVER_VERIFIED_R05 | DRIVER_VERIFIED_R06
-    | DRIVER_VERIFIED_R08
+    | DRIVER_VERIFIED_R08 | DRIVER_VERIFIED_R09
 )
 
 # Explicit gate order for round 5.  Every registered query has a driver row
@@ -373,6 +399,39 @@ GATE_PRIORITY_R09: tuple[str, ...] = (
 )
 
 
+# Explicit gate order for round 10 (registry grows 162 -> 164: the
+# prebuilt ANN probes earn registration per the r9 verdict #3).  The r9
+# verdict's #1 leads: 28 greens are three rounds stale (last confirmed
+# r6) — including the REFERENCE CONTRACT itself, the whole OSM README
+# corpus, plus the text family — so they head the 50-slot gate as
+# re-confirmations (last-green-r6 set, recomputed from all nine
+# CORRECTNESS files).  Then the r10 impl-touched queries re-earn their
+# green: simhash_near_dup's regime switch moved from corpus-size to the
+# sampled coincidence-mass probe (r9 verdict #4; gate-SF plans stay
+# byte-identical — sf0.1's flat-bucket mass is ~10^3 pairs, far below
+# the 2^28 threshold).  The two NEW prebuilt probes sort into the
+# following tier automatically (not yet in DRIVER_VERIFIED), landing at
+# slots ~30-31; remaining slots fall to the stalest r7 greens.
+GATE_PRIORITY_R10: tuple[str, ...] = (
+    # reference contract: the six README queries + the OSM window corpus
+    "osm_ways_reassembly", "osm_latest_versions", "osm_latest_versions_window",
+    "osm_deleted_count", "osm_tag_usage_by_month", "osm_changesets_with_comment",
+    "osm_changesets_josm", "osm_changesets_liberty_island",
+    "osm_tag_additions_window",
+    # text family (last green r6)
+    "text_token_stats", "text_quality_scores", "text_tfidf_topk",
+    "text_repetition_scores", "text_bm25_topk", "lang_id_heuristic",
+    "lang_id_char_ngrams", "doc_winnowing_fingerprints", "doc_fingerprint",
+    # remaining r6-stale greens
+    "ann_topk_int8", "embedding_int8_quantize", "approx_distinct_users_by_type",
+    "curation_decontaminate", "curation_pack_sequences",
+    "curation_quality_filter", "curation_stratified_sample",
+    "dataset_split_assign", "dedup_minhash_lsh_dfcap", "pagerank_trade_graph",
+    # r10 impl-touched: the coincidence-mass regime probe
+    "simhash_near_dup",
+)
+
+
 GATE_PRIORITY_R08: tuple[str, ...] = (
     # plan-shape changes first. r8 late change: the dedup verify family
     # moved from exploded fan-out joins to in-task array_intersect over
@@ -402,12 +461,12 @@ def all_queries() -> dict[str, Query]:
     # registry entries at import time.  Gate ORDER is applied afterwards.
     from osm2orc_spark.queries import relational  # noqa: F401
     from osm2orc_spark.operators import dedup, similarity, text, multimodal  # noqa: F401
-    from osm2orc_spark.operators import curation, graph, layout  # noqa: F401
+    from osm2orc_spark.operators import ann_index, curation, graph, layout  # noqa: F401
     from osm2orc_spark.queries import advanced, osm_corpus, sequences, tpch_extra  # noqa: F401
     from osm2orc_spark.streaming import events  # noqa: F401
 
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
-    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R09)}
+    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R10)}
     # Staleness tier for verified re-confirmations: the round a query was
     # LAST driver-confirmed — oldest greens re-confirm first (r5 verdict
     # #7: "then never-re-confirmed r1 greens").
@@ -415,14 +474,14 @@ def all_queries() -> dict[str, Query]:
     for rnd, names in enumerate(
         (DRIVER_VERIFIED_R01, DRIVER_VERIFIED_R02, DRIVER_VERIFIED_R03,
          DRIVER_VERIFIED_R04, DRIVER_VERIFIED_R05, DRIVER_VERIFIED_R06,
-         DRIVER_VERIFIED_R07, DRIVER_VERIFIED_R08),
+         DRIVER_VERIFIED_R07, DRIVER_VERIFIED_R08, DRIVER_VERIFIED_R09),
         start=1,
     ):
         for n in names:
             last_confirmed[n] = rnd  # later rounds overwrite earlier ones
 
     def key(name: str) -> tuple[int, int, int]:
-        # The r9 priority list re-gates impl-touched queries first.
+        # The r10 priority list re-gates stale + impl-touched queries first.
         if name in prio_index:
             return (0, prio_index[name], 0)
         no_oracle = REGISTRY[name].oracle is None

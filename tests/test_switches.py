@@ -201,6 +201,26 @@ class TestAnnIndexSurface:
         split = ann_ivfpq_probe_prebuilt(spark, sf_correctness, idx)
         assert fused.collect() == split.select(*fused.columns).collect()
 
+    def test_registered_prebuilt_equals_fused(self, spark, sf_correctness):
+        """r9 verdict #3: the REGISTERED prebuilt probes (memoized
+        cached_index path, including the table round-trip it performs)
+        must equal the fused queries — both on the cold build call and
+        on the memoized probe-only call the bench steady state takes."""
+        from osm2orc_spark.operators.ann_index import index_cache_clear
+        from osm2orc_spark.registry import all_queries
+
+        qs = all_queries()
+        index_cache_clear()
+        for fused_name, pre_name in (
+            ("ann_ivf_kmeans", "ann_ivf_probe_prebuilt"),
+            ("ann_ivfpq_probe", "ann_ivfpq_probe_prebuilt"),
+        ):
+            fused = qs[fused_name].fn(spark, sf_correctness).collect()
+            cold = qs[pre_name].fn(spark, sf_correctness)
+            assert fused == cold.collect()
+            warm = qs[pre_name].fn(spark, sf_correctness)  # memoized index
+            assert fused == warm.collect()
+
     def test_index_table_roundtrip(self, spark, sf_correctness, tmp_path):
         from osm2orc_spark.operators.ann_index import (
             ann_build_index,
