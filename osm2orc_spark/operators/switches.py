@@ -63,16 +63,34 @@ HOT_KEY_ROWS = 100_000
 # for EVERY key with no driver-side list at all.
 HOT_KEY_MAX_LIST = 1024
 
-# Corpus size above which simhash_near_dup switches to the EXACT
-# recursive-pigeonhole refinement.  The 4x12-bit banding holds
-# 4096 values per chunk position, so at n docs the MEAN bucket size is
-# n/4096; once it passes the refinement bucket cap the buckets are
-# coincidence-dominated (pairs Theta(n^2/4096)) and refinement wins
-# 128x (measured at 2e6 signatures).  Below it, bucket mass is
-# truth-dominated (real near-dup families) where refinement's 4x
-# sub-chunk fan-out costs ~2x for nothing — keep the registered banding.
-# 4096 * SIMHASH_BUCKET_CAP(=256) = 2^20.
-SIMHASH_REFINE_MIN_DOCS = 4096 * 256
+# simhash_near_dup regime switch (r9 verdict #4: coincidence-driven, not
+# size-driven).  The banded plan's candidate join costs Sum_b C(n_b, 2)
+# over the 4 x 2^12 level-1 buckets; the recursive-pigeonhole refinement
+# (EXACT at any size) reduces only the COINCIDENCE share of that mass —
+# pairs that land in a bucket by chance and disagree on the residual
+# sub-chunks (~128x reduction, measured) — while multiplying the
+# truth share (real near-dup families, which agree on sub-chunks too)
+# by its 4x fan-out.  So the right discriminator is the FLAT bucket
+# mass: pairs in buckets at or below the coincidence level
+# n/4096 + SIMHASH_FLAT_SIGMA * sqrt(n/4096) (Poisson mean + tail
+# headroom; floored at the refinement bucket cap so tiny corpora never
+# probe-flip).  Buckets ABOVE that level are dominated by a real
+# signature cluster whose pairs refinement cannot remove.  The probe is
+# one bounded agg (<= 16,384 groups) on the already-persisted signature
+# frame, memoized per sf_dir.
+#
+# Routing errors near the threshold are cost-only (refined == banded
+# bit-for-bit, test-asserted): at most the ~2x fan-out premium one way
+# or the measured-but-bounded flat join the other.  2^28 flat pairs
+# splits the measured decades — the gate SFs carry ~10^3-10^6 flat
+# pairs, the r8/r9 coincidence blow-up 1.95e9 — and a size-2^28 banded
+# join is still tens of seconds on 32 cores, nowhere near DNF.
+# Replaces r9's SIMHASH_REFINE_MIN_DOCS = 2^20 corpus-size criterion,
+# which sent every corpus above 2^20 docs through refinement even when
+# its bucket mass was concentrated in true clusters (the ~2x premium
+# for nothing; the size rule could never DNF, only overpay).
+SIMHASH_FLAT_PAIRS_MAX = 1 << 28
+SIMHASH_FLAT_SIGMA = 8.0
 
 _PROBE_CACHE: dict[tuple[str, str], int | tuple[int, ...]] = {}
 

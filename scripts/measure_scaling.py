@@ -981,42 +981,190 @@ def main_banding_xl() -> None:
 
     if not only or "simhash" in only:
         n_docs = int(os.environ.get("SIMHASH_XL_DOCS", "2200000"))
-        twin = os.path.join(SKEW_DIR, f"simhash_coin_{n_docs}")
-        marker = os.path.join(twin, "_BUILT")
-        if not os.path.exists(marker):
-            os.makedirs(twin, exist_ok=True)
-            toks = [
-                F.substring(
-                    F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{j}"))),
-                    1, 8,
-                )
-                for j in range(8)
-            ]
-            spark.range(n_docs).select(
-                F.col("id").alias("doc_id"),
-                F.concat_ws(" ", *toks).alias("text"),
-                F.lit("xx").alias("lang"),
-                F.lit("synthetic").alias("source"),
-                F.lit(71).alias("n_chars"),
-            ).repartition(spark.sparkContext.defaultParallelism).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(twin, "documents.parquet"))
-            with open(marker, "w") as fh:
-                fh.write("ok\n")
+        twin = _build_simhash_coin_twin(spark, n_docs)
         t0 = time.perf_counter()
         n = qs["simhash_near_dup"].fn(spark, twin).count()
         wall = time.perf_counter() - t0
         print(json.dumps({
-            "micro": "simhash_registered_xl", "round": 9, "docs": n_docs,
+            "micro": "simhash_registered_xl", "round": 10, "docs": n_docs,
             "wall_sec": round(wall, 3), "out_rows": n,
-            "strategy": "refined"
-            if n_docs > switches.SIMHASH_REFINE_MIN_DOCS else "banded",
+            "flat_pairs_probe": _simhash_probe_value(twin),
+            "strategy": _simhash_strategy(twin),
             "note": "REGISTERED query, one pass, coincidence-dominated "
                     "regime (uniform random signatures, n >> 4096*cap; "
                     "registered banding is Theta(n^2/4096) here — 1.95e9 "
                     "candidate pairs analytic at 2e6 signatures, "
-                    "simhash_coincidence_regime)",
+                    "simhash_coincidence_regime); r10: routed by the "
+                    "sampled flat-bucket coincidence-mass probe instead "
+                    "of corpus size",
         }), flush=True)
+    if not only or "simhash-truth" in only:
+        main_simhash_truth_regime(spark, qs)
+    spark.stop()
+
+
+def _simhash_probe_value(twin: str):
+    from osm2orc_spark.operators import switches
+
+    return switches._PROBE_CACHE.get(
+        (os.path.abspath(twin), "simhash_flat_pairs")
+    )
+
+
+def _simhash_strategy(twin: str) -> str:
+    from osm2orc_spark.operators import switches
+
+    flat = _simhash_probe_value(twin)
+    return (
+        "refined"
+        if flat is not None and flat > switches.SIMHASH_FLAT_PAIRS_MAX
+        else "banded"
+    )
+
+
+def _build_simhash_coin_twin(spark, n_docs: int) -> str:
+    """Uniform-random-signature corpus: every doc gets 8 unique md5
+    tokens, so level-1 buckets fill ONLY by coincidence (~n/4096 each)."""
+    from pyspark.sql import functions as F
+
+    twin = os.path.join(SKEW_DIR, f"simhash_coin_{n_docs}")
+    marker = os.path.join(twin, "_BUILT")
+    if not os.path.exists(marker):
+        os.makedirs(twin, exist_ok=True)
+        toks = [
+            F.substring(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{j}"))),
+                1, 8,
+            )
+            for j in range(8)
+        ]
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+            F.lit("xx").alias("lang"),
+            F.lit("synthetic").alias("source"),
+            F.lit(71).alias("n_chars"),
+        ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(twin, "documents.parquet"))
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return twin
+
+
+def main_simhash_truth_regime(spark, qs) -> None:
+    """r10 (r9 verdict #4 done criterion): the OTHER regime — a dense
+    truth-dominated corpus ABOVE 2^20 docs, where the retired
+    corpus-size criterion would have refined but the coincidence-mass
+    probe must keep the cheaper banded plan.
+
+    Construction: FAM identical SINGLE-TOKEN docs per family.  A
+    one-token doc's SimHash IS the token's 48-bit hash (each per-bit sum
+    is +-1, so sign == bit), so family signatures are md5-UNIFORM over
+    the chunk space — level-1 buckets are (near-)pure families of size
+    ~FAM, ABOVE the flat cap (n/4096 + 8*sqrt), and the flat
+    (refinement-reducible) mass is ~0 even though mean bucket size
+    n/4096 > 256 saturates the old size rule.  (The first cut of this
+    twin used 8-token docs: 8-token bit sums make P(bit=1) ~ 0.36, the
+    biased chunk values pile ~4-5 families into each occupied bucket,
+    and the CROSS-family coincidence mass dominated the banded join —
+    refined measured 0.93x, i.e. cost-parity, because that twin was
+    secretly coincidence-heavy.  Single-token docs remove the bias and
+    isolate what this record is for: the fan-out premium refinement
+    pays on pairs it cannot remove.)  Records the registered wall
+    (probe-routed) and the forced-refined wall on the same twin:
+    identical docs agree on every sub-chunk, so refinement's 4x
+    sub-chunk explosion buys nothing and banded must be measurably
+    cheaper."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators import switches
+    from osm2orc_spark.operators.dedup import simhash_near_dup_refined
+
+    fam = int(os.environ.get("SIMHASH_TRUTH_FAM", "420"))
+    n_fam = int(os.environ.get("SIMHASH_TRUTH_NFAM", "2524"))
+    n_docs = fam * n_fam
+    twin = os.path.join(SKEW_DIR, f"simhash_truth1tok_{n_fam}x{fam}")
+    marker = os.path.join(twin, "_BUILT")
+    if not os.path.exists(marker):
+        os.makedirs(twin, exist_ok=True)
+        famc = (F.col("id") % n_fam).cast("string")
+        tok = F.md5(F.concat(F.lit("fam-"), famc))
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            tok.alias("text"),
+            F.lit("xx").alias("lang"),
+            F.lit("synthetic").alias("source"),
+            F.lit(32).alias("n_chars"),
+        ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(twin, "documents.parquet"))
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    t0 = time.perf_counter()
+    n = qs["simhash_near_dup"].fn(spark, twin).count()
+    wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_ref = simhash_near_dup_refined(spark, twin).count()
+    wall_ref = time.perf_counter() - t0
+    print(json.dumps({
+        "micro": "simhash_truth_regime_xl", "round": 10, "docs": n_docs,
+        "families": n_fam, "family_size": fam,
+        "flat_pairs_probe": _simhash_probe_value(twin),
+        "flat_pairs_max": switches.SIMHASH_FLAT_PAIRS_MAX,
+        "strategy": _simhash_strategy(twin),
+        "registered_wall_sec": round(wall, 3),
+        "forced_refined_wall_sec": round(wall_ref, 3),
+        "refined_premium": round(wall_ref / wall, 2),
+        "out_rows": n, "refined_out_rows": n_ref,
+        "identical_counts": n == n_ref,
+        "note": "truth-dominated regime above 2^20 docs: the retired "
+                "size criterion would refine (n > 2^20); the "
+                "coincidence-mass probe keeps the banded plan and the "
+                "forced-refined wall prices the avoided premium",
+    }), flush=True)
+
+
+def main_scd2_paired() -> None:
+    """r10 (r9 verdict #2): retire the scd2 2.09x-vs-1.69x ambiguity with
+    ONE clean paired measurement — same session, interleaved base+hot
+    passes, min-of-7 — on the 120x twin.  The r9 sweep's 2.09x line came
+    from a 1.607 s base wall (the best base seen all round) against a
+    separately-sessioned hot wall; the steady-state record said 1.69 on
+    a 1.94 s base.  Interleaving base and hot within one session makes
+    both walls see the same host-load regime, so the ratio is finally a
+    property of the PLAN, not of which minute the denominator ran in."""
+    spark = get_spark(
+        app_name="measure_scaling_scd2",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = _build_xl_data(spark)
+    fn = all_queries()["scd2_user_value_bands"].fn
+    passes = int(os.environ.get("SCD2_PASSES", "7"))
+    walls: dict[str, list[float]] = {"xl_base": [], "xl_hot": []}
+    # one warm pass per twin (also pays the memoized strategy probe)
+    for mode in ("xl_base", "xl_hot"):
+        fn(spark, dirs[mode]).count()
+    for _ in range(passes):
+        for mode in ("xl_base", "xl_hot"):  # interleaved: same load regime
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, dirs[mode]).count()
+            walls[mode].append(time.perf_counter() - t0)
+    base, hot = min(walls["xl_base"]), min(walls["xl_hot"])
+    from osm2orc_spark.operators import switches
+
+    print(json.dumps({
+        "micro": "xl_event_windows_scd2_paired", "round": 10,
+        "query": "scd2_user_value_bands", "xl_rep": XL_REP,
+        "passes": passes, "protocol": "same-session interleaved min-of-7",
+        "base_sec": round(base, 3), "skew_sec": round(hot, 3),
+        "skew_ratio": round(hot / base, 2),
+        "base_all": [round(w, 3) for w in walls["xl_base"]],
+        "hot_all": [round(w, 3) for w in walls["xl_hot"]],
+        "strategy_hot": switches.window_strategy(spark, dirs["xl_hot"])[0],
+    }), flush=True)
     spark.stop()
 
 
@@ -1074,6 +1222,69 @@ def main_streaming_micro() -> None:
             rec[f"{mode}_out_rows"] = n_out
         rec["skew_ratio"] = round(walls["xl_hot"] / walls["xl_base"], 2)
         print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
+def main_streaming_rocksdb() -> None:
+    """r10 (r9 verdict #5): the RocksDB state store was posture-only — a
+    conf helper (streaming/events.py rocksdb_state_conf) with no recorded
+    number.  This micro re-runs the stateful streaming XL lines under the
+    RocksDB provider on the 4M-row twins: stream_dedup_events (the
+    4M-key dropDuplicatesWithinWatermark — the largest state any
+    registered stream carries), stream_session_windows (session-window
+    state keyed by user_id, hot key funnels half the stream into one
+    key), and stream_transitions (applyInPandasWithState).  Each query
+    also re-runs on the default HDFS-backed store IN THE SAME SESSION so
+    the backend delta is paired, not cross-session.  Records rows/s and
+    the xl_hot/xl_base skew ratio per backend."""
+    from osm2orc_spark.streaming.events import rocksdb_state_conf
+
+    spark = get_spark(
+        app_name="measure_scaling_rocksdb",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = _build_xl_data(spark)
+    qs = all_queries()
+    n_rows = {
+        m: spark.read.parquet(os.path.join(dirs[m], "events.parquet")).count()
+        for m in ("xl_base", "xl_hot")
+    }
+    only = {q for q in os.environ.get("STREAMING_ONLY", "").split(",") if q}
+    passes = int(os.environ.get("STREAMING_PASSES", str(XL_PASSES)))
+    rocks = rocksdb_state_conf()
+    for name in (
+        "stream_dedup_events",
+        "stream_session_windows",
+        "stream_transitions",
+    ):
+        if only and name not in only:
+            continue
+        for backend, conf in (("hdfs_default", {}), ("rocksdb", rocks)):
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            try:
+                rec: dict = {"micro": "streaming_xl_rocksdb", "round": 10,
+                             "query": name, "backend": backend,
+                             "xl_rep": XL_REP}
+                walls = {}
+                for mode in ("xl_base", "xl_hot"):
+                    best = float("inf")
+                    n_out = 0
+                    for i in range(passes + 1):  # first pass warms
+                        t0 = time.perf_counter()
+                        n_out = qs[name].fn(spark, dirs[mode]).count()
+                        if i > 0:
+                            best = min(best, time.perf_counter() - t0)
+                    walls[mode] = best
+                    rec[f"{mode}_wall_min_sec"] = round(best, 3)
+                    rec[f"{mode}_rows_per_sec"] = round(n_rows[mode] / best)
+                    rec[f"{mode}_out_rows"] = n_out
+                rec["skew_ratio"] = round(walls["xl_hot"] / walls["xl_base"], 2)
+                print(json.dumps(rec), flush=True)
+            finally:
+                for k in conf:
+                    spark.conf.unset(k)
     spark.stop()
 
 
@@ -1321,6 +1532,8 @@ if __name__ == "__main__":
         "--event-windows",
         "--trigger-scaling",
         "--banding-xl",
+        "--scd2-paired",
+        "--streaming-rocksdb",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -1345,6 +1558,10 @@ if __name__ == "__main__":
         main_trigger_scaling()
     elif "--banding-xl" in args:
         main_banding_xl()
+    elif "--scd2-paired" in args:
+        main_scd2_paired()
+    elif "--streaming-rocksdb" in args:
+        main_streaming_rocksdb()
     elif "--skew" in args:
         main_skew()
     else:

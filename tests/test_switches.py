@@ -80,13 +80,26 @@ def test_window_family_switch_identity(spark, sf_correctness, name, monkeypatch)
 
 
 def test_simhash_switch_identity(spark, sf_correctness, monkeypatch):
+    import os
+
     from osm2orc_spark.registry import all_queries
 
     fn = all_queries()["simhash_near_dup"].fn
     base = fn(spark, sf_correctness)
-    monkeypatch.setattr(switches, "SIMHASH_REFINE_MIN_DOCS", 0)
+    n_base = base.count()
+    # The probe ran eagerly inside the dispatcher; at the gate SF the
+    # flat coincidence mass must sit far below the threshold, i.e. the
+    # banded plan was chosen (the driver's oracle hashes depend on it
+    # staying byte-identical — verified separately by the plan suite).
+    flat = switches._PROBE_CACHE[
+        (os.path.abspath(sf_correctness), "simhash_flat_pairs")
+    ]
+    assert 0 <= flat <= switches.SIMHASH_FLAT_PAIRS_MAX
+    # Force the coincidence-mass decision (applied AFTER the memoized
+    # probe, so no cache clear is needed): any flat mass > -1 refines.
+    monkeypatch.setattr(switches, "SIMHASH_FLAT_PAIRS_MAX", -1)
     switched = fn(spark, sf_correctness)
-    assert base.count() == switched.count()
+    assert n_base == switched.count()
     assert base.exceptAll(switched.select(*base.columns)).count() == 0
     assert switched.select(*base.columns).exceptAll(base).count() == 0
 
