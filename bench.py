@@ -100,12 +100,20 @@ def _x10_pbf_path() -> str:
     literally the same blobs 10x, its single-thread decode wall is 10x
     the measured one by construction — so the x10 parallel speedup
     needs no second single-thread run."""
+    return _xn_pbf_path(10)
+
+
+def _xn_pbf_path(mult: int) -> str:
     import struct
 
     big = _big_pbf_path()
-    x10 = os.path.join(os.path.dirname(big), "planet_x10_seed7.osm.pbf")
-    if os.path.exists(x10):
-        return x10
+    xn = os.path.join(
+        os.path.dirname(big), f"planet_x{mult}_seed7.osm.pbf"
+    )
+    if mult == 10:  # pre-r10 cache name, keep it warm across rounds
+        xn = os.path.join(os.path.dirname(big), "planet_x10_seed7.osm.pbf")
+    if os.path.exists(xn):
+        return xn
     raw = open(big, "rb").read()
     frames = []  # (start, end, kind)
     pos, n = 0, len(raw)
@@ -137,16 +145,16 @@ def _x10_pbf_path() -> str:
                 datasize = v
         pos += datasize
         frames.append((start, pos, kind))
-    with open(x10 + ".tmp", "wb") as f:
+    with open(xn + ".tmp", "wb") as f:
         for a, b, k in frames:
             if k == "OSMHeader":
                 f.write(raw[a:b])
-        for _ in range(10):
+        for _ in range(mult):
             for a, b, k in frames:
                 if k == "OSMData":
                     f.write(raw[a:b])
-    os.replace(x10 + ".tmp", x10)
-    return x10
+    os.replace(xn + ".tmp", xn)
+    return xn
 
 
 def ingest_decode_metric() -> tuple[dict, str]:
@@ -426,6 +434,60 @@ def e2e_x10_metric(spark) -> dict:
     }
 
 
+def e2e_x100_metric(spark, one: float) -> dict:
+    """The ingest record one more decade out (r9 verdict #6): a ~100x
+    frame-concat twin — 10,600 blobs / ~90M entities, the blob count of
+    a planet-scale file where the r7 analysis says task overhead is
+    fully amortized — through the full pipeline: read_pbf blob fan-out
+    decode -> write_orc (sortWithinPartitions + zlib encode, one ORC
+    file per partition) -> the O(footer) bounds/metadata tail stamp
+    fanned out across every part file.
+
+    The decode stage is min-of-2: the first pass at this scale pays
+    one-time costs no steady pipeline pays twice — cold Python workers
+    and a cold page cache for the 2.2 GB blob-index header scan — worth
+    ~8 s of a ~10 s wall (measured 18.3 s cold vs 10.4-12.2 s warm;
+    the warm number matches the 13.5x raw-pool ceiling).  The ORC stage
+    is SINGLE-PASS (it follows the decode passes, so workers are warm,
+    and a second ~34 s / ~750 MB write would double the metric for a
+    second decimal).  one_x100 = 100 * one by construction (identical
+    blobs repeated), so the parallel speedup needs no 2.4-minute
+    single-thread run.  The x100 file (~2.2 GB) and ORC output live in
+    the gitignored cache; the file is reused across rounds.
+
+    Slice-count note (r10 measured): read_pbf's defaultParallelism * 2
+    = 64 slices is already the optimum here — 64/128/256/512 slices
+    measured 10.4/11.3/12.2/15.0 s (finer tasks only add scheduling
+    and per-task Arrow stream setup; blob decode times are uniform
+    enough that two waves of 32 do not straggle)."""
+    from osm2orc_spark.sinks.orc import write_orc
+    from osm2orc_spark.sources.pbf import read_pbf, read_pbf_bounds
+
+    x100 = _xn_pbf_path(100)
+    orc_dir = os.path.join(os.path.dirname(x100), "e2e_x100_orc")
+    bounds = read_pbf_bounds(x100)
+    decode_wall = float("inf")
+    n = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = read_pbf(spark, x100).count()
+        decode_wall = min(decode_wall, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    write_orc(read_pbf(spark, x100), orc_dir, bounds=bounds)
+    orc_wall = time.perf_counter() - t0
+    n_parts = len(
+        [f for f in os.listdir(orc_dir) if f.endswith(".orc")]
+    )
+    return {
+        "e2e_x100_entities": n,
+        "e2e_x100_decode_sec": round(decode_wall, 3),
+        "e2e_x100_orc_sec": round(orc_wall, 3),
+        "e2e_x100_entities_per_sec": round(n / orc_wall),
+        "e2e_x100_orc_files_stamped": n_parts,
+        "decode_parallel_speedup_x100": round(100 * one / decode_wall, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -594,6 +656,10 @@ def main() -> None:
         ingest.update(e2e_x10_metric(spark))
     except Exception as exc:  # noqa: BLE001
         ingest["e2e_x10_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    try:
+        ingest.update(e2e_x100_metric(spark, ingest["decode_1thread_min_sec"]))
+    except Exception as exc:  # noqa: BLE001
+        ingest["e2e_x100_error"] = f"{type(exc).__name__}: {exc}"[:200]
     full_payload = dict(stdout_payload)
     full_payload.update(
         {
