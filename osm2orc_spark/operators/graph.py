@@ -129,15 +129,22 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="__DEFERRED__",  # assembled below from the minhash-LSH oracle
     doc="Triangle census over the LSH-verified near-dup pair graph: "
     "n_edges, n_wedges (open triads, sum deg*(deg-1)/2), n_triangles "
-    "(node-iterator: three-way self-join on id-ordered edges, each "
-    "triangle counted once), and the global clustering coefficient "
-    "3*tri/wedges in exact micro units. A transitivity probe for dedup "
-    "quality: near-dup clusters should be near-cliques, so a LOW "
-    "coefficient flags chains of borderline pairs that clustering will "
-    "over-merge. Scale: the id-ordering bounds each edge to one join "
-    "direction; on skewed graphs order endpoints by (degree, id) "
-    "instead — same census, bounded per-key fan-out (the standard "
-    "node-iterator refinement).",
+    "(degree-ordered node-iterator: every triangle is counted once at "
+    "its lowest-(degree, id) apex — r10, replacing the id-ordered "
+    "orientation), and the global clustering coefficient 3*tri/wedges "
+    "in exact micro units. A transitivity probe for dedup quality: "
+    "near-dup clusters should be near-cliques, so a LOW coefficient "
+    "flags chains of borderline pairs that clustering will over-merge. "
+    "Scale (r10 measured, triangle_hub_xl in SCALING_SKEW.jsonl): "
+    "id-ordering fans each node out by in_deg*out_deg, which is "
+    "Theta(hub_deg^2) join rows on a hub-skewed pair graph — the "
+    "boilerplate-doc shape dedup graphs actually produce — even when "
+    "zero triangles exist; degree-ordering caps every edge's fan-out "
+    "by its LOWER-degree endpoint (the Suri-Vassilvitskii bound, "
+    "Theta(E^1.5) worst case), leaving only the irreducible "
+    "true-triangle term on cliques. Output identical by construction "
+    "(each triangle has exactly one minimum-rank apex with out-edges "
+    "to the other two); same DuckDB oracle.",
     tags=("graph", "dedup"),
 )
 def dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,13 +161,7 @@ def dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
     )
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tri = (
-        e.join(e2, "b")
-        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    )
+    tri = _triangle_count_degree_ordered(e, deg)
     edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     cc = F.when(
         F.col("n_wedges") > 0,
@@ -175,6 +176,60 @@ def dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         lsh_pairs,
     )
+
+
+def _triangle_count_degree_ordered(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Exact triangle count via the degree-ordered node-iterator
+    (Suri-Vassilvitskii / Cohen): rank nodes by (degree, id), orient
+    every undirected edge from lower to higher rank, enumerate wedges
+    at each apex's OUT-neighbors only, and close them against the
+    oriented edge set.
+
+    Why ranks instead of ids: the apex fan-out is C(out_deg, 2), and
+    degree-ordering bounds every node's out-degree by ~sqrt(2E)
+    amortized, so a degree-10^6 hub contributes ~0 wedges (all its
+    edges point AT it) instead of the Theta(hub^2) in*out fan-out the
+    id-ordering pays — measured on the 1e6-edge hub twin as 5e11
+    analytic join rows (DNF class) vs 2.0e6 wedges
+    (``triangle_hub_xl``).  Cliques keep their irreducible C(f,3)
+    wedge term — every one of those wedges IS a triangle the exact
+    count must touch.
+
+    Exactness: (degree, id) is a total order, so each triangle
+    {x, y, z} has exactly one minimum-rank vertex; both its edges to
+    the other two are out-edges of that vertex, and the remaining edge
+    is oriented low->high rank — exactly the closure row the join
+    checks.  Hence one wedge-closure match per triangle, no double
+    counting, no misses.  ``e`` is the dedup pair list (a < b, both
+    directions absent), ``deg`` the UNDIRECTED degree table."""
+    da = deg.select(F.col("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("a").alias("b"), F.col("d").alias("db"))
+    ann = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # oriented edge (x -> y) with y's rank carried for the wedge order
+    o = ann.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("y"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dy"),
+    ).persist()
+    o1 = o.select("x", "y", "dy")
+    o2 = o.select("x", F.col("y").alias("z"), F.col("dy").alias("dz"))
+    wedge_order = (F.col("dy") < F.col("dz")) | (
+        (F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z"))
+    )
+    closure = o.select(F.col("x").alias("y"), F.col("y").alias("z"))
+    # left-semi: o's rows are unique edges, so a wedge closes 0-or-1
+    # times — semi keeps the 0/1 multiplicity explicit and drops the
+    # closure columns from the count stage.
+    tri = (
+        o1.join(o2, "x")
+        .filter(wedge_order)
+        .join(closure, ["y", "z"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return release_with(tri, o)
 
 
 def _assemble_triangle_oracle() -> None:

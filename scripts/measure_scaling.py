@@ -1125,6 +1125,138 @@ def main_simhash_truth_regime(spark, qs) -> None:
     }), flush=True)
 
 
+def main_triangle_micro() -> None:
+    """r10: the triangle census was the fifth banding-class candidate —
+    ``dupgraph_triangle_stats``' id-ordered node-iterator fans every
+    node out by in_deg * out_deg, which is Theta(hub^2) join rows on a
+    hub-skewed pair graph (the boilerplate-doc shape: one document
+    near-dup to everything) even when ZERO triangles exist.  The r10
+    rewrite orients edges by (degree, id) rank, capping each edge's
+    fan-out at its lower-degree endpoint (Suri-Vassilvitskii).
+
+    This micro builds synthetic edge lists (the census core is
+    graph-in/stats-out, so the twin can be the graph itself):
+
+    - hub twins at increasing hub degree + 1e6 uniform background
+      edges: the OLD core is timed while it can finish and its join
+      mass is recorded analytically where it cannot (in*out of the
+      hub), the NEW core runs everywhere;
+    - a 600-clique + background twin: C(600,3) = 3.58e7 wedges are all
+      real triangles — the irreducible-output regime where both cores
+      must pay the same term (no-regression check);
+    - identity: both cores return the same count on every twin they
+      both complete."""
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        app_name="measure_scaling_triangle",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    all_queries()  # registry-ordered imports (graph composes dedup's oracle)
+    from osm2orc_spark.operators.graph import _triangle_count_degree_ordered
+
+    par = spark.sparkContext.defaultParallelism
+
+    def old_core(e):
+        e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+        return (
+            e.join(e2, "b")
+            .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        )
+
+    def background(n_nodes: int, n_edges: int):
+        # deterministic pseudo-random sparse edges, id-canonicalized
+        x = (F.xxhash64(F.col("id"), F.lit(1)) % n_nodes + n_nodes) % n_nodes
+        y = (F.xxhash64(F.col("id"), F.lit(2)) % n_nodes + n_nodes) % n_nodes
+        return (
+            spark.range(n_edges)
+            .select(F.least(x, y).alias("a"), F.greatest(x, y).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    n_nodes = 2_000_000
+    hub = n_nodes // 2  # mid-range id: id-ordering splits in/out evenly
+    bg = background(n_nodes, 1_000_000).persist()
+    bg.count()
+
+    def run(core, e, deg=None):
+        if deg is None:
+            und = e.unionByName(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        t0 = time.perf_counter()
+        n_tri = (
+            core(e) if core is old_core else _triangle_count_degree_ordered(e, deg)
+        ).collect()[0]["n_triangles"]
+        return time.perf_counter() - t0, n_tri
+
+    for hub_deg in (10_000, 30_000, 1_000_000):
+        # spokes CENTERED on the hub id: half the neighbors sort below
+        # it and half above, so the id-ordering gives the hub in ~ out
+        # ~ hub_deg/2 and the in*out fan-out the micro exists to price
+        # (a one-sided id range would leak every spoke into in-degree
+        # and hide the quadratic term)
+        spokes = spark.range(hub_deg + 1).select(
+            (F.lit(hub) - F.lit(hub_deg // 2) + F.col("id")).alias("s")
+        ).filter(F.col("s") != hub).select(
+            F.least(F.lit(hub), F.col("s")).alias("a"),
+            F.greatest(F.lit(hub), F.col("s")).alias("b"),
+        )
+        e = bg.unionByName(spokes).distinct().repartition(par).persist()
+        n_e = e.count()
+        # analytic id-ordered join mass: sum over nodes of in*out
+        mass = (
+            e.select(F.col("b").alias("n")).groupBy("n")
+            .agg(F.count(F.lit(1)).alias("i"))
+            .join(
+                e.select(F.col("a").alias("n")).groupBy("n")
+                .agg(F.count(F.lit(1)).alias("o")),
+                "n",
+            )
+            .agg(F.sum(F.col("i") * F.col("o"))).collect()[0][0]
+        )
+        rec = {"micro": "triangle_hub_xl", "round": 10, "edges": n_e,
+               "hub_degree": hub_deg, "id_ordered_join_rows_analytic": int(mass)}
+        new_wall, new_tri = run(None, e)
+        rec["degree_ordered_wall_sec"] = round(new_wall, 3)
+        rec["n_triangles"] = new_tri
+        if mass <= 3_000_000_000:  # old shape runnable below ~3e9 rows
+            old_wall, old_tri = run(old_core, e)
+            rec["id_ordered_wall_sec"] = round(old_wall, 3)
+            rec["identical"] = old_tri == new_tri
+        else:
+            rec["id_ordered_wall_sec"] = None
+            rec["note"] = ("id-ordered shape not run: analytic join mass "
+                           "is in the measured DNF class (r8 LSH DNF'd at "
+                           "1.19e10 rows / 590s)")
+        print(json.dumps(rec), flush=True)
+        e.unpersist()
+    # clique regime: irreducible output, both cores pay C(600,3)
+    from itertools import combinations
+
+    clique_edges = [(a, b) for a, b in combinations(range(3_000_000, 3_000_600), 2)]
+    cl = spark.createDataFrame(clique_edges, "a long, b long")
+    e = bg.unionByName(cl).distinct().repartition(par).persist()
+    n_e = e.count()
+    new_wall, new_tri = run(None, e)
+    old_wall, old_tri = run(old_core, e)
+    print(json.dumps({
+        "micro": "triangle_clique_xl", "round": 10, "edges": n_e,
+        "clique": 600, "n_triangles": new_tri,
+        "degree_ordered_wall_sec": round(new_wall, 3),
+        "id_ordered_wall_sec": round(old_wall, 3),
+        "identical": old_tri == new_tri,
+        "note": "irreducible-output regime: every C(600,3)=3.58e7 wedge "
+                "IS a triangle; degree-ordering must not regress here",
+    }), flush=True)
+    spark.stop()
+
+
 def main_scd2_paired() -> None:
     """r10 (r9 verdict #2): retire the scd2 2.09x-vs-1.69x ambiguity with
     ONE clean paired measurement — same session, interleaved base+hot
@@ -1534,6 +1666,7 @@ if __name__ == "__main__":
         "--banding-xl",
         "--scd2-paired",
         "--streaming-rocksdb",
+        "--triangle-micro",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -1562,6 +1695,8 @@ if __name__ == "__main__":
         main_scd2_paired()
     elif "--streaming-rocksdb" in args:
         main_streaming_rocksdb()
+    elif "--triangle-micro" in args:
+        main_triangle_micro()
     elif "--skew" in args:
         main_skew()
     else:
