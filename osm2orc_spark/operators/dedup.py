@@ -1342,47 +1342,58 @@ FUZZY_MAX_LEV = 4
     """,
     doc=f"Fuzzy part-name linkage via blocking (first token) + sorted "
     f"neighborhood (window {SNM_WINDOW} over name-sorted rows per block) "
-    f"+ Levenshtein verify (<= {FUZZY_MAX_LEV}). Plan: one window over "
-    "(blk), a self equi-join on blk with a bounded rank band -- O(n*W) "
-    "candidates, never all-pairs -- then per-pair edit distance on "
-    "candidates only. At 100 TB the block key shards the shuffle and the "
-    "band bound keeps per-block work linear; skewed blocks split via AQE "
-    "or a secondary blocking key.",
+    f"+ Levenshtein verify (<= {FUZZY_MAX_LEV}). r10 plan (output "
+    "identical, same oracle): the per-block rank is split-and-stitch "
+    "over order-aligned name-PREFIX chunks (in-chunk row_number + a "
+    "cumulative chunk-count offset over the bounded per-chunk summary), "
+    "so a hot block never sorts in one window task; and the rank band "
+    f"rides as an EQUI key — bucket = (rn-1) div {SNM_WINDOW} on the "
+    "anchor side, the probe side explodes to {{bucket, bucket-1}} (a "
+    "band pair always lands in the anchor's bucket or the next, and "
+    "exactly one emitted row matches) — so the join does Theta(n*W) "
+    "work on W-row groups instead of the r1-r9 shape's equi-join on "
+    "blk alone, whose band predicate was a RESIDUAL evaluated on every "
+    "intra-block pair: Theta(block^2) comparisons inside sort-merge "
+    "(TPC-H has ~92 first-word blocks, so that was Theta(n^2/92) at "
+    "any scale — measured 124x at 1.15M parts, fuzzy_snm_xl). At "
+    "100 TB the (blk, bucket) keys shard the shuffle at W-row "
+    "granularity: no hot key anywhere.",
     tags=("dedup", "fuzzy"),
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     part = load(spark, sf_dir, "part")
     t = part.select(
         "p_partkey",
         "p_name",
         F.split("p_name", " ").getItem(0).alias("blk"),
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            W.partitionBy("blk").orderBy("p_name", "p_partkey")
-        ),
     )
+    t = _chunked_block_rn(
+        t,
+        blk_col="blk",
+        order_cols=("p_name", "p_partkey"),
+        chunk=F.col("p_name").substr(F.lit(1), F.length("blk") + 4),
+    )
+    bucket = ((F.col("rn") - 1) / SNM_WINDOW).cast("long")
     a = t.select(
         F.col("p_partkey").alias("part_a"),
         F.col("p_name").alias("name_a"),
-        F.col("blk"),
+        "blk",
         F.col("rn").alias("rn_a"),
+        bucket.alias("bucket"),
     )
     b = t.select(
         F.col("p_partkey").alias("part_b"),
         F.col("p_name").alias("name_b"),
-        F.col("blk"),
+        "blk",
         F.col("rn").alias("rn_b"),
+        F.explode(F.array(bucket, bucket - 1)).alias("bucket"),
     )
     lev = F.levenshtein("name_a", "name_b")
     return (
-        a.join(
-            b,
-            (a.blk == b.blk)
-            & (F.col("rn_b") - F.col("rn_a") >= 1)
-            & (F.col("rn_b") - F.col("rn_a") <= SNM_WINDOW),
+        a.join(b, ["blk", "bucket"])
+        .filter(
+            (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= SNM_WINDOW)
         )
         .filter(lev <= FUZZY_MAX_LEV)
         .select(
@@ -1392,6 +1403,51 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_b",
             lev.cast("bigint").alias("lev"),
         )
+    )
+
+
+def _chunked_block_rn(
+    t: DataFrame,
+    blk_col: str,
+    order_cols: tuple,
+    chunk: Column,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Per-block row_number by split-and-stitch over an ORDER-ALIGNED
+    chunk expression — the operators/chunked.py cure applied to string
+    sort order instead of event time.
+
+    ``chunk`` must be a per-row expression that is monotone in the
+    block's sort order (here: a fixed-length PREFIX of the sort string
+    — prefix comparison can never invert full-string comparison, and
+    equal strings share a chunk, so chunk boundaries respect both the
+    order and its ties).  rn = in-chunk row_number (window partitioned
+    by (blk, chunk) — a hot block splits across its chunks) + the
+    cumulative count of the block's EARLIER chunks (a window over the
+    per-chunk summary, bounded by the number of distinct prefixes per
+    block, independent of block row count).  Identical to
+    row_number() OVER (PARTITION BY blk ORDER BY order_cols) by the
+    same stitch argument as chunked_prev_and_rn; property-tested
+    against the window spelling on adversarial strings."""
+    from pyspark.sql.window import Window as W
+
+    d = t.withColumn("_chunk", chunk)
+    wl = W.partitionBy(blk_col, "_chunk").orderBy(*[F.col(c) for c in order_cols])
+    out = d.withColumn("_rn", F.row_number().over(wl))
+    summ = d.groupBy(blk_col, "_chunk").agg(F.count(F.lit(1)).alias("_cnt"))
+    wc = W.partitionBy(blk_col).orderBy("_chunk")
+    summ = summ.select(
+        blk_col,
+        "_chunk",
+        F.coalesce(
+            F.sum("_cnt").over(wc.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        out.join(summ, [blk_col, "_chunk"])
+        .withColumn(rn_col, F.col("_off") + F.col("_rn"))
+        .drop("_chunk", "_rn", "_off")
     )
 
 

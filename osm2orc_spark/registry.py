@@ -427,10 +427,11 @@ GATE_PRIORITY_R10: tuple[str, ...] = (
     "curation_decontaminate", "curation_pack_sequences",
     "curation_quality_filter", "curation_stratified_sample",
     "dataset_split_assign", "dedup_minhash_lsh_dfcap", "pagerank_trade_graph",
-    # r10 impl-touched: the coincidence-mass regime probe, and the
-    # degree-ordered triangle core (output identical — property-tested
-    # against brute force — re-gated per the standing precedent)
-    "simhash_near_dup", "dupgraph_triangle_stats",
+    # r10 impl-touched: the coincidence-mass regime probe, the
+    # degree-ordered triangle core, and the bucket-banded
+    # sorted-neighborhood join (all output identical — property-tested
+    # — re-gated per the standing precedent)
+    "simhash_near_dup", "dupgraph_triangle_stats", "fuzzy_name_match",
 )
 
 

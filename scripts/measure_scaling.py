@@ -1257,6 +1257,108 @@ def main_triangle_micro() -> None:
     spark.stop()
 
 
+def main_fuzzy_micro() -> None:
+    """r10: fuzzy_name_match's r1-r9 join was equi ONLY on blk — the
+    rank band was a RESIDUAL predicate, evaluated by sort-merge on
+    every intra-block pair: Theta(block^2) comparisons at any scale,
+    plus one unsplittable rank window per block.  TPC-H part names
+    have ~92 first-word blocks, so the registered query was secretly
+    Theta(n^2/92).  The r10 rewrite banding (bucket = (rn-1) div W as
+    an equi key, probe side exploded to {bucket, bucket-1}) does
+    Theta(n*W) join work on W-row groups, and the split-and-stitch
+    block rank removes the per-block window straggler.
+
+    Twin: n parts ALL in one block ('common <salted words>') — the
+    hot-block worst case.  The OLD shape is timed while its pair mass
+    is runnable and recorded analytically (block^2) where it is not;
+    the NEW shape runs everywhere; identity is asserted wherever both
+    complete."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    spark = get_spark(
+        app_name="measure_scaling_fuzzy",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    from osm2orc_spark.operators.dedup import FUZZY_MAX_LEV, SNM_WINDOW
+
+    def old_shape(sf_dir):
+        from osm2orc_spark.tables import load
+
+        part = load(spark, sf_dir, "part")
+        t = part.select(
+            "p_partkey", "p_name", F.split("p_name", " ").getItem(0).alias("blk")
+        ).withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("blk").orderBy("p_name", "p_partkey")),
+        )
+        a = t.select(F.col("p_partkey").alias("part_a"),
+                     F.col("p_name").alias("name_a"), "blk",
+                     F.col("rn").alias("rn_a"))
+        b = t.select(F.col("p_partkey").alias("part_b"),
+                     F.col("p_name").alias("name_b"), "blk",
+                     F.col("rn").alias("rn_b"))
+        lev = F.levenshtein("name_a", "name_b")
+        return (
+            a.join(b, (a.blk == b.blk) & (F.col("rn_b") - F.col("rn_a") >= 1)
+                   & (F.col("rn_b") - F.col("rn_a") <= SNM_WINDOW))
+            .filter(lev <= FUZZY_MAX_LEV)
+        )
+
+    for n in (10_000, 100_000, 1_150_000):
+        twin = os.path.join(SKEW_DIR, f"fuzzy_hotblk_{n}")
+        marker = os.path.join(twin, "_BUILT_v2")
+        if not os.path.exists(marker):
+            os.makedirs(twin, exist_ok=True)
+            # ids pair up (id DIV 2): both names share the salt, the
+            # final token differs by ONE char — every pair is adjacent
+            # in the block's sort order at lev 1, so out_rows ~ n/2 and
+            # the old-vs-new identity check compares REAL matches, not
+            # two empty sets; cross-pair names differ in every salted
+            # word (lev >> 4).
+            pairc = (F.col("id") / 2).cast("long").cast("string")
+            salt = [
+                F.substring(F.md5(F.concat(pairc, F.lit(f"w{j}"))), 1, 6)
+                for j in range(4)
+            ]
+            tail = F.when((F.col("id") % 2) == 0, F.lit("x")).otherwise(F.lit("y"))
+            spark.range(n).select(
+                F.col("id").alias("p_partkey"),
+                F.concat_ws(" ", F.lit("common"), *salt, tail).alias("p_name"),
+            ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(twin, "part.parquet"))
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        rec = {"micro": "fuzzy_snm_xl", "round": 10, "parts": n,
+               "hot_block_rows": n,
+               "old_pair_comparisons_analytic": n * n}
+        t0 = time.perf_counter()
+        n_new = qs["fuzzy_name_match"].fn(spark, twin).count()
+        rec["banded_wall_sec"] = round(time.perf_counter() - t0, 3)
+        rec["out_rows"] = n_new
+        if n * n <= 2e8:  # the one-block residual join is a SINGLE SMJ
+            # task; a 9e8-comparison 30k run was killed after 31 min
+            # (Catalyst merges the levenshtein filter into the join
+            # condition, so every quadratic pair pays edit distance)
+            t0 = time.perf_counter()
+            n_old = old_shape(twin).count()
+            rec["residual_band_wall_sec"] = round(time.perf_counter() - t0, 3)
+            rec["identical"] = n_old == n_new
+        else:
+            rec["residual_band_wall_sec"] = None
+            rec["note"] = ("residual-band shape not run: the one-block "
+                           "band residual is a single SMJ task and "
+                           "Catalyst merges the levenshtein filter into "
+                           "the join condition — a 9e8-comparison 30k "
+                           "twin was killed at 31 min, so "
+                           f"{n*n:.1e} comparisons is the DNF class")
+        print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
 def main_scd2_paired() -> None:
     """r10 (r9 verdict #2): retire the scd2 2.09x-vs-1.69x ambiguity with
     ONE clean paired measurement — same session, interleaved base+hot
@@ -1667,6 +1769,7 @@ if __name__ == "__main__":
         "--scd2-paired",
         "--streaming-rocksdb",
         "--triangle-micro",
+        "--fuzzy-micro",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -1697,6 +1800,8 @@ if __name__ == "__main__":
         main_streaming_rocksdb()
     elif "--triangle-micro" in args:
         main_triangle_micro()
+    elif "--fuzzy-micro" in args:
+        main_fuzzy_micro()
     elif "--skew" in args:
         main_skew()
     else:

@@ -119,3 +119,70 @@ def test_ppjoin_family_matches_python_brute_force(spark, docs):
     for pair, (ca, cb) in exp_con.items():
         assert abs(got_con[pair][0] - ca) < 1e-9
         assert abs(got_con[pair][1] - cb) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# r10: fuzzy_name_match's split-and-stitch block rank + bucket-banded
+# neighborhood join must exactly reproduce the single-window spelling.
+# ---------------------------------------------------------------------------
+def _fuzzy_window_reference(spark, rows):
+    """The r1-r9 spelling: one rank window per block, band as a join
+    residual — the semantics of record for the rewrite."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from osm2orc_spark.operators.dedup import FUZZY_MAX_LEV, SNM_WINDOW
+
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    t = df.select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(0).alias("blk")
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("blk").orderBy("p_name", "p_partkey")),
+    )
+    a = t.select(
+        F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"),
+        "blk", F.col("rn").alias("rn_a"),
+    )
+    b = t.select(
+        F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"),
+        "blk", F.col("rn").alias("rn_b"),
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (a.blk == b.blk)
+            & (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= SNM_WINDOW),
+        )
+        .filter(lev <= FUZZY_MAX_LEV)
+        .select("part_a", "part_b", "name_a", "name_b",
+                lev.cast("bigint").alias("lev"))
+    )
+
+
+_name = st.text(alphabet="ab x", min_size=0, max_size=10)
+
+
+@given(st.lists(_name, min_size=1, max_size=40))
+@settings(max_examples=10, deadline=None)
+def test_fuzzy_rewrite_matches_window_reference(spark, tmp_path_factory, names):
+    """Adversarial strings: empty names, leading spaces (empty block
+    token), massive name TIES (the stitch's intra-chunk tiebreak and
+    the prefix-chunk tie alignment are both load-bearing), blocks
+    spanning many prefix chunks, rank-band pairs that straddle bucket
+    boundaries."""
+    import os as _os
+    import tempfile
+
+    from osm2orc_spark.operators.dedup import fuzzy_name_match
+
+    rows = [(i, n) for i, n in enumerate(names)]
+    sf_dir = tempfile.mkdtemp(prefix="fuzzy_prop_")
+    spark.createDataFrame(rows, "p_partkey long, p_name string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(_os.path.join(sf_dir, "part.parquet"))
+    got = {tuple(r) for r in fuzzy_name_match(spark, sf_dir).collect()}
+    exp = {tuple(r) for r in _fuzzy_window_reference(spark, rows).collect()}
+    assert got == exp, f"names={names}"
