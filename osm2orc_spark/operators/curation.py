@@ -128,6 +128,150 @@ _DUCK_SPLIT = """
 """
 
 
+# Per-shingle document-frequency cap on the RIGHT (union-counted) side
+# above which a shingle is treated as HOT by the factored spelling: cold
+# shingles bound the doc x doc fan-out at DECON_HOT_DF rows per left
+# shingle row (linear mass), hot shingles take the combination-factored
+# union path that never enumerates their pairs.  Any value is EXACT (the
+# split is hot/cold bookkeeping, not an approximation); 256 keeps the
+# hot set small (|HOT| <= test_shingle_rows / 256) while leaving the
+# long tail on the cheap single-join path.
+DECON_HOT_DF = 256
+
+
+def _split_tagged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) rows tagged with the registered
+    md5-bucket train/val/test split (the _DUCK_SPLIT rule)."""
+    sh = _shingles(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return sh.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+
+
+def _decon_flat_pairs(left: DataFrame, right: DataFrame) -> int:
+    """Exact row count of the flat shingle equi-join,
+    Sum_g df_left(g) * df_right(g): two per-shingle count aggregates and
+    a one-row sum — linear in the shingle streams, no doc x doc fan-out.
+    This is the quantity the factored spelling avoids materializing, so
+    it is the regime discriminator (switches.DECON_FLAT_PAIRS_MAX)."""
+    a = left.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfa"))
+    b = right.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfb"))
+    row = (
+        a.join(b, "shingle")
+        .agg(F.sum(F.col("dfa") * F.col("dfb")).alias("m"))
+        .first()
+    )
+    return int(row["m"] or 0)
+
+
+def _union_hit_counts(
+    left: DataFrame, right: DataFrame, *, hot_df: int = DECON_HOT_DF
+) -> DataFrame:
+    """Exact per-left-doc count of DISTINCT right-side docs sharing at
+    least one shingle — ``(doc_id, n_hit)``, one row per left doc with
+    n_hit >= 1 — WITHOUT the flat doc x doc pair fan-out on hot shingles.
+
+    Inputs: ``left`` = distinct (doc_id, shingle) rows, ``right`` =
+    distinct (rdoc_id, shingle) rows (distinctness per (doc, shingle) is
+    what `_shingle_arrays`' array_distinct guarantees).
+
+    Decomposition (exact for ANY hot_df — the split is bookkeeping):
+    n_hit(d) = |U_{g in d} T(g)| where T(g) = right docs containing g.
+
+    - HOT shingles (right df > hot_df): group left docs by their
+      hot-shingle COMBINATION (sorted set, md5-keyed — the registry's
+      md5-only hashing rule, same collision posture as dedup_exact's
+      content_hash groupBy) and compute each DISTINCT combination's
+      right-doc union ONCE: core(c) = distinct (combo, rdoc) from
+      exploding the combo against the right postings.  Join mass is
+      Sum_hot (#combos containing g) * df_right(g), and since every
+      combination is carried by >= 1 left doc, #combos containing g <=
+      df_left(g): the factored hot mass NEVER exceeds the flat join's
+      hot mass, and collapses to ONE union per boilerplate family in
+      the regime that kills the flat plan (all docs sharing a header
+      => one combination, Theta(n) total).
+    - COLD shingles (df <= hot_df): plain equi-join; fan-out per left
+      row is bounded by hot_df, so cold mass <= hot_df * |left| rows —
+      linear with a constant cap, and no single join key can straggle.
+    - Stitch: n_hit(d) = |core(combo(d))| + |coldhits(d) \\ core| via a
+      left-anti join of the distinct cold (doc, rdoc) pairs against the
+      core membership table (docs with no hot shingle have NULL
+      combo_id, which matches nothing, so the anti-join keeps all their
+      cold hits — the NULL-key semantics the hybrid window router
+      already relies on).
+    """
+    rdf = right.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_r")).persist()
+    hot = rdf.filter(F.col("df_r") > hot_df).select("shingle")
+    combos = (
+        left.join(hot, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("combo"))
+        .withColumn("combo_id", F.md5(F.concat_ws("\x1f", "combo")))
+    )
+    cm = combos.select("doc_id", "combo_id").persist()
+    core = (
+        combos.select("combo_id", "combo")
+        .dropDuplicates(["combo_id"])
+        .select("combo_id", F.explode("combo").alias("shingle"))
+        .join(right, "shingle")
+        .select("combo_id", "rdoc_id")
+        .distinct()
+        .persist()
+    )
+    core_n = core.groupBy("combo_id").agg(F.count(F.lit(1)).alias("core_n"))
+    cold = rdf.filter(F.col("df_r") <= hot_df).select("shingle")
+    coldhit = (
+        left.join(right.join(cold, "shingle"), "shingle")
+        .select("doc_id", "rdoc_id")
+        .distinct()
+    )
+    extra = (
+        coldhit.join(cm, "doc_id", "left")
+        .join(core, ["combo_id", "rdoc_id"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_extra"))
+    )
+    hot_hits = cm.join(core_n, "combo_id").select("doc_id", "core_n")
+    out = hot_hits.join(extra, "doc_id", "full").select(
+        "doc_id",
+        (F.coalesce("core_n", F.lit(0)) + F.coalesce("n_extra", F.lit(0)))
+        .cast("bigint")
+        .alias("n_hit"),
+    )
+    return release_with(out, rdf, cm, core)
+
+
+def _decontaminate_factored(train: DataFrame, test: DataFrame) -> DataFrame:
+    """Factored spelling of curation_decontaminate — output-identical to
+    the flat join (property-tested + forced-switch identity)."""
+    train = train.persist()
+    test = test.persist()
+    te_sh = test.select("shingle").distinct()
+    # Train rows are distinct per (doc, shingle) and te_sh has one row
+    # per shingle, so the inner join preserves distinctness and a plain
+    # count equals the flat plan's countDistinct(shingle).
+    n_shared = (
+        train.join(te_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+    )
+    hits = _union_hit_counts(
+        train, test.select(F.col("test_doc_id").alias("rdoc_id"), "shingle")
+    )
+    # Row sets are equal (>=1 shared shingle <=> >=1 test doc hit, since
+    # every test shingle belongs to >=1 test doc): inner join.
+    out = n_shared.join(hits, "doc_id").select(
+        "doc_id", "n_shared_shingles", F.col("n_hit").alias("n_test_docs_hit")
+    )
+    return release_with(out, train, test)
+
+
 @register(
     "curation_decontaminate",
     oracle=f"""
@@ -147,28 +291,32 @@ _DUCK_SPLIT = """
     "one word 3-shingle with any test-split document, with how many "
     "shingles and test docs they hit. The split is the registered "
     "md5-bucket rule, so membership needs no side table. Shape: shingle "
-    "equi-join train-side x test-side, then one aggregation. At 100 TB "
-    "the test side is the small relation — collect its DISTINCT shingles "
-    "once and this becomes a broadcast (or bloom-filter) semi-join probe "
-    "instead of a shuffle of the full train shingle set.",
+    "equi-join train-side x test-side, then one aggregation — UNTIL the "
+    "memoized flat-mass probe (Sum_g df_train * df_test, the join's "
+    "exact row count) exceeds switches.DECON_FLAT_PAIRS_MAX: a "
+    "boilerplate shingle shared by most documents makes the flat join "
+    "Theta(n^2) through ONE unsplittable key, so above the threshold "
+    "the query routes to the combination-factored union counter "
+    "(_union_hit_counts), which is output-identical, never carries more "
+    "join mass, and is near-linear in the boilerplate regime (r10 "
+    "scale-killer #7 — measured twins in SCALING_SKEW.jsonl "
+    "decon_factored_xl).",
     tags=("curation", "dedup"),
 )
 def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
-    tagged = sh.withColumn(
-        "split",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
-    )
+    from osm2orc_spark.operators import switches
+
+    tagged = _split_tagged_shingles(spark, sf_dir)
     train = tagged.filter(F.col("split") == "train").select("doc_id", "shingle")
     test = (
         tagged.filter(F.col("split") == "test")
         .select(F.col("doc_id").alias("test_doc_id"), "shingle")
     )
+    flat = switches.cached_probe(
+        sf_dir, "decon_flat_pairs", lambda: _decon_flat_pairs(train, test)
+    )
+    if flat > switches.DECON_FLAT_PAIRS_MAX:
+        return _decontaminate_factored(train, test)
     return (
         train.join(test, "shingle")
         .groupBy("doc_id")
@@ -257,10 +405,19 @@ PACK_SHARDS = 32
     f"{PACK_SHARDS}) with bin ids namespaced by shard: a single global "
     "running sum would serialize the window on one task, while sharded "
     "windows parallelize and stay deterministic. The shard count maps to "
-    "writer parallelism at 100 TB.",
+    "writer parallelism at 100 TB — but a FIXED shard count still sorts "
+    "rows/32 per window task (and an id-stride corpus, doc_id all equal "
+    "mod 32, serializes the whole table through ONE task), so above the "
+    "window family's per-key bar the running sum routes through the "
+    "doc_id-range split-and-stitch (_pack_sequences_chunked, r10 "
+    "scale-killer #8): in-chunk exclusive sums + a bounded per-chunk "
+    "summary prefix, output-identical (property-tested + forced-switch "
+    "identity), every window partition bounded by the chunk width.",
     tags=("curation",),
 )
 def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
@@ -270,6 +427,24 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
+    hot = switches.cached_probe(
+        sf_dir,
+        "pack_max_shard_rows",
+        lambda: docs.groupBy("shard").count().agg(F.max("count")).first()[0] or 0,
+    )
+    if hot > switches.HOT_KEY_ROWS:
+        return _pack_sequences_chunked(docs)
+    return _pack_sequences_flat(docs)
+
+
+def _pack_bin_id(running_before):
+    return (
+        F.col("shard") * 1000000
+        + F.floor(running_before.cast("double") / PACK_BUDGET).cast("bigint")
+    ).alias("bin_id")
+
+
+def _pack_sequences_flat(docs: DataFrame) -> DataFrame:
     running_before = F.coalesce(
         F.sum("n_tokens").over(
             Window.partitionBy("shard")
@@ -278,10 +453,67 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    bin_id = F.col("shard") * 1000000 + F.floor(
-        running_before.cast("double") / PACK_BUDGET
-    ).cast("bigint")
-    return docs.select("doc_id", "shard", "n_tokens", bin_id.alias("bin_id"))
+    return docs.select("doc_id", "shard", "n_tokens", _pack_bin_id(running_before))
+
+
+# doc_id-range chunk width for the split-and-stitch running sum: one
+# window partition is at most PACK_CHUNK_DOCS/1 rows (PACK_CHUNK_DOCS /
+# PACK_SHARDS when ids are uniform mod the shard count), and the
+# per-chunk summary window carries at most ceil(id_span /
+# PACK_CHUNK_DOCS) rows per shard.  Same residual as the time-chunked
+# event family (operators/chunked.py): chunking bounds per-task rows by
+# id DENSITY, not count — an adversarially sparse id space concentrates
+# the summary, not the data.
+PACK_CHUNK_DOCS = 1 << 20
+
+
+def _pack_sequences_chunked(docs: DataFrame) -> DataFrame:
+    """Split-and-stitch spelling of the per-shard exclusive running sum
+    (r10 scale-killer #8) — output-identical to _pack_sequences_flat for
+    every id/NULL pattern (property-tested; forced-switch identity at
+    the gate SF).
+
+    Exactness: within a shard, chunk = floor(doc_id / PACK_CHUNK_DOCS)
+    is monotone in doc_id (exact in double below 2^53 — the
+    sessionize_events_chunked argument), so chunk order == stream order
+    and the exclusive prefix of any row is (all rows of prior chunks) +
+    (in-chunk exclusive prefix).  NULL n_tokens: the flat spelling is
+    COALESCE(SUM(n_tokens) [ignores NULLs], 0), which equals summing
+    coalesce(n_tokens, 0) everywhere — so unlike chunked_running_sum no
+    non-null bookkeeping is needed; the outer COALESCE already collapses
+    the all-NULL-prefix case to 0."""
+    d = docs.withColumn(
+        "_chunk", F.floor(F.col("doc_id") / F.lit(PACK_CHUNK_DOCS)).cast("bigint")
+    )
+    wl = (
+        Window.partitionBy("shard", "_chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_before = F.coalesce(
+        F.sum(F.coalesce(F.col("n_tokens"), F.lit(0))).over(wl), F.lit(0)
+    )
+    summ = d.groupBy("shard", "_chunk").agg(
+        F.sum(F.coalesce(F.col("n_tokens"), F.lit(0))).alias("_tot")
+    )
+    wc = (
+        Window.partitionBy("shard")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = summ.select(
+        "shard", "_chunk", F.coalesce(F.sum("_tot").over(wc), F.lit(0)).alias("_off")
+    )
+    return (
+        d.withColumn("_in_before", in_before)
+        .join(offs, ["shard", "_chunk"])
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            _pack_bin_id(F.col("_in_before") + F.col("_off")),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1079,29 +1311,34 @@ def curation_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contaminated-shingle ratio in micro units (one IEEE division from "
     "exact integer counts). The doc-centric dual of "
     "curation_decontaminate — same md5-bucket split rule, same shingle "
-    "join — aggregated from the test side. Scale: the test side is "
-    "tiny; at 100 TB this runs as a broadcast of the test shingle set "
-    "probed by one pass over train shingles with partial counts keyed "
-    "by (test_doc, shingle).",
+    "join — aggregated from the test side. Scale: the same flat-mass "
+    "probe as curation_decontaminate routes the same boilerplate regime "
+    "(the left join fans out df_test(g) * df_train(g) rows per shingle "
+    "exactly like the inner join) to a factored spelling: n_shingles is "
+    "a local count, n_contaminated a semi-join against the DISTINCT "
+    "train shingle set (linear), and n_train_docs_hit the "
+    "combination-factored union counter with the sides swapped.",
     tags=("curation", "dedup", "eval"),
 )
 def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
-    tagged = sh.withColumn(
-        "split",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
-    )
+    from osm2orc_spark.operators import switches
+
+    tagged = _split_tagged_shingles(spark, sf_dir)
     te = tagged.filter(F.col("split") == "test").select(
         F.col("doc_id").alias("test_doc_id"), "shingle"
     )
     tr = tagged.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc_id"), "shingle"
     )
+    flat = switches.cached_probe(
+        sf_dir,
+        "decon_flat_pairs",
+        lambda: _decon_flat_pairs(
+            tr.withColumnRenamed("train_doc_id", "doc_id"), te
+        ),
+    )
+    if flat > switches.DECON_FLAT_PAIRS_MAX:
+        return _contamination_report_factored(te, tr)
     agg = (
         te.join(tr, "shingle", "left")
         .groupBy("test_doc_id")
@@ -1122,6 +1359,44 @@ def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("contamination_micro"),
     )
+
+
+def _contamination_report_factored(te: DataFrame, tr: DataFrame) -> DataFrame:
+    """Factored spelling of curation_contamination_report — the union
+    counter with the sides swapped (per TEST doc: distinct TRAIN docs
+    hit).  Test docs with zero contamination keep their row (the flat
+    plan's left join) via left joins onto the local n_shingles base,
+    with counts coalesced to 0."""
+    te = te.persist()
+    tr = tr.persist()
+    base = te.groupBy("test_doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    tr_sh = tr.select("shingle").distinct()
+    ncont = (
+        te.join(tr_sh, "shingle")
+        .groupBy("test_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+    hits = _union_hit_counts(
+        te.select(F.col("test_doc_id").alias("doc_id"), "shingle"),
+        tr.select(F.col("train_doc_id").alias("rdoc_id"), "shingle"),
+    ).select(F.col("doc_id").alias("test_doc_id"), "n_hit")
+    ncont_c = F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
+    out = (
+        base.join(ncont, "test_doc_id", "left")
+        .join(hits, "test_doc_id", "left")
+        .select(
+            "test_doc_id",
+            "n_shingles",
+            ncont_c.alias("n_contaminated"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_train_docs_hit"),
+            F.floor((F.lit(1000000) * ncont_c) / F.col("n_shingles"))
+            .cast("bigint")
+            .alias("contamination_micro"),
+        )
+    )
+    return release_with(out, te, tr)
 
 
 def _assemble_contamination_oracle() -> None:

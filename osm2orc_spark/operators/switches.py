@@ -92,6 +92,35 @@ HOT_KEY_MAX_LIST = 1024
 SIMHASH_FLAT_PAIRS_MAX = 1 << 28
 SIMHASH_FLAT_SIGMA = 8.0
 
+# curation_decontaminate / curation_contamination_report regime switch
+# (r10 scale-killer #7): both queries' flat spelling equi-joins the train
+# and test shingle streams on `shingle`, which fans out
+# df_train(g) * df_test(g) rows PER SHINGLE before the per-doc distinct
+# aggregation collapses it back to one row per doc.  A boilerplate
+# shingle present in most documents (license header, scraped nav bar)
+# lands in ~80% of the train split AND ~10% of the test split, so ONE
+# join key carries Theta(0.08 * n^2) rows — and an equi-join key cannot
+# be split across tasks by AQE without replicating the other side, so
+# the mass concentrates in a handful of tasks on top of being quadratic
+# in total.  The factored spelling (curation._union_hit_counts) computes
+# the SAME distinct-hit counts by grouping docs by their hot-shingle
+# combination and computing each distinct combination's test-doc union
+# once — provably never more join mass than the flat join (a shingle's
+# combination count <= its train df) and near-linear in the boilerplate
+# regime that kills the flat plan.  The probe is the flat join's exact
+# row count Sum_g df_train(g) * df_test(g), computed from the two
+# per-shingle count aggregates (linear, one row per side per distinct
+# shingle, no doc x doc fan-out), memoized per sf_dir.  Threshold: the
+# gate SFs carry 2.5e3-2.2e5 flat pairs (measured on driver data:
+# sf0.001 2,759, sf0.01 2,509, sf0.1 216,462 — three decades of
+# headroom); the measured boilerplate
+# twins cross DNF territory around 10^10.  2^27 rows keeps the flat
+# join's worst single-key task around a measured ~4s on 32 cores and
+# switches well before the quadratic wall; routing errors near the
+# threshold are cost-only (factored == flat bit-for-bit,
+# property-tested + forced-switch identity at the gate SF).
+DECON_FLAT_PAIRS_MAX = 1 << 27
+
 _PROBE_CACHE: dict[tuple[str, str], int | tuple[int, ...]] = {}
 
 

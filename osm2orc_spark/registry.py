@@ -428,10 +428,13 @@ GATE_PRIORITY_R10: tuple[str, ...] = (
     "curation_quality_filter", "curation_stratified_sample",
     "dataset_split_assign", "dedup_minhash_lsh_dfcap", "pagerank_trade_graph",
     # r10 impl-touched: the coincidence-mass regime probe, the
-    # degree-ordered triangle core, and the bucket-banded
-    # sorted-neighborhood join (all output identical — property-tested
-    # — re-gated per the standing precedent)
+    # degree-ordered triangle core, the bucket-banded
+    # sorted-neighborhood join, and the decontamination flat-mass switch
+    # (curation_decontaminate is already gated above as an r6-stale
+    # re-confirmation; its dual re-gates here) — all output identical,
+    # property-tested, re-gated per the standing precedent
     "simhash_near_dup", "dupgraph_triangle_stats", "fuzzy_name_match",
+    "curation_contamination_report",
 )
 
 

@@ -1359,6 +1359,219 @@ def main_fuzzy_micro() -> None:
     spark.stop()
 
 
+def main_decon_micro() -> None:
+    """r10 scale-killer #7: curation_decontaminate /
+    curation_contamination_report's flat train x test shingle equi-join
+    fans out df_train(g) * df_test(g) rows per shingle — a boilerplate
+    shingle shared corpus-wide makes the registered queries Theta(n^2)
+    through a handful of unsplittable join keys.  The factored spelling
+    (_union_hit_counts: hot-shingle combinations computed once, cold
+    tail df-bounded) is output-identical and near-linear in that regime.
+
+    Twin: n docs, EVERY doc opens with the same 6-word boilerplate
+    prefix (=> 4 corpus-wide shared 3-shingles) followed by a unique
+    4-token tail.  The md5 split puts ~80% train / ~10% test, so the
+    flat join mass is ~4 * 0.8n * 0.1n = 0.32 n^2.  The flat shape is
+    timed while runnable and recorded analytically where it is not;
+    the factored shape runs everywhere; identity is asserted wherever
+    both complete (and is separately property-tested + forced at the
+    gate SF in tests/test_decon_factored.py)."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators import curation, switches
+
+    spark = get_spark(
+        app_name="measure_scaling_decon",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    def build(n: int) -> str:
+        twin = os.path.join(SKEW_DIR, f"decon_boiler_{n}")
+        marker = os.path.join(twin, "_BUILT_v1")
+        if not os.path.exists(marker):
+            os.makedirs(twin, exist_ok=True)
+            uid = F.col("doc_id").cast("string")
+            spark.range(n).withColumnRenamed("id", "doc_id").select(
+                "doc_id",
+                F.concat_ws(
+                    " ",
+                    F.lit("common license header boiler plate text"),
+                    F.concat(F.lit("u"), uid, F.lit("a")),
+                    F.concat(F.lit("u"), uid, F.lit("b")),
+                    F.concat(F.lit("u"), uid, F.lit("c")),
+                    F.concat(F.lit("u"), uid, F.lit("d")),
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("twin").alias("source"),
+                F.lit(100).cast("long").alias("n_chars"),
+            ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(twin, "documents.parquet"))
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        return twin
+
+    for qname in ("curation_decontaminate", "curation_contamination_report"):
+        for n in (40_000, 160_000, 640_000, 1_280_000):
+            twin = build(n)
+            switches.probe_cache_clear()
+            tagged = curation._split_tagged_shingles(spark, twin)
+            flat_mass = curation._decon_flat_pairs(
+                tagged.filter(F.col("split") == "train").select(
+                    "doc_id", "shingle"
+                ),
+                tagged.filter(F.col("split") == "test").select(
+                    F.col("doc_id").alias("test_doc_id"), "shingle"
+                ),
+            )
+            rec = {"micro": "decon_factored_xl", "round": 10, "query": qname,
+                   "docs": n, "flat_join_rows": flat_mass}
+            t0 = time.perf_counter()
+            rec["out_rows"] = qs[qname].fn(spark, twin).count()
+            rec["wall_sec"] = round(time.perf_counter() - t0, 3)
+            rec["strategy"] = (
+                "factored" if flat_mass > switches.DECON_FLAT_PAIRS_MAX
+                else "flat"
+            )
+            if rec["strategy"] == "factored" and flat_mass <= 6e8:
+                # time the retired flat shape where it still completes,
+                # and assert identity on real output
+                old = switches.DECON_FLAT_PAIRS_MAX
+                try:
+                    switches.DECON_FLAT_PAIRS_MAX = 1 << 62
+                    t0 = time.perf_counter()
+                    flat_rows = sorted(
+                        tuple(r) for r in qs[qname].fn(spark, twin).collect()
+                    )
+                    rec["flat_wall_sec"] = round(time.perf_counter() - t0, 3)
+                finally:
+                    switches.DECON_FLAT_PAIRS_MAX = old
+                fact_rows = sorted(
+                    tuple(r) for r in qs[qname].fn(spark, twin).collect()
+                )
+                rec["identical"] = flat_rows == fact_rows
+            elif rec["strategy"] == "factored":
+                rec["flat_wall_sec"] = None
+                rec["note"] = (f"flat shape not run: {flat_mass:.1e} join "
+                               "rows through ~4 unsplittable shingle keys "
+                               "is the measured DNF class")
+            print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
+def main_pack_micro() -> None:
+    """r10 scale-killer #8: curation_pack_sequences' fixed 32-shard
+    running sum sorts rows/32 per window task — unbounded as the corpus
+    grows — and an id-stride corpus (doc_id all equal mod 32, e.g. ids
+    minted by an upstream 32-way sharder) serializes the WHOLE table
+    through ONE WindowExec task.  The chunked split-and-stitch spelling
+    bounds every window partition by the doc_id chunk width.
+
+    Twins (tiny fixed text so the token count never dominates):
+    - pack_uniform: n docs, contiguous ids — every shard holds n/32.
+    - pack_stride:  n docs, ids = 32*i — ONE shard holds all n rows.
+    Flat and chunked are timed PAIRED (same session, interleaved,
+    min-of-N) on both twins; identity asserted at the smallest size."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators import curation, switches
+
+    spark = get_spark(
+        app_name="measure_scaling_pack",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def build(n: int, stride: int, tag: str) -> str:
+        twin = os.path.join(SKEW_DIR, f"pack_{tag}_{n}")
+        marker = os.path.join(twin, "_BUILT_v1")
+        if not os.path.exists(marker):
+            os.makedirs(twin, exist_ok=True)
+            spark.range(n).select(
+                (F.col("id") * stride).alias("doc_id"),
+                F.concat(
+                    F.lit("alpha beta gamma delta x"),
+                    (F.col("id") % 7).cast("string"),
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("twin").alias("source"),
+                F.lit(25).cast("long").alias("n_chars"),
+            ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(twin, "documents.parquet"))
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        return twin
+
+    def narrow(sf_dir: str):
+        from osm2orc_spark.tables import load
+
+        return load(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % curation.PACK_SHARDS).alias("shard"),
+            F.size(
+                F.split(
+                    F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+                )
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+
+    passes = int(os.environ.get("PACK_PASSES", "5"))
+    for tag, stride in (("uniform", 1), ("stride", 32)):
+        for n in (3_200_000, 12_800_000):
+            twin = build(n, stride, tag)
+            switches.probe_cache_clear()
+            docs = narrow(twin)
+            shapes = {
+                "flat": lambda: curation._pack_sequences_flat(docs).count(),
+                "chunked": lambda: curation._pack_sequences_chunked(docs).count(),
+            }
+            walls: dict[str, list[float]] = {k: [] for k in shapes}
+            for fn in shapes.values():
+                fn()  # warm
+            for _ in range(passes):
+                for k, fn in shapes.items():  # interleaved: same load regime
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn()
+                    walls[k].append(time.perf_counter() - t0)
+            hot_rows = switches.cached_probe(
+                twin,
+                "pack_max_shard_rows",
+                lambda: docs.groupBy("shard")
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+                or 0,
+            )
+            rec = {
+                "micro": "pack_chunked_xl", "round": 10, "twin": tag,
+                "docs": n, "max_shard_rows": hot_rows, "passes": passes,
+                "protocol": "same-session interleaved min-of-%d" % passes,
+                "flat_wall_sec": round(min(walls["flat"]), 3),
+                "chunked_wall_sec": round(min(walls["chunked"]), 3),
+                "registered_strategy": (
+                    "chunked" if hot_rows > switches.HOT_KEY_ROWS else "flat"
+                ),
+            }
+            if n == 3_200_000:
+                a = sorted(
+                    tuple(r)
+                    for r in curation._pack_sequences_flat(docs).collect()
+                )
+                b = sorted(
+                    tuple(r)
+                    for r in curation._pack_sequences_chunked(docs).collect()
+                )
+                rec["identical"] = a == b
+            print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
 def main_scd2_paired() -> None:
     """r10 (r9 verdict #2): retire the scd2 2.09x-vs-1.69x ambiguity with
     ONE clean paired measurement — same session, interleaved base+hot
@@ -1770,6 +1983,8 @@ if __name__ == "__main__":
         "--streaming-rocksdb",
         "--triangle-micro",
         "--fuzzy-micro",
+        "--decon-micro",
+        "--pack-micro",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -1802,6 +2017,10 @@ if __name__ == "__main__":
         main_triangle_micro()
     elif "--fuzzy-micro" in args:
         main_fuzzy_micro()
+    elif "--decon-micro" in args:
+        main_decon_micro()
+    elif "--pack-micro" in args:
+        main_pack_micro()
     elif "--skew" in args:
         main_skew()
     else:
