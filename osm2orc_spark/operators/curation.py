@@ -979,15 +979,23 @@ N_SHUFFLE_SHARDS = 8
     doc=f"Deterministic corpus shuffle into {N_SHUFFLE_SHARDS} training "
     "shards: md5(doc_id) gives an engine-neutral pseudo-random key; "
     "shard = key mod N, within-shard order = (key, doc_id). Plan: one "
-    "narrow hash projection, one window partitioned BY SHARD -- the "
-    "sort is per-shard, never global, so shard count scales the "
-    "parallelism (thousands of shards at 100 TB => thousands of "
-    "independent sorts sized for executor memory). Re-running with the "
-    "same N reproduces the exact epoch order -- resumable training.",
+    "narrow hash projection, one window partitioned BY SHARD.  A fixed "
+    "shard count still sorts rows/N per window task, so above the "
+    "window family's per-key bar the rank routes through the two-level "
+    "hkey-range spelling (r10): row_number within (shard, hkey >> s) "
+    "chunks + an exclusive running count over the bounded per-chunk "
+    "summary — the exact pattern embedding_prototype_prune's two-level "
+    "rank already proved, with the chunk shift DERIVED from the "
+    "memoized row count so per-task rows stay ~2^16 at any corpus size "
+    "(hkey is md5-uniform, so chunk occupancy concentrates tightly). "
+    "Output-identical (chunk id is monotone in hkey and equal hkeys "
+    "share a chunk; property-tested + forced-switch identity). "
+    "Re-running with the same N reproduces the exact epoch order -- "
+    "resumable training.",
     tags=("curation",),
 )
 def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from osm2orc_spark.operators import switches
 
     docs = load(spark, sf_dir, "documents")
     hkey = (
@@ -995,13 +1003,87 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
     )
     h = docs.select("doc_id", "source", hkey.alias("hkey"))
+    n = switches.table_rows(spark, sf_dir, "documents")
+    if n > switches.HOT_KEY_ROWS * N_SHUFFLE_SHARDS:
+        return _shuffle_shards_chunked(h, n)
+    return _shuffle_shards_flat(h)
+
+
+def _shuffle_shards_flat(h: DataFrame) -> DataFrame:
     shard = (F.col("hkey") % N_SHUFFLE_SHARDS).cast("bigint")
-    w = W.partitionBy(shard).orderBy("hkey", "doc_id")
+    w = Window.partitionBy(shard).orderBy("hkey", "doc_id")
     return h.select(
         "doc_id",
         "source",
         shard.alias("shard"),
         F.row_number().over(w).cast("bigint").alias("shard_pos"),
+    )
+
+
+# Expected rows per (shard, hkey-range chunk) the derived chunk shift
+# targets: small enough that a window task can never straggle, large
+# enough that the per-chunk summary stays tiny relative to the data.
+SHUFFLE_CHUNK_TARGET_ROWS = 1 << 16
+
+
+def _shuffle_shard_shift(n_rows: int) -> int:
+    """Right-shift s on the 32-bit hkey such that the expected rows per
+    (shard, chunk) is ~SHUFFLE_CHUNK_TARGET_ROWS: 2^(32-s) chunk widths
+    give n / (N_SHUFFLE_SHARDS * 2^k) expected occupancy for k = 32-s.
+    Clamped to [0, 32]; any value is EXACT (only balance varies)."""
+    import math
+
+    k = max(
+        0,
+        math.ceil(
+            math.log2(
+                max(1, n_rows / (N_SHUFFLE_SHARDS * SHUFFLE_CHUNK_TARGET_ROWS))
+            )
+        ),
+    )
+    return max(0, 32 - k)
+
+
+def _shuffle_shards_chunked(
+    h: DataFrame, n_rows: int, *, shift: int | None = None
+) -> DataFrame:
+    """Two-level spelling of the per-shard rank (r10 scale-killer #9):
+    shard_pos = (rows of the shard in strictly-lower hkey chunks)
+              + row_number within (shard, chunk).
+    Exact because chunk = hkey >> s is monotone in hkey and equal hkeys
+    share a chunk, so within-(shard, chunk) order (hkey, doc_id) is the
+    global shard order restricted — the same argument as
+    embedding_prototype_prune's bucket rank and the PPJoin prefix rank.
+    Every window is bounded: the data window by the chunk occupancy
+    (~2^16 expected under the md5-uniform hkey), the summary window by
+    the chunk COUNT (one row per nonempty (shard, chunk))."""
+    s = _shuffle_shard_shift(n_rows) if shift is None else shift
+    d = h.select(
+        "doc_id",
+        "source",
+        "hkey",
+        (F.col("hkey") % N_SHUFFLE_SHARDS).cast("bigint").alias("shard"),
+        F.shiftright("hkey", s).alias("_chunk"),
+    )
+    wl = Window.partitionBy("shard", "_chunk").orderBy("hkey", "doc_id")
+    counts = d.groupBy("shard", "_chunk").agg(F.count(F.lit(1)).alias("_n"))
+    wc = (
+        Window.partitionBy("shard")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "shard", "_chunk", F.coalesce(F.sum("_n").over(wc), F.lit(0)).alias("_off")
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(wl))
+        .join(offs, ["shard", "_chunk"])
+        .select(
+            "doc_id",
+            "source",
+            "shard",
+            (F.col("_off") + F.col("_rn")).cast("bigint").alias("shard_pos"),
+        )
     )
 
 

@@ -434,7 +434,7 @@ GATE_PRIORITY_R10: tuple[str, ...] = (
     # re-confirmation; its dual re-gates here) — all output identical,
     # property-tested, re-gated per the standing precedent
     "simhash_near_dup", "dupgraph_triangle_stats", "fuzzy_name_match",
-    "curation_contamination_report",
+    "curation_contamination_report", "corpus_shuffle_shards",
 )
 
 

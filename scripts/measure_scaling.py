@@ -1526,9 +1526,19 @@ def main_pack_micro() -> None:
             twin = build(n, stride, tag)
             switches.probe_cache_clear()
             docs = narrow(twin)
+            # noop write, NOT count(): count() lets Catalyst prune the
+            # window entirely (it never changes cardinality), timing an
+            # empty plan — the first run of this micro recorded 0.13 s
+            # "flat" walls for a 12.8M-row single-task sort that way.
             shapes = {
-                "flat": lambda: curation._pack_sequences_flat(docs).count(),
-                "chunked": lambda: curation._pack_sequences_chunked(docs).count(),
+                "flat": lambda: curation._pack_sequences_flat(docs)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+                "chunked": lambda: curation._pack_sequences_chunked(docs)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
             }
             walls: dict[str, list[float]] = {k: [] for k in shapes}
             for fn in shapes.values():
@@ -1569,6 +1579,66 @@ def main_pack_micro() -> None:
                 )
                 rec["identical"] = a == b
             print(json.dumps(rec), flush=True)
+
+    # corpus_shuffle_shards (r10 scale-killer #9): N_SHUFFLE_SHARDS = 8,
+    # so the flat rank sorts rows/8 per window task regardless of id
+    # layout — the uniform twin alone exhibits it (the md5 hkey ignores
+    # id strides).  Same paired protocol.
+    def hframe(sf_dir: str):
+        from osm2orc_spark.tables import load
+
+        hk = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        return load(spark, sf_dir, "documents").select(
+            "doc_id", "source", hk.alias("hkey")
+        )
+
+    for n in (3_200_000, 12_800_000):
+        twin = build(n, 1, "uniform")
+        h = hframe(twin)
+        shapes = {
+            "flat": lambda: curation._shuffle_shards_flat(h)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            "chunked": lambda: curation._shuffle_shards_chunked(h, n)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        }
+        walls = {k: [] for k in shapes}
+        for fn in shapes.values():
+            fn()
+        for _ in range(passes):
+            for k, fn in shapes.items():
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn()
+                walls[k].append(time.perf_counter() - t0)
+        rec = {
+            "micro": "shuffle_chunked_xl", "round": 10, "docs": n,
+            "rows_per_shard": n // 8, "passes": passes,
+            "chunk_shift": curation._shuffle_shard_shift(n),
+            "protocol": "same-session interleaved min-of-%d" % passes,
+            "flat_wall_sec": round(min(walls["flat"]), 3),
+            "chunked_wall_sec": round(min(walls["chunked"]), 3),
+            "registered_strategy": (
+                "chunked"
+                if n > switches.HOT_KEY_ROWS * curation.N_SHUFFLE_SHARDS
+                else "flat"
+            ),
+        }
+        if n == 3_200_000:
+            a = sorted(
+                tuple(r) for r in curation._shuffle_shards_flat(h).collect()
+            )
+            b = sorted(
+                tuple(r)
+                for r in curation._shuffle_shards_chunked(h, n).collect()
+            )
+            rec["identical"] = a == b
+        print(json.dumps(rec), flush=True)
     spark.stop()
 
 

@@ -67,3 +67,36 @@ def test_registered_forced_chunked_equals_flat(spark, sf_smoke, monkeypatch):
     switches.probe_cache_clear()
     assert _rows(q(spark, sf_smoke)) == flat
     assert len(flat) > 0
+
+
+# --- corpus_shuffle_shards two-level rank (r10 scale-killer #9) -----------
+
+# hkeys drawn from a tiny space force ties and chunk-boundary adjacency
+# at every shift; doc_ids are unique by construction.
+_hdoc = st.integers(min_value=0, max_value=(1 << 32) - 1)
+
+
+@given(
+    hkeys=st.lists(_hdoc, min_size=0, max_size=40),
+    shift=st.sampled_from([0, 4, 16, 28, 31, 32]),
+)
+@settings(max_examples=12, deadline=None)
+def test_shuffle_chunked_equals_flat(spark, hkeys, shift):
+    rows = [(i, "s", h) for i, h in enumerate(hkeys)]
+    frame = spark.createDataFrame(
+        rows or [(None, None, None)], "doc_id long, source string, hkey long"
+    ).filter(F.col("doc_id").isNotNull())
+    assert _rows(
+        curation._shuffle_shards_chunked(frame, len(rows), shift=shift)
+    ) == _rows(curation._shuffle_shards_flat(frame))
+
+
+def test_registered_shuffle_forced_chunked_equals_flat(
+    spark, sf_smoke, monkeypatch
+):
+    q = REG["corpus_shuffle_shards"].fn
+    flat = _rows(q(spark, sf_smoke))
+    monkeypatch.setattr(switches, "HOT_KEY_ROWS", -1)
+    switches.probe_cache_clear()
+    assert _rows(q(spark, sf_smoke)) == flat
+    assert len(flat) > 0
