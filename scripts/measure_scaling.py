@@ -1414,7 +1414,7 @@ def main_decon_micro() -> None:
         return twin
 
     for qname in ("curation_decontaminate", "curation_contamination_report"):
-        for n in (40_000, 160_000, 640_000, 1_280_000):
+        for n in (20_000, 40_000, 160_000, 640_000, 1_280_000):
             twin = build(n)
             switches.probe_cache_clear()
             tagged = curation._split_tagged_shingles(spark, twin)
@@ -1457,6 +1457,30 @@ def main_decon_micro() -> None:
                 rec["note"] = (f"flat shape not run: {flat_mass:.1e} join "
                                "rows through ~4 unsplittable shingle keys "
                                "is the measured DNF class")
+            else:
+                # below threshold the registered query KEEPS the flat
+                # plan — time the factored spelling too and assert
+                # identity, so the record shows the probe routes BOTH
+                # directions (cheap regime stays flat, costly regime
+                # escapes)
+                old = switches.DECON_FLAT_PAIRS_MAX
+                try:
+                    switches.DECON_FLAT_PAIRS_MAX = -1
+                    switches.probe_cache_clear()
+                    t0 = time.perf_counter()
+                    fact_rows = sorted(
+                        tuple(r) for r in qs[qname].fn(spark, twin).collect()
+                    )
+                    rec["factored_wall_sec"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                finally:
+                    switches.DECON_FLAT_PAIRS_MAX = old
+                    switches.probe_cache_clear()
+                flat_rows = sorted(
+                    tuple(r) for r in qs[qname].fn(spark, twin).collect()
+                )
+                rec["identical"] = flat_rows == fact_rows
             print(json.dumps(rec), flush=True)
     spark.stop()
 
