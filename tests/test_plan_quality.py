@@ -665,3 +665,51 @@ def test_refined_variants_broadcast_hot_tables_no_cartesian(spark, sf_correctnes
         # planner broadcasts EVERY join side, so the pin is the absence
         # of a non-equi fallback, not a specific shuffle strategy)
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_decon_factored_no_window_no_cartesian(spark, sf_correctness, monkeypatch):
+    """The r10 factored decontamination path (forced via threshold -> -1):
+    the union counter must stay window-free (no unsplittable per-key
+    sort anywhere — the whole point of the rewrite) and every join must
+    remain key-equi (a cartesian/nested-loop fallback would reintroduce
+    the pair fan-out it removes)."""
+    from osm2orc_spark.operators import switches
+
+    monkeypatch.setattr(switches, "DECON_FLAT_PAIRS_MAX", -1)
+    switches.probe_cache_clear()
+    try:
+        for name in ("curation_decontaminate", "curation_contamination_report"):
+            plan = plan_of(spark, sf_correctness, name)
+            assert "Window" not in plan, name
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+    finally:
+        switches.probe_cache_clear()
+
+
+def test_chunked_rank_windows_keyed_by_chunk(spark, sf_correctness, monkeypatch):
+    """The r10 chunked spellings of pack_sequences / corpus_shuffle_shards
+    (forced): the DATA window must partition by (shard, chunk) — only the
+    bounded per-chunk SUMMARY window may key on shard alone — and no
+    window may collapse to a single partition."""
+    from osm2orc_spark.operators import switches
+
+    monkeypatch.setattr(switches, "HOT_KEY_ROWS", -1)
+    switches.probe_cache_clear()
+    try:
+        for name in ("curation_pack_sequences", "corpus_shuffle_shards"):
+            plan = plan_of(spark, sf_correctness, name)
+            assert "SinglePartition" not in plan, name
+            assert "hashpartitioning(shard" in plan, name
+            assert "_chunk" in plan, name
+            # the row-level window sorts within (shard, _chunk): every
+            # windowspec in the plan keys on shard first with _chunk as
+            # either the second partition column (data window) or the
+            # order column (bounded summary window)
+            import re
+
+            specs = re.findall(r"windowspecdefinition\(shard#\d+L, _chunk#\d+L", plan)
+            assert specs, name
+            assert plan.count("windowspecdefinition") == len(specs), name
+    finally:
+        switches.probe_cache_clear()
