@@ -632,20 +632,32 @@ _DUCK_SHINGLES_CAPPED = f"""
     "buckets at corpus scale — AQE skew-join splits moderate cases, but a "
     "df cap removes the blow-up at the source, at the cost of ignoring "
     "boilerplate-only similarity (usually the desired semantics for "
-    "training-data dedup). The hot-shingle set is tiny (it's the df "
-    "distribution tail) so the exclusion join is a broadcast anti-join — "
-    "no extra shuffle over the raw pipeline.",
+    "training-data dedup). The cap applies as a per-shingle df "
+    "join-back + filter (one AQE-splittable equi-join, fan-out 1/row) — "
+    "NOT a broadcast anti-join against the over-cap set, which under an "
+    "absolute cap is the m/cap vocabulary tail and grows without bound "
+    "in corpus size (r10 fix: a hint must never force an unbounded "
+    "build side).",
     tags=("dedup",),
 )
 def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10: the capped stream comes from an equi-join back to the
+    # per-shingle df aggregate + a df <= cap filter, NOT a broadcast
+    # anti-join against the over-cap set.  With an ABSOLUTE cap the
+    # over-cap set is the vocabulary tail m/cap — unbounded in corpus
+    # size — so the old F.broadcast(hot) hint forced an arbitrarily
+    # large build side onto every executor (the one shape a hint cannot
+    # be allowed to force).  The join-back is one AQE-splittable
+    # equi-join with fan-out exactly 1 per row, identical output
+    # (every shingle appears in its own df aggregate).
     sh_raw = _shingles(spark, sf_dir).persist()
-    hot = (
-        sh_raw.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MINHASH_DF_CAP)
-        .select("shingle")
+    dfs = sh_raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = (
+        sh_raw.join(dfs, "shingle")
+        .filter(F.col("df") <= MINHASH_DF_CAP)
+        .select("doc_id", "shingle")
+        .persist()
     )
-    sh = sh_raw.join(F.broadcast(hot), "shingle", "left_anti").persist()
     return release_with(_minhash_lsh_pairs(sh), sh, sh_raw)
 
 
@@ -1612,7 +1624,7 @@ CONTAIN_THRESHOLD = 0.9
     """,
     doc=f"Asymmetric containment near-dup pairs (>= {CONTAIN_THRESHOLD} "
     "in either direction): candidates from df-capped shared shingles "
-    "(broadcast anti-join removes boilerplate hot keys, so the "
+    "(df join-back + filter removes boilerplate hot keys, so the "
     "candidate join is bucketed, never all-pairs), then exact "
     "intersection counts over the FULL shingle sets for the surviving "
     "pairs only. contain_a = |A.and.B|/|A| flags A embedded in B even "
@@ -1626,13 +1638,15 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the one persisted frame serving both.
     arrs = _shingle_arrays(spark, sf_dir).persist()
     sh_raw = arrs.select("doc_id", F.explode("arr").alias("shingle"))
-    hot = (
-        sh_raw.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MINHASH_DF_CAP)
-        .select("shingle")
+    # df join-back + filter, not a broadcast anti-join against the
+    # over-cap tail (unbounded in corpus size under an absolute cap) —
+    # same r10 fix as dedup_minhash_lsh_dfcap above.
+    dfs = sh_raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    capped = (
+        sh_raw.join(dfs, "shingle")
+        .filter(F.col("df") <= MINHASH_DF_CAP)
+        .select("doc_id", "shingle")
     )
-    capped = sh_raw.join(F.broadcast(hot), "shingle", "left_anti")
     cand = (
         capped.select(F.col("doc_id").alias("doc_a"), "shingle")
         .join(capped.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")

@@ -435,6 +435,10 @@ GATE_PRIORITY_R10: tuple[str, ...] = (
     # property-tested, re-gated per the standing precedent
     "simhash_near_dup", "dupgraph_triangle_stats", "fuzzy_name_match",
     "curation_contamination_report", "corpus_shuffle_shards",
+    # r10 late: df-cap spelling moved from broadcast anti-join to the
+    # df join-back (dedup_minhash_lsh_dfcap re-gates from the stale
+    # tier above; its containment sibling re-gates here)
+    "dedup_containment_pairs",
 )
 
 

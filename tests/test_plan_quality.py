@@ -153,11 +153,18 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_correctness):
                 spark.conf.set(k, v)
 
 
-def test_dfcap_hot_shingle_exclusion_is_broadcast_anti(spark, sf_correctness):
-    # the hot-shingle exclusion must be a broadcast LeftAnti join, not a
-    # shuffled one — the hot set is the tiny tail of the df distribution
-    plan = plan_of(spark, sf_correctness, "dedup_minhash_lsh_dfcap")
-    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+def test_dfcap_exclusion_is_df_joinback_not_forced_broadcast(spark, sf_correctness):
+    # r10: the df cap applies as an equi-join back to the per-shingle df
+    # aggregate + filter — under an absolute cap the over-cap set is the
+    # m/cap vocabulary tail, so a forced-broadcast anti-join against it
+    # would ship an unbounded build side at corpus scale.  Pin: no
+    # LeftAnti anywhere, no ResolvedHint surviving to the physical plan,
+    # and the join-back stays key-equi (no nested-loop fallback).
+    for name in ("dedup_minhash_lsh_dfcap", "dedup_containment_pairs"):
+        plan = plan_of(spark, sf_correctness, name)
+        assert "LeftAnti" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_aqe_splits_skewed_join_partitions(spark, sf_correctness):
