@@ -288,3 +288,110 @@ def chunked_running_last(
             f"run_{c}", F.coalesce(F.col(f"_inrun_{c}"), F.col(f"_carry_{c}"))
         ).drop(f"_inrun_{c}", f"_carry_{c}")
     return out.drop("_ms", "_chunk")
+
+
+def ranged_two_level(
+    df: DataFrame,
+    order_cols: list[Column],
+    nparts: int,
+    *,
+    rank: str | None = None,
+    prefix_sum: tuple[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed EXACT global window over an arbitrary total order —
+    the cure for the UNPARTITIONED-window straggler (r10 scale-killer
+    #11, the N=1 case of the fixed-shard class #8/#9): ``NTILE() OVER
+    (ORDER BY ...)`` / ``SUM() OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` sort the WHOLE frame in ONE WindowExec task, so a
+    frame that grows with the corpus (the customer or part dimension —
+    linear in SF) serializes at scale no matter how "dimension-sized"
+    it looks locally.
+
+    Shape: ``repartitionByRange(nparts, *order_cols)`` (Spark's own
+    global-sort partitioner — sampled composite-key boundaries, so ties
+    on the leading key split across partitions via the unique-id
+    tie-break in ``order_cols``) -> stamp ``spark_partition_id()`` ->
+    ``persist()`` (pins the sampled boundaries: every downstream
+    subtree reads ONE materialization, so the row frame and the
+    per-partition summary agree on pids by construction; boundary
+    placement never affects the OUTPUT — the stitch is exact for any
+    split because pid order == sort order and the in-partition window
+    re-sorts exactly) -> in-partition window PARTITION BY pid + a
+    bounded per-pid summary (<= nparts rows) whose exclusive running
+    totals join back as the carry.
+
+    - ``rank="name"`` adds the global ``row_number()`` under
+      ``order_cols`` (in-partition row_number + prior-pid row counts).
+    - ``prefix_sum=(value_col, "name")`` adds the INCLUSIVE running sum
+      of ``value_col`` (in-partition running sum + prior-pid totals).
+
+    Returns ``(result, base)`` — callers must release ``base`` via
+    ``release_with(final, base)`` after their last transformation.
+
+    Exactness requires ``order_cols`` to be a STRICT total order (make
+    the last element a unique id), the same requirement every window
+    twin in this repo carries for determinism.  NULL ordering is
+    consistent by construction: ``repartitionByRange`` and
+    ``Window.orderBy`` consume the SAME SortOrder expressions.
+
+    The summary window is unpartitioned but bounded by ``nparts`` =
+    ceil(n / RANGED_CHUNK_ROWS) rows (switches.dim_window_nparts) — at
+    10^12 input rows that is ~10^6 summary rows through one task, a
+    trivial sort.  The offsets join is left unhinted: its build side
+    grows ~n/2^20, so forcing a broadcast would be the #10 memory-cliff
+    class; AQE picks broadcast while it is actually small.
+    """
+    assert rank or prefix_sum, "ask for at least one output column"
+    base = (
+        df.repartitionByRange(max(1, nparts), *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    win = W.partitionBy("_pid").orderBy(*order_cols)
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if prefix_sum is not None:
+        aggs.append(F.sum(prefix_sum[0]).alias("_tot"))
+    summ = base.groupBy("_pid").agg(*aggs)
+    wc = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_cnt").over(wc), F.lit(0)).alias("_cnt_off"),
+    ]
+    if prefix_sum is not None:
+        off_cols.append(F.sum("_tot").over(wc).alias("_sum_off"))
+    offs = summ.select(*off_cols)
+    out = base
+    if rank is not None:
+        out = out.withColumn("_rn_in", F.row_number().over(win))
+    if prefix_sum is not None:
+        out = out.withColumn(
+            "_sum_in",
+            F.sum(prefix_sum[0]).over(
+                win.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    out = out.join(offs, "_pid")
+    if rank is not None:
+        out = out.withColumn(
+            "_rank_l", (F.col("_rn_in") + F.col("_cnt_off")).cast("bigint")
+        ).withColumnRenamed("_rank_l", rank).drop("_rn_in")
+    if prefix_sum is not None:
+        # _sum_off is NULL for pid 0 (no prior partitions) and for
+        # all-NULL prior values; the flat window's sum over the same
+        # prefix would be NULL too only when the WHOLE inclusive frame
+        # is NULL — _sum_in covers the inclusive frame, so
+        # _sum_in + coalesce(_sum_off, 0) must keep _sum_in's NULL
+        # (all-NULL prefix) and otherwise add exact totals.  Spark
+        # decimal addition keeps scale; inputs are the same exact
+        # decimals the flat window sums.
+        out = out.withColumn(
+            prefix_sum[1],
+            F.when(
+                F.col("_sum_in").isNull() & F.col("_sum_off").isNull(),
+                F.lit(None),
+            ).otherwise(
+                F.coalesce(F.col("_sum_in"), F.lit(0))
+                + F.coalesce(F.col("_sum_off"), F.lit(0))
+            ),
+        ).drop("_sum_in")
+    return out.drop("_cnt_off", "_sum_off", "_pid"), base

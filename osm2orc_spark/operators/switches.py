@@ -242,3 +242,115 @@ def table_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
     return cached_probe(
         sf_dir, f"table_rows:{table}", lambda: load(spark, sf_dir, table).count()
     )
+
+
+# Unpartitioned-window straggler switch (r10 scale-killer #11 — the N=1
+# case of the fixed-shard window class #8/#9): NTILE/running-sum windows
+# with NO partition key sort their whole input frame in ONE WindowExec
+# task.  "Dimension-sized" is not a bound — the TPC-H part and customer
+# dimensions grow LINEARLY with SF, so customer_rfm_segments' three
+# global ntile sorts and part_abc_pareto's running-share sort are
+# rows/1-per-task stragglers at exactly the scale this engine targets
+# (10^10 dimension rows at 100 TB).  Above the bar the queries route
+# through chunked.ranged_two_level (range-partitioned in-chunk window +
+# bounded summary carry, output-identical, property-tested + forced-
+# switch identity).  The probe is the DIMENSION table's parquet row
+# count (footer statistics, no scan): the post-aggregation frame is at
+# most one row per dimension key, so the probe is a free upper bound
+# that only ever errs toward the bounded plan (cost-only: ranged ==
+# flat bit-for-bit).  Threshold matches the window family's per-task
+# bar (HOT_KEY_ROWS): 10^5 rows sort comfortably in one task; the gate
+# SFs carry 2k-20k dimension rows, far below.
+DIM_WINDOW_ROWS_MAX = HOT_KEY_ROWS
+
+# Target rows per range partition for ranged_two_level: bounds every
+# in-partition window task at ~2^20 rows (the pack/shuffle chunk-width
+# precedent) while keeping the per-pid summary at ceil(n/2^20) rows —
+# 10^4 summary rows at 10^10 input rows, a trivial single-task sort.
+RANGED_CHUNK_ROWS = 1 << 20
+
+
+def dim_window_nparts(n_rows: int) -> int:
+    """Range-partition count for ranged_two_level: ceil(n / 2^20),
+    floored at 32 so the local[32] twins exercise real parallelism (a
+    cluster would floor at its default parallelism instead)."""
+    return max(32, -(-int(n_rows) // RANGED_CHUNK_ROWS))
+
+
+# Burst-rate chunk-width adaptation for the time-chunked window family
+# (r10, closing the family's documented residual): time chunking bounds
+# per-task rows by peak RATE, not lifetime volume — a key emitting 2x10^6
+# rows inside ONE default chunk (1 h) still serializes that chunk through
+# a single window task no matter how the stream is split.  Since chunk
+# width never affects OUTPUT (the stitch is exact for any width;
+# property-tested across widths in test_chunked_windows), the width is a
+# pure cost knob — so derive it from the data: probe the peak per
+# (key, chunk) occupancy at the default width and shrink by power-of-2
+# factors until the peak fits the per-task bar (HOT_KEY_ROWS), re-probing
+# at each width (a burst is rarely uniform, so the rescale is iterated,
+# not trusted).  Probes are the same single map-side-combinable agg shape
+# as max_key_rows, memoized per (dir, width) — and they only run when a
+# chunked core actually resolves a width, i.e. never under the "window"
+# strategy.  Floor: MIN_CHUNK_MS — below ~1 s the residual is same-
+# timestamp ties, which MUST share a chunk (equal sort keys cannot split
+# across a stitch seam) and are irreducible by any width.
+MIN_CHUNK_MS = 1_000
+BURST_PROBE_MAX_ITERS = 6
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(x) - 1).bit_length()
+
+
+def peak_chunk_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    width_ms: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+) -> int:
+    """Largest per-(key, time-chunk) row count at ``width_ms`` — the
+    straggler probe for the chunked cores' in-chunk windows.  NULL keys
+    are excluded (they route through the plain window branch)."""
+
+    def _compute() -> int:
+        ev = load(spark, sf_dir, table).filter(F.col(key).isNotNull())
+        chunk = F.floor(F.unix_millis(ts) / F.lit(width_ms)).cast("bigint")
+        row = (
+            ev.groupBy(F.col(key), chunk.alias("_c"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .first()
+        )
+        return row["m"] or 0
+
+    return cached_probe(
+        sf_dir, f"peak_chunk_rows:{table}:{key}:{ts}:{width_ms}", _compute
+    )
+
+
+def burst_chunk_ms(
+    spark: SparkSession,
+    sf_dir: str,
+    default_ms: int,
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+) -> int:
+    """The chunk width the time-chunked cores should use for this dir:
+    ``default_ms`` when the default-width peak occupancy fits the
+    per-task bar (the common case — zero plan change), else the largest
+    power-of-2 division of ``default_ms`` whose re-probed peak fits
+    (down to MIN_CHUNK_MS).  Widths stay canonical powers-of-2 of the
+    default so every query in a process shares the same memoized probe
+    ladder."""
+    bar = max(1, int(HOT_KEY_ROWS))  # tests force the bar to 0/negative
+    width = int(default_ms)
+    for _ in range(BURST_PROBE_MAX_ITERS):
+        peak = peak_chunk_rows(spark, sf_dir, width, table, key, ts)
+        if peak <= bar or width <= MIN_CHUNK_MS:
+            break
+        shrink = _next_pow2(-(-peak // bar))
+        width = max(MIN_CHUNK_MS, width // shrink)
+    return width

@@ -68,16 +68,19 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     if strategy == "window":
         return _asof_last_window_core(ev)
+    from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS
+
+    cm = switches.burst_chunk_ms(spark, sf_dir, DEFAULT_CHUNK_MS)
     if strategy == "chunked":
         return _asof_last_window_core(
             ev.filter(F.col("user_id").isNull())
         ).unionByName(
-            _asof_last_chunked_core(ev.filter(F.col("user_id").isNotNull()), None)
+            _asof_last_chunked_core(ev.filter(F.col("user_id").isNotNull()), cm)
         )
     return _asof_last_window_core(
         ev.filter(switches.cold_pred("user_id", hot))
     ).unionByName(
-        _asof_last_chunked_core(ev.filter(switches.hot_pred("user_id", hot)), None)
+        _asof_last_chunked_core(ev.filter(switches.hot_pred("user_id", hot)), cm)
     )
 
 
@@ -891,19 +894,49 @@ def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle's INTERVAL arithmetic (whole-second unix_timestamp would "
     "truncate sub-second ts and misplace events 3600-3601s apart); "
     "aggregates are count/min/max (order-independent, no fp-sum "
-    "hazard). One shuffle on user_id; the frame scan is "
-    "incremental per partition — the standard sliding-feature shape for "
-    "fraud/abuse scoring at scale.",
+    "hazard). One shuffle on user_id — but the per-user partition is "
+    "the SAME lifetime-volume straggler as the seven-query window "
+    "family (r10 scale-killer #12: a 10^8-event bot sorts its whole "
+    "history in one task), so hot keys route through the ghost-"
+    "replication chunked twin: rows replicate into the NEXT time chunk "
+    "as frame-only ghosts, the identical RANGE frame evaluates within "
+    "(user, chunk), and non-ghosts are kept — exact because chunk "
+    "width == frame width means a trailing frame never reaches past "
+    "the previous chunk. Residual (inherent to the SEMANTICS, not the "
+    "split): a burst inside one frame width colocates by definition — "
+    "every row's frame contains the burst at any engine.",
     tags=("relational", "window"),
 )
 def rolling_hour_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
+    strategy, hot = switches.window_strategy(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    if strategy == "window":
+        return _rolling_hour_window_core(ev)
+    if strategy == "chunked":
+        return _rolling_hour_window_core(
+            ev.filter(F.col("user_id").isNull())
+        ).unionByName(
+            _rolling_hour_chunked_core(ev.filter(F.col("user_id").isNotNull()))
+        )
+    return _rolling_hour_window_core(
+        ev.filter(switches.cold_pred("user_id", hot))
+    ).unionByName(
+        _rolling_hour_chunked_core(ev.filter(switches.hot_pred("user_id", hot)))
+    )
+
+
+ROLLING_FRAME_US = 3_600_000_000  # the trailing-hour frame, in microseconds
+
+
+def _rolling_hour_window_core(ev: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3_600_000_000, 0)
+        .rangeBetween(-ROLLING_FRAME_US, 0)
     )
     return ev.select(
         "event_id",
@@ -912,6 +945,59 @@ def rolling_hour_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.min("value").over(w).alias("min_last_hour"),
         F.max("value").over(w).alias("max_last_hour"),
+    )
+
+
+def _rolling_hour_chunked_core(ev: DataFrame) -> DataFrame:
+    """Ghost-replication split-and-stitch for the trailing RANGE frame
+    (r10 scale-killer #12) — output identical to the per-user window
+    spelling (property-tested + forced-switch identity):
+
+    chunk = us DIV frame_width, so for a row in chunk k every frame
+    member (us within [row.us - frame, row.us]) lives in chunk k or
+    k-1.  Each row therefore appears twice in the working frame: once
+    in its OWN chunk (emitted) and once as a GHOST in chunk k+1
+    (frame-only, filtered after the window).  The window partitions by
+    (user, chunk) with the SAME RANGE frame over the SAME order value —
+    frame membership is defined by the us VALUE, so ties and boundary
+    rows (exactly frame-width apart, inclusive) resolve identically.
+    No double-count: a chunk-k partition holds chunk-k rows as own and
+    chunk-(k-1) rows as ghosts — disjoint sets.  Per-task rows are
+    bounded by two chunks' peak occupancy instead of the key's lifetime
+    volume.  The chunk width cannot shrink below the frame width (a
+    narrower chunk would let frames span two seams), so the
+    burst-inside-one-frame case stays colocated — that cost is the
+    frame SEMANTICS: those rows are in each other's frames at any
+    engine and any split."""
+    from pyspark.sql.window import Window
+
+    base = ev.select("event_id", "user_id", "ts", "value").withColumn(
+        "_us", F.unix_micros("ts")
+    ).withColumn(
+        "_ck", F.floor(F.col("_us") / F.lit(ROLLING_FRAME_US)).cast("bigint")
+    )
+    own = base.withColumn("_ghost", F.lit(0))
+    ghost = base.withColumn("_ck", F.col("_ck") + F.lit(1)).withColumn(
+        "_ghost", F.lit(1)
+    )
+    w = (
+        Window.partitionBy("user_id", "_ck")
+        .orderBy("_us")
+        .rangeBetween(-ROLLING_FRAME_US, 0)
+    )
+    return (
+        own.unionByName(ghost)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "_ghost",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.min("value").over(w).alias("min_last_hour"),
+            F.max("value").over(w).alias("max_last_hour"),
+        )
+        .filter(F.col("_ghost") == 0)
+        .drop("_ghost")
     )
 
 
@@ -1025,18 +1111,40 @@ def approx_percentiles_sketch_only(spark: SparkSession, sf_dir: str) -> DataFram
     "max order date — derived in-plan, no driver collect), order count, "
     "and DECIMAL-exact spend, then NTILE(5) quintile scores (5 = best) "
     "with custkey tie-breaks for total order, concatenated into the "
-    "classic 3-digit segment. Scale note: the three ntiles are GLOBAL "
-    "sorts of the customer dimension — fine for a dimension-sized frame; "
-    "at fact scale you'd derive quintile boundaries from sufficient "
-    "statistics instead and width-bucket against them broadcast.",
+    "classic 3-digit segment. Scale: the three ntiles are GLOBAL sorts "
+    "of the customer dimension, which grows linearly with SF — above "
+    "DIM_WINDOW_ROWS_MAX the registered query routes each score through "
+    "an exact distributed rank (chunked.ranged_two_level: range-"
+    "partitioned in-chunk row_number + bounded summary carry) and the "
+    "exact NTILE closed form — output-identical, no single-task sort "
+    "(r10 scale-killer #11).",
     tags=("window", "eval"),
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from osm2orc_spark.operators import switches
 
+    base = _rfm_base(spark, sf_dir)
+    # The three ntile windows are UNPARTITIONED sorts of the
+    # post-aggregation frame — one row per customer, a dimension that
+    # grows LINEARLY with SF (r10 scale-killer #11): at 10^10 customers
+    # each quintile sort serializes in ONE WindowExec task.  The probe
+    # is the customer table's parquet footer row count — a free upper
+    # bound on the frame (one row per ordering customer), erring only
+    # toward the bounded plan (ranged == flat bit-for-bit,
+    # property-tested + forced-switch identity at the gate SF).  Below
+    # the bar the plan is byte-identical to the r1-r9 spelling.
+    if (
+        switches.table_rows(spark, sf_dir, "customer")
+        > switches.DIM_WINDOW_ROWS_MAX
+    ):
+        return _rfm_ranged(spark, sf_dir, base)
+    return _rfm_flat(base)
+
+
+def _rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
-    base = (
+    return (
         orders.crossJoin(F.broadcast(ref))
         .groupBy(F.col("o_custkey").alias("custkey"), "ref_date")
         .agg(
@@ -1047,24 +1155,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
         )
     )
-    scored = base.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        F.col("monetary").cast("double").alias("monetary"),
-        # Unpartitioned ntile windows run over the POST-AGGREGATION frame:
-        # one row per customer (dimension-sized, ~1-2% of fact volume in
-        # TPC-H shaped data), not per order/lineitem.  Exact global
-        # quintiles need a global rank by definition; the documented
-        # 10^9-customer scale path is approx_percentile boundaries
-        # broadcast back as a 4-row map (changes quantile tie behavior,
-        # so the registered query keeps the exact spelling).  The
-        # WindowExec "No Partition Defined" warning here is expected
-        # (r7 verdict #7).
-        F.ntile(5).over(W.orderBy(F.desc("recency_days"), "custkey")).alias("r_score"),
-        F.ntile(5).over(W.orderBy(F.asc("frequency"), "custkey")).alias("f_score"),
-        F.ntile(5).over(W.orderBy(F.asc("monetary"), "custkey")).alias("m_score"),
-    )
+
+
+def _rfm_segment_select(scored: DataFrame) -> DataFrame:
     return scored.select(
         "*",
         F.concat(
@@ -1073,6 +1166,85 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     ).orderBy("custkey")
+
+
+def _rfm_flat(base: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        # Exact global quintiles need a global rank by definition; this
+        # single-task spelling wins below DIM_WINDOW_ROWS_MAX (one
+        # exchange to one partition, no summary join).  The WindowExec
+        # "No Partition Defined" warning here is expected (r7 verdict
+        # #7); above the bar the registered query routes to
+        # _rfm_ranged instead.
+        F.ntile(5).over(W.orderBy(F.desc("recency_days"), "custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.asc("frequency"), "custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.asc("monetary"), "custkey")).alias("m_score"),
+    )
+    return _rfm_segment_select(scored)
+
+
+def ntile_from_rank(rank_col: str, n: int, k: int) -> "F.Column":
+    """EXACT closed form of ``NTILE(k) OVER (ORDER BY ...)`` given the
+    global 1-based row_number under the same order: SQL ntile gives the
+    first ``n % k`` buckets ``n div k + 1`` rows and the rest ``n div
+    k`` (property-tested against F.ntile over exhaustive small n).  All
+    arithmetic is integer (`div`), so no FP quotient can cross a bucket
+    boundary — at rank = m*(q+1)+1 with large q a double division sits
+    within 1 ulp of m and ceil() would misbucket.  ``rank_col`` must be
+    a NAMED column (the expression is SQL text)."""
+    q, r = divmod(int(n), int(k))
+    if q == 0:
+        # Fewer rows than buckets: row i lands alone in bucket i.
+        return F.col(rank_col).cast("int")
+    boundary = r * (q + 1)
+    return F.expr(
+        f"case when {rank_col} <= {boundary}"
+        f" then ({rank_col} + {q}) div {q + 1}"
+        f" else {r} + ({rank_col} - {boundary} + {q - 1}) div {q} end"
+    ).cast("int")
+
+
+def _rfm_ranged(spark: SparkSession, sf_dir: str, base: DataFrame) -> DataFrame:
+    """Distributed twin of _rfm_flat (r10 scale-killer #11): each
+    quintile score = exact global row_number via
+    chunked.ranged_two_level (range-partitioned in-chunk window +
+    bounded summary carry) -> exact NTILE closed form from the memoized
+    frame row count.  Ranks order by the same DECIMAL monetary column
+    the flat window resolves (ordering by the double-cast copy could
+    merge ties the decimal distinguishes and flip custkey tie-breaks).
+    Output proven identical to _rfm_flat (forced-switch identity +
+    ranged-primitive property tests)."""
+    from osm2orc_spark.operators.cache import release_with
+    from osm2orc_spark.operators import switches
+    from osm2orc_spark.operators.chunked import ranged_two_level
+
+    n = switches.cached_probe(sf_dir, "rfm_base_rows", base.count)
+    nparts = switches.dim_window_nparts(n)
+    d1, b1 = ranged_two_level(
+        base, [F.desc("recency_days"), F.asc("custkey")], nparts, rank="_r_rank"
+    )
+    d2, b2 = ranged_two_level(
+        d1, [F.asc("frequency"), F.asc("custkey")], nparts, rank="_f_rank"
+    )
+    d3, b3 = ranged_two_level(
+        d2, [F.asc("monetary"), F.asc("custkey")], nparts, rank="_m_rank"
+    )
+    scored = d3.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        ntile_from_rank("_r_rank", n, 5).alias("r_score"),
+        ntile_from_rank("_f_rank", n, 5).alias("f_score"),
+        ntile_from_rank("_m_rank", n, 5).alias("m_score"),
+    )
+    return release_with(_rfm_segment_select(scored), b1, b2, b3)
 
 
 # ---------------------------------------------------------------------------
@@ -1110,14 +1282,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Pareto/ABC inventory classification: parts ranked by "
     "DECIMAL-exact revenue, running-total window over the (revenue DESC, "
     "partkey) total order, cumulative share in micro units (one IEEE "
-    "division of exact decimals) cut at 70%/90%. The running-total shape "
-    "is a GLOBAL dimension-sized sort — the per-part aggregation "
-    "(map-side combinable over the fact table) is where the data-sized "
-    "work happens; the window sees |parts| rows only.",
+    "division of exact decimals) cut at 70%/90%. The per-part "
+    "aggregation (map-side combinable over the fact table) is where the "
+    "fact-sized work happens, but the running-total window sees one row "
+    "PER PART — a dimension that grows linearly with SF — so above "
+    "DIM_WINDOW_ROWS_MAX the registered query computes the identical "
+    "cumulative sum via chunked.ranged_two_level (range-partitioned "
+    "prefix sum + bounded summary carry; r10 scale-killer #11) instead "
+    "of one single-task sort.",
     tags=("window", "aggregate"),
 )
 def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from osm2orc_spark.operators import switches
 
     li = load(spark, sf_dir, "lineitem")
     rev = (
@@ -1129,19 +1305,27 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    tot = rev.agg(F.sum("revenue").alias("total"))
-    # Unpartitioned running-share window is BOUNDED: one row per part
-    # after the revenue aggregation (dimension-sized).  Expected
-    # "No Partition Defined" warning — see r7 verdict #7.
-    w = W.orderBy(F.desc("revenue"), "partkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
+    # The running-share window is UNPARTITIONED over one row per part —
+    # a dimension that grows linearly with SF (r10 scale-killer #11):
+    # at 10^10 parts the cumulative sort serializes in ONE WindowExec
+    # task.  Probe = the part table's parquet footer row count, a free
+    # upper bound on distinct l_partkey that errs only toward the
+    # bounded plan (ranged == flat bit-for-bit).  Below the bar the
+    # plan is byte-identical to the r1-r9 spelling.
+    if (
+        switches.table_rows(spark, sf_dir, "part")
+        > switches.DIM_WINDOW_ROWS_MAX
+    ):
+        return _pareto_ranged(spark, sf_dir, rev)
+    return _pareto_flat(rev)
+
+
+def _pareto_select(cum_df: DataFrame, cum: "F.Column", tot: DataFrame) -> DataFrame:
     share = F.floor(
-        (F.lit(1e6) * F.sum("revenue").over(w).cast("double"))
-        / F.col("total").cast("double")
+        (F.lit(1e6) * cum.cast("double")) / F.col("total").cast("double")
     ).cast("bigint")
     return (
-        rev.crossJoin(F.broadcast(tot))
+        cum_df.crossJoin(F.broadcast(tot))
         .select(
             "partkey",
             F.col("revenue").cast("double").alias("revenue"),
@@ -1158,6 +1342,45 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey")
     )
+
+
+def _pareto_flat(rev: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    # Single-task running window — wins below DIM_WINDOW_ROWS_MAX (one
+    # exchange, no summary join); expected "No Partition Defined"
+    # warning (r7 verdict #7).  Above the bar the registered query
+    # routes to _pareto_ranged instead.
+    w = W.orderBy(F.desc("revenue"), "partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return _pareto_select(rev, F.sum("revenue").over(w), tot)
+
+
+def _pareto_ranged(spark: SparkSession, sf_dir: str, rev: DataFrame) -> DataFrame:
+    """Distributed twin of _pareto_flat (r10 scale-killer #11): the
+    exact cumulative revenue comes from chunked.ranged_two_level's
+    inclusive prefix sum over the same (revenue DESC, partkey) total
+    order — range-partitioned in-chunk running sum + bounded per-chunk
+    totals carry, decimal-exact, output-identical (forced-switch
+    identity + ranged-primitive property tests)."""
+    from osm2orc_spark.operators.cache import release_with
+    from osm2orc_spark.operators import switches
+    from osm2orc_spark.operators.chunked import ranged_two_level
+
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    nparts = switches.dim_window_nparts(
+        switches.table_rows(spark, sf_dir, "part")
+    )
+    cum_df, base = ranged_two_level(
+        rev,
+        [F.desc("revenue"), F.asc("partkey")],
+        nparts,
+        prefix_sum=("revenue", "_cum"),
+    )
+    out = _pareto_select(cum_df, F.col("_cum"), tot)
+    return release_with(out, base)
 
 
 # ---------------------------------------------------------------------------

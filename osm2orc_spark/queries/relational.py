@@ -507,8 +507,13 @@ def lag_type_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _chunked_lag(df: DataFrame) -> DataFrame:
+        # burst-adaptive width: a key emitting HOT_KEY_ROWS+ rows inside
+        # one default chunk still serializes that chunk; the probe
+        # shrinks the width until the peak occupancy fits (cost-only —
+        # output is width-invariant, property-tested).
+        cm = switches.burst_chunk_ms(spark, sf_dir, DEFAULT_CHUNK_MS)
         return chunked_prev(
-            df, "user_id", ["event_type"], ("ts", "event_id"), DEFAULT_CHUNK_MS
+            df, "user_id", ["event_type"], ("ts", "event_id"), cm
         ).select(F.col("prev_event_type").alias("prev_type"), "event_type")
 
     if strategy == "window":
@@ -533,12 +538,12 @@ def window_lag_transitions_chunked(
     ``chunked_prev`` computes the identical lag with every window
     bounded (in-chunk lag + a bounded-summary carry).  Output proven
     identical at sf0.01 and on the xl_hot twin."""
+    from osm2orc_spark.operators import switches
     from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS, chunked_prev
 
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    d = chunked_prev(
-        ev, "user_id", ["event_type"], ("ts", "event_id"), chunk_ms or DEFAULT_CHUNK_MS
-    )
+    cm = chunk_ms or switches.burst_chunk_ms(spark, sf_dir, DEFAULT_CHUNK_MS)
+    d = chunked_prev(ev, "user_id", ["event_type"], ("ts", "event_id"), cm)
     return (
         d.filter(F.col("prev_event_type").isNotNull())
         .groupBy(
@@ -830,7 +835,7 @@ SESSION_CHUNK_MS = 3_600_000  # split-and-stitch time-range width (1 h)
 def sessionize_events_chunked(
     spark: SparkSession,
     sf_dir: str,
-    chunk_ms: int = SESSION_CHUNK_MS,
+    chunk_ms: int | None = None,
     ev: DataFrame | None = None,
 ) -> DataFrame:
     """Split-and-stitch sessionization — output PROVEN identical to the
@@ -866,12 +871,16 @@ def sessionize_events_chunked(
        two-level rank.  Multi-chunk sessions chain correctly: a
        fused-through chunk contributes starts - fused = 0 to the prefix.
 
-    Residual worst case (documented, not hidden): a hot user whose
-    events all fall inside ONE chunk_ms window still lands in one task —
-    time chunking bounds per-task rows by the user's peak event RATE,
-    not its lifetime volume.  Shrink ``chunk_ms`` for rate-skewed
-    streams; same-ts ties never force a merge error because a seam can
-    only separate distinct chunk ids, hence distinct ms values.
+    Residual worst case: time chunking bounds per-task rows by the
+    user's peak event RATE, not its lifetime volume — so when
+    ``chunk_ms`` is not given, the width resolves through
+    switches.burst_chunk_ms (r10): a memoized peak-occupancy probe
+    shrinks it by power-of-2 factors until the hottest (key, chunk)
+    fits the per-task bar.  Output is width-invariant (the stitch is
+    exact at any width; property-tested), so adaptation is pure cost.
+    The irreducible floor is same-TIMESTAMP ties, which must share a
+    chunk at any width; a seam can only separate distinct chunk ids,
+    hence distinct ms values, so ties never force a merge error.
 
     Since r9 this is the registered query's own hot path: the registry
     stays frozen at 162, but ``sessionize_events`` auto-delegates here
@@ -886,8 +895,12 @@ def sessionize_events_chunked(
     ``ev`` overrides the events input — the hybrid strategy passes the
     hot-key slice here (per-key independence makes the split exact).
     """
+    from osm2orc_spark.operators import switches
+
     if ev is None:
         ev = load(spark, sf_dir, "events")
+    if chunk_ms is None:
+        chunk_ms = switches.burst_chunk_ms(spark, sf_dir, SESSION_CHUNK_MS)
     ms = F.unix_millis("ts")
     # floor(ms / chunk_ms) in double is exact here: the quotient is far
     # below 2^53 and a non-integer true quotient sits >= 1/chunk_ms away

@@ -168,18 +168,24 @@ def event_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     if strategy == "window":
         core = _islands_window_core(ev)
-    elif strategy == "chunked":
-        core = _islands_window_core(
-            ev.filter(F.col("user_id").isNull())
-        ).unionByName(
-            _islands_chunked_core(ev.filter(F.col("user_id").isNotNull()), None)
-        )
     else:
-        core = _islands_window_core(
-            ev.filter(switches.cold_pred("user_id", hot))
-        ).unionByName(
-            _islands_chunked_core(ev.filter(switches.hot_pred("user_id", hot)), None)
-        )
+        from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS
+
+        cm = switches.burst_chunk_ms(spark, sf_dir, DEFAULT_CHUNK_MS)
+        if strategy == "chunked":
+            core = _islands_window_core(
+                ev.filter(F.col("user_id").isNull())
+            ).unionByName(
+                _islands_chunked_core(ev.filter(F.col("user_id").isNotNull()), cm)
+            )
+        else:
+            core = _islands_window_core(
+                ev.filter(switches.cold_pred("user_id", hot))
+            ).unionByName(
+                _islands_chunked_core(
+                    ev.filter(switches.hot_pred("user_id", hot)), cm
+                )
+            )
     return core.orderBy("user_id", "run_start", "first_event_id")
 
 
@@ -250,18 +256,24 @@ def asof_join_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     if strategy == "window":
         core = _asof_next_window_core(ev)
-    elif strategy == "chunked":
-        core = _asof_next_window_core(
-            ev.filter(F.col("user_id").isNull())
-        ).unionByName(
-            _asof_next_chunked_core(ev.filter(F.col("user_id").isNotNull()), None)
-        )
     else:
-        core = _asof_next_window_core(
-            ev.filter(switches.cold_pred("user_id", hot))
-        ).unionByName(
-            _asof_next_chunked_core(ev.filter(switches.hot_pred("user_id", hot)), None)
-        )
+        from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS
+
+        cm = switches.burst_chunk_ms(spark, sf_dir, DEFAULT_CHUNK_MS)
+        if strategy == "chunked":
+            core = _asof_next_window_core(
+                ev.filter(F.col("user_id").isNull())
+            ).unionByName(
+                _asof_next_chunked_core(ev.filter(F.col("user_id").isNotNull()), cm)
+            )
+        else:
+            core = _asof_next_window_core(
+                ev.filter(switches.cold_pred("user_id", hot))
+            ).unionByName(
+                _asof_next_chunked_core(
+                    ev.filter(switches.hot_pred("user_id", hot)), cm
+                )
+            )
     return core.orderBy("purchase_id")
 
 
@@ -613,16 +625,19 @@ def scd2_user_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _scd2_banded(load(spark, sf_dir, "events"))
     if strategy == "window":
         return _scd2_window_core(ev)
+    from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS
+
+    cm = switches.burst_chunk_ms(spark, sf_dir, DEFAULT_CHUNK_MS)
     if strategy == "chunked":
         return _scd2_window_core(
             ev.filter(F.col("user_id").isNull())
         ).unionByName(
-            _scd2_chunked_core(ev.filter(F.col("user_id").isNotNull()), None)
+            _scd2_chunked_core(ev.filter(F.col("user_id").isNotNull()), cm)
         )
     return _scd2_window_core(
         ev.filter(switches.cold_pred("user_id", hot))
     ).unionByName(
-        _scd2_chunked_core(ev.filter(switches.hot_pred("user_id", hot)), None)
+        _scd2_chunked_core(ev.filter(switches.hot_pred("user_id", hot)), cm)
     )
 
 
@@ -685,12 +700,12 @@ def event_transitions_chunked(
     ``window_lag_transitions``, so the same chunked_prev cure; output
     identical because the lag is, and the downstream (from, to) count
     is key-order-free)."""
+    from osm2orc_spark.operators import switches
     from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS, chunked_prev
 
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    d = chunked_prev(
-        ev, "user_id", ["event_type"], ("ts", "event_id"), chunk_ms or DEFAULT_CHUNK_MS
-    )
+    cm = chunk_ms or switches.burst_chunk_ms(spark, sf_dir, DEFAULT_CHUNK_MS)
+    d = chunked_prev(ev, "user_id", ["event_type"], ("ts", "event_id"), cm)
     return (
         d.filter(F.col("prev_event_type").isNotNull())
         .groupBy(

@@ -439,6 +439,14 @@ GATE_PRIORITY_R10: tuple[str, ...] = (
     # df join-back (dedup_minhash_lsh_dfcap re-gates from the stale
     # tier above; its containment sibling re-gates here)
     "dedup_containment_pairs",
+    # r10 scale-killer #11: the unpartitioned dimension-window pair now
+    # dispatches through the dim-window switch (gate-SF plans stay
+    # byte-identical — both dimensions are far below DIM_WINDOW_ROWS_MAX
+    # at sf0.01 — but the dispatch code is new, so both re-gate)
+    "customer_rfm_segments", "part_abc_pareto",
+    # r10 scale-killer #12: the trailing-RANGE-frame query joins the
+    # window-family switch (ghost-replication chunked twin for hot keys)
+    "rolling_hour_user_activity",
 )
 
 

@@ -2022,6 +2022,385 @@ def main_skew() -> None:
     spark.stop()
 
 
+def main_burst_micro() -> None:
+    """r10: the time-chunked window family's documented residual — time
+    chunking bounds per-task rows by peak RATE, not volume, so a key
+    emitting its whole history inside ONE default chunk (1 h) still
+    serializes that chunk through one window task.  burst_chunk_ms
+    probes the peak (key, chunk) occupancy and shrinks the width until
+    it fits the per-task bar; output is width-invariant, so the probe is
+    pure cost.
+
+    Twin: n rows for ONE user spread uniformly over ONE hour (the burst)
+    + n background rows over 512 users / 430 hours.  The chunked
+    sessionize core is timed PAIRED at the fixed default width vs the
+    adaptive width; identity asserted at the smaller size."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators import switches
+    from osm2orc_spark.queries import relational
+    from osm2orc_spark.tables import load
+
+    spark = get_spark(
+        app_name="measure_scaling_burst",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    passes = int(os.environ.get("BURST_PASSES", "5"))
+
+    def build(n: int) -> str:
+        twin = os.path.join(SKEW_DIR, f"burst_{n}")
+        marker = os.path.join(twin, "_BUILT_v1")
+        if not os.path.exists(marker):
+            os.makedirs(twin, exist_ok=True)
+            par = spark.sparkContext.defaultParallelism
+            hour0 = F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            burst = spark.range(n).select(
+                F.col("id").alias("event_id"),
+                # n rows uniformly inside ONE hour: worst case for the
+                # fixed width, splittable by any narrower width
+                (
+                    hour0
+                    + F.make_interval(
+                        secs=(F.col("id") % 3600)
+                        + (F.col("id") % 997) / F.lit(1000.0)
+                    )
+                ).alias("ts"),
+                F.lit(HOT_USER_ID).cast("long").alias("user_id"),
+                F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
+                    "event_type"
+                ),
+                (F.col("id") % 100).cast("double").alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            bg = spark.range(n).select(
+                (F.col("id") + n).alias("event_id"),
+                (
+                    hour0
+                    + F.make_interval(secs=(F.col("id") % 1_550_000).cast("int"))
+                ).alias("ts"),
+                (F.col("id") % 512).cast("long").alias("user_id"),
+                F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
+                    "event_type"
+                ),
+                (F.col("id") % 100).cast("double").alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            burst.unionByName(bg).repartition(par).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(twin, "events.parquet"))
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        return twin
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    for n in (800_000, 3_200_000):
+        twin = build(n)
+        switches.probe_cache_clear()
+        ev = load(spark, twin, "events").filter(F.col("user_id").isNotNull())
+        adaptive = switches.burst_chunk_ms(spark, twin, 3_600_000)
+        shapes = {
+            "fixed_1h": lambda: noop(
+                relational.sessionize_events_chunked(spark, twin, 3_600_000, ev=ev)
+            ),
+            "adaptive": lambda: noop(
+                relational.sessionize_events_chunked(spark, twin, adaptive, ev=ev)
+            ),
+        }
+        walls: dict[str, list[float]] = {k: [] for k in shapes}
+        for fn in shapes.values():
+            fn()  # warm
+        for _ in range(passes):
+            for k, fn in shapes.items():
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn()
+                walls[k].append(time.perf_counter() - t0)
+        rec = {
+            "micro": "burst_chunk_xl", "round": 10, "burst_rows": n,
+            "total_rows": 2 * n, "passes": passes,
+            "adaptive_chunk_ms": adaptive,
+            "peak_default": switches.peak_chunk_rows(spark, twin, 3_600_000),
+            "peak_adaptive": switches.peak_chunk_rows(spark, twin, adaptive),
+            "protocol": "same-session interleaved min-of-%d" % passes,
+            "fixed_wall_sec": round(min(walls["fixed_1h"]), 3),
+            "adaptive_wall_sec": round(min(walls["adaptive"]), 3),
+        }
+        if n == 800_000:
+            a = sorted(
+                tuple(r)
+                for r in relational.sessionize_events_chunked(
+                    spark, twin, 3_600_000, ev=ev
+                ).collect()
+            )
+            b = sorted(
+                tuple(r)
+                for r in relational.sessionize_events_chunked(
+                    spark, twin, adaptive, ev=ev
+                ).collect()
+            )
+            rec["identical"] = a == b
+        print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
+def main_rolling_micro() -> None:
+    """r10 scale-killer #12: rolling_hour_user_activity's per-user RANGE
+    frame is the same lifetime-volume straggler as the seven-query
+    window family (one task sorts + slides the hot key's whole history).
+    The ghost-replication chunked core bounds per-task rows by two
+    chunks' peak occupancy.
+
+    Twin: ONE user with n rows spread uniformly over ~430 hours (the
+    volume-skew case the chunked core fixes — per-hour occupancy n/430)
+    + n background rows over 512 users.  Flat and ghost-chunked are
+    timed PAIRED; identity asserted at the smaller size.  The
+    burst-inside-one-frame case is NOT measured here because it is
+    frame semantics, not a split artifact (see the core's docstring)."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.queries import advanced
+    from osm2orc_spark.tables import load
+
+    spark = get_spark(
+        app_name="measure_scaling_rolling",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    passes = int(os.environ.get("ROLLING_PASSES", "5"))
+
+    def build(n: int) -> str:
+        twin = os.path.join(SKEW_DIR, f"rollvol_{n}")
+        marker = os.path.join(twin, "_BUILT_v1")
+        if not os.path.exists(marker):
+            os.makedirs(twin, exist_ok=True)
+            par = spark.sparkContext.defaultParallelism
+            hour0 = F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            hot = spark.range(n).select(
+                F.col("id").alias("event_id"),
+                (
+                    hour0
+                    + F.make_interval(secs=(F.col("id") % 1_550_000).cast("int"))
+                ).alias("ts"),
+                F.lit(HOT_USER_ID).cast("long").alias("user_id"),
+                F.lit("view").alias("event_type"),
+                (F.col("id") % 100).cast("double").alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            bg = spark.range(n).select(
+                (F.col("id") + n).alias("event_id"),
+                (
+                    hour0
+                    + F.make_interval(
+                        secs=((F.col("id") * 7) % 1_550_000).cast("int")
+                    )
+                ).alias("ts"),
+                (F.col("id") % 512).cast("long").alias("user_id"),
+                F.lit("view").alias("event_type"),
+                (F.col("id") % 100).cast("double").alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            hot.unionByName(bg).repartition(par).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(twin, "events.parquet"))
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        return twin
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    for n in (800_000, 3_200_000):
+        twin = build(n)
+        ev = load(spark, twin, "events").filter(F.col("user_id").isNotNull())
+        shapes = {
+            "flat": lambda: noop(advanced._rolling_hour_window_core(ev)),
+            "ghost": lambda: noop(advanced._rolling_hour_chunked_core(ev)),
+        }
+        walls: dict[str, list[float]] = {k: [] for k in shapes}
+        for fn in shapes.values():
+            fn()  # warm
+        for _ in range(passes):
+            for k, fn in shapes.items():
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn()
+                walls[k].append(time.perf_counter() - t0)
+        rec = {
+            "micro": "rolling_range_xl", "round": 10, "hot_rows": n,
+            "total_rows": 2 * n, "hot_hours": 431, "passes": passes,
+            "protocol": "same-session interleaved min-of-%d" % passes,
+            "flat_wall_sec": round(min(walls["flat"]), 3),
+            "ghost_wall_sec": round(min(walls["ghost"]), 3),
+        }
+        if n == 800_000:
+            a = sorted(
+                tuple(r)
+                for r in advanced._rolling_hour_window_core(ev).collect()
+            )
+            b = sorted(
+                tuple(r)
+                for r in advanced._rolling_hour_chunked_core(ev).collect()
+            )
+            rec["identical"] = a == b
+        print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
+def main_dim_windows() -> None:
+    """r10 scale-killer #11: customer_rfm_segments' three global NTILE
+    sorts and part_abc_pareto's global running-share sort run
+    UNPARTITIONED over one row per customer / part — dimensions that
+    grow linearly with SF — so each is a rows/1-per-task WindowExec
+    straggler.  The ranged_two_level spelling bounds every window task
+    at ~n/nparts rows.
+
+    Twins maximize TIE stress (the range partitioner must split tie
+    groups via the unique-key tie-break): one order per customer
+    (frequency all ties), 365 recency values, 1009 monetary values;
+    997 distinct part revenues.  Flat and ranged are timed PAIRED
+    (same session, interleaved, min-of-N) with noop writes; identity
+    asserted at the smallest size."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators import switches
+    from osm2orc_spark.queries import advanced
+    from osm2orc_spark.tables import load
+
+    spark = get_spark(
+        app_name="measure_scaling_dimw",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    passes = int(os.environ.get("DIMW_PASSES", "5"))
+
+    def build(n: int) -> str:
+        twin = os.path.join(SKEW_DIR, f"dimw_{n}")
+        marker = os.path.join(twin, "_BUILT_v1")
+        if not os.path.exists(marker):
+            os.makedirs(twin, exist_ok=True)
+            par = spark.sparkContext.defaultParallelism
+            spark.range(n).select(
+                F.col("id").alias("o_orderkey"),
+                F.col("id").alias("o_custkey"),
+                F.lit("O").alias("o_orderstatus"),
+                ((F.col("id") % 1009) + 1).cast("double").alias("o_totalprice"),
+                (
+                    F.to_timestamp(F.lit("2024-01-01"))
+                    + F.make_interval(days=(F.col("id") % 365).cast("int"))
+                ).alias("o_orderdate"),
+                F.lit("3-MEDIUM").alias("o_orderpriority"),
+            ).repartition(par).write.mode("overwrite").parquet(
+                os.path.join(twin, "orders.parquet")
+            )
+            spark.range(n).select(
+                F.col("id").alias("l_orderkey"),
+                F.col("id").alias("l_partkey"),
+                F.lit(1).cast("long").alias("l_suppkey"),
+                F.lit(1).cast("int").alias("l_linenumber"),
+                F.lit(1.0).alias("l_quantity"),
+                ((F.col("id") % 997) + 1).cast("double").alias("l_extendedprice"),
+                F.lit(0.05).alias("l_discount"),
+                F.lit(0.0).alias("l_tax"),
+                F.lit("N").alias("l_returnflag"),
+                F.lit("O").alias("l_linestatus"),
+                F.to_timestamp(F.lit("2024-06-01")).alias("l_shipdate"),
+            ).repartition(par).write.mode("overwrite").parquet(
+                os.path.join(twin, "lineitem.parquet")
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        return twin
+
+    def rev_frame(twin: str):
+        li = load(spark, twin, "lineitem")
+        return li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("revenue")
+        )
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    for n in (3_200_000, 12_800_000):
+        twin = build(n)
+        switches.probe_cache_clear()
+        shapes_by_query = {
+            "part_abc_pareto": {
+                "flat": lambda: noop(advanced._pareto_flat(rev_frame(twin))),
+                "ranged": lambda: noop(
+                    advanced._pareto_ranged(spark, twin, rev_frame(twin))
+                ),
+            },
+            "customer_rfm_segments": {
+                "flat": lambda: noop(
+                    advanced._rfm_flat(advanced._rfm_base(spark, twin))
+                ),
+                "ranged": lambda: noop(
+                    advanced._rfm_ranged(
+                        spark, twin, advanced._rfm_base(spark, twin)
+                    )
+                ),
+            },
+        }
+        for qname, shapes in shapes_by_query.items():
+            # the ranged probe (part table rows) is absent in the twin —
+            # nparts derives from the lineitem/orders row count instead
+            switches._PROBE_CACHE[switches._cache_key(twin, "table_rows:part")] = n
+            walls: dict[str, list[float]] = {k: [] for k in shapes}
+            for fn in shapes.values():
+                fn()  # warm
+            for _ in range(passes):
+                for k, fn in shapes.items():
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn()
+                    walls[k].append(time.perf_counter() - t0)
+            rec = {
+                "micro": "dim_window_xl", "round": 10, "query": qname,
+                "dim_rows": n, "passes": passes,
+                "nparts": switches.dim_window_nparts(n),
+                "protocol": "same-session interleaved min-of-%d" % passes,
+                "flat_wall_sec": round(min(walls["flat"]), 3),
+                "ranged_wall_sec": round(min(walls["ranged"]), 3),
+                "registered_strategy": (
+                    "ranged" if n > switches.DIM_WINDOW_ROWS_MAX else "flat"
+                ),
+            }
+            if n == 3_200_000:
+                if qname == "part_abc_pareto":
+                    a = sorted(
+                        tuple(r)
+                        for r in advanced._pareto_flat(rev_frame(twin)).collect()
+                    )
+                    b = sorted(
+                        tuple(r)
+                        for r in advanced._pareto_ranged(
+                            spark, twin, rev_frame(twin)
+                        ).collect()
+                    )
+                else:
+                    a = sorted(
+                        tuple(r)
+                        for r in advanced._rfm_flat(
+                            advanced._rfm_base(spark, twin)
+                        ).collect()
+                    )
+                    b = sorted(
+                        tuple(r)
+                        for r in advanced._rfm_ranged(
+                            spark, twin, advanced._rfm_base(spark, twin)
+                        ).collect()
+                    )
+                rec["identical"] = a == b
+            print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark(
         app_name="measure_scaling",
@@ -2079,6 +2458,9 @@ if __name__ == "__main__":
         "--fuzzy-micro",
         "--decon-micro",
         "--pack-micro",
+        "--dim-windows",
+        "--burst-micro",
+        "--rolling-micro",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -2115,6 +2497,12 @@ if __name__ == "__main__":
         main_decon_micro()
     elif "--pack-micro" in args:
         main_pack_micro()
+    elif "--dim-windows" in args:
+        main_dim_windows()
+    elif "--burst-micro" in args:
+        main_burst_micro()
+    elif "--rolling-micro" in args:
+        main_rolling_micro()
     elif "--skew" in args:
         main_skew()
     else:

@@ -198,3 +198,51 @@ def test_chunked_primitives_equal_windows_property(spark, rows, chunk_ms):
     for r in exp:
         assert by_id[r.event_id] == [r.p, r.rs, r.rl, r.p, r.rn], (
             r.event_id, by_id[r.event_id], (r.p, r.rs, r.rl, r.rn))
+
+
+# --- ghost-replication trailing RANGE frame (r10 scale-killer #12) --------
+
+
+def test_rolling_hour_ghost_core_equals_window(spark, events):
+    from osm2orc_spark.queries.advanced import (
+        _rolling_hour_chunked_core,
+        _rolling_hour_window_core,
+    )
+
+    ev = events.filter(F.col("user_id").isNotNull())
+    a = sorted(tuple(r) for r in _rolling_hour_window_core(ev).collect())
+    b = sorted(tuple(r) for r in _rolling_hour_chunked_core(ev).collect())
+    assert len(a) > 0
+    assert a == b
+
+
+def test_rolling_hour_ghost_core_boundaries(spark):
+    """Adversarial seams: rows exactly ONE FRAME apart (inclusive RANGE
+    boundary), same-timestamp ties, chunk-boundary adjacency, and NULL
+    values — frame membership must match the flat window exactly."""
+    import datetime as dt
+
+    from osm2orc_spark.queries.advanced import (
+        ROLLING_FRAME_US,
+        _rolling_hour_chunked_core,
+        _rolling_hour_window_core,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    frame_s = ROLLING_FRAME_US // 1_000_000
+    offsets = [
+        0, 1, 1,                       # ties at the chunk start
+        frame_s - 1, frame_s, frame_s + 1,   # the inclusive boundary
+        2 * frame_s, 2 * frame_s,      # seam ties
+        3 * frame_s - 1, 3 * frame_s + 7200,  # a gap past one chunk
+    ]
+    rows = [
+        (i, 1, base + dt.timedelta(seconds=o), float(i % 3) if i % 4 else None)
+        for i, o in enumerate(offsets)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    a = sorted(tuple(r) for r in _rolling_hour_window_core(ev).collect())
+    b = sorted(tuple(r) for r in _rolling_hour_chunked_core(ev).collect())
+    assert a == b

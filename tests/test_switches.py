@@ -59,6 +59,7 @@ WINDOW_FAMILY = [
     "scd2_user_value_bands",
     "asof_join_next_event",
     "asof_join_last_purchase",
+    "rolling_hour_user_activity",
 ]
 
 
@@ -397,3 +398,57 @@ def test_gemm_argmin_exact_vs_tensor():
         d = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         exp[s : s + 128] = d.argmin(axis=1)
     assert (got == exp).all()
+
+
+# --- burst-adaptive chunk width (r10: the peak-rate residual) -------------
+
+
+def test_burst_chunk_ms_default_when_cold(spark, sf_smoke):
+    """Gate-SF peaks sit far below the bar: the width must stay at the
+    default (zero plan change for every driver-data run)."""
+    from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS
+
+    assert (
+        switches.burst_chunk_ms(spark, sf_smoke, DEFAULT_CHUNK_MS)
+        == DEFAULT_CHUNK_MS
+    )
+
+
+def test_burst_chunk_ms_shrinks_on_burst(spark, tmp_path, monkeypatch):
+    """A key with 12 rows inside one default chunk (bar 4) must shrink
+    the width until the re-probed peak fits: 5-minute spacing means the
+    first rescale (/4 -> 15 min) already bounds the peak at 3."""
+    import datetime as dt
+
+    from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(minutes=5 * i), i) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    monkeypatch.setattr(switches, "HOT_KEY_ROWS", 4)
+    got = switches.burst_chunk_ms(spark, d, DEFAULT_CHUNK_MS)
+    assert got == DEFAULT_CHUNK_MS // 4
+    # and the re-probe at the chosen width confirms the bound
+    assert switches.peak_chunk_rows(spark, d, got) <= 4
+
+
+def test_burst_chunk_ms_same_ts_floor(spark, tmp_path, monkeypatch):
+    """Same-timestamp ties cannot be split by ANY width (equal sort keys
+    must share a chunk) — the ladder must stop at MIN_CHUNK_MS instead
+    of looping."""
+    import datetime as dt
+
+    from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, t, i) for i in range(10)], "user_id long, ts timestamp, event_id long"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    monkeypatch.setattr(switches, "HOT_KEY_ROWS", 2)
+    assert switches.burst_chunk_ms(spark, d, DEFAULT_CHUNK_MS) == switches.MIN_CHUNK_MS
