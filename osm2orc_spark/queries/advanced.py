@@ -165,7 +165,34 @@ ASOF_TOLERANCE_S = 3600
     tags=("join", "asof"),
 )
 def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same unbounded per-user carry window as asof_join_last_purchase,
+    # so it takes the same three-level strategy routing (r10 — the r9
+    # neighbor sweep measured it absorbed at 120x, but "absorbed at
+    # this size" is weaker than bounded-by-construction for a 10^8-row
+    # key; the chunked core is the proven asof machinery).
+    from osm2orc_spark.operators import switches
+
+    strategy, hot = switches.window_strategy(spark, sf_dir)
     ev = load(spark, sf_dir, "events")
+    if strategy == "window":
+        return _asof_tol_window_core(ev)
+    from osm2orc_spark.operators.chunked import DEFAULT_CHUNK_MS
+
+    cm = switches.burst_chunk_ms(spark, sf_dir, DEFAULT_CHUNK_MS)
+    if strategy == "chunked":
+        return _asof_tol_window_core(
+            ev.filter(F.col("user_id").isNull())
+        ).unionByName(
+            _asof_tol_chunked_core(ev.filter(F.col("user_id").isNotNull()), cm)
+        )
+    return _asof_tol_window_core(
+        ev.filter(switches.cold_pred("user_id", hot))
+    ).unionByName(
+        _asof_tol_chunked_core(ev.filter(switches.hot_pred("user_id", hot)), cm)
+    )
+
+
+def _asof_tol_tagged(ev: DataFrame) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.lit(0).alias("side"),
         F.col("event_id").alias("purchase_id"),
@@ -176,26 +203,61 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("purchase_id"),
         "event_id",
     )
+    return purchases.unionByName(others)
+
+
+def _asof_tol_select(d: DataFrame, pid: "F.Column", pts: "F.Column") -> DataFrame:
+    gap = F.col("ts").cast("long") - pts.cast("long")
+    ok = pid.isNotNull() & (gap <= ASOF_TOLERANCE_S)
+    return d.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(ok, pid).alias("asof_purchase_id"),
+        F.when(ok, gap).alias("gap_seconds"),
+    )
+
+
+def _asof_tol_window_core(ev: DataFrame) -> DataFrame:
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "side", F.coalesce("purchase_id", "event_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    tagged = purchases.unionByName(others).select(
+    tagged = _asof_tol_tagged(ev).select(
         "*",
         F.last("purchase_id", ignorenulls=True).over(w).alias("asof_pid"),
         F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
         .over(w)
         .alias("asof_pts"),
     )
-    gap = F.col("ts").cast("long") - F.col("asof_pts").cast("long")
-    ok = F.col("asof_pid").isNotNull() & (gap <= ASOF_TOLERANCE_S)
-    return tagged.filter(F.col("side") == 1).select(
-        "event_id",
+    return _asof_tol_select(tagged, F.col("asof_pid"), F.col("asof_pts"))
+
+
+def _asof_tol_chunked_core(ev: DataFrame, chunk_ms: int | None) -> DataFrame:
+    """Split-and-stitch twin: the carry is chunked_running_last over the
+    same (ts, side, oid) order the window core scans — identical
+    machinery to _asof_last_chunked_core, with the tolerance applied as
+    the same post-filter."""
+    from osm2orc_spark.operators.chunked import (
+        DEFAULT_CHUNK_MS,
+        chunked_running_last,
+    )
+
+    tagged = _asof_tol_tagged(ev).select(
+        "*",
+        F.coalesce("purchase_id", "event_id").alias("oid"),
+        F.when(F.col("side") == 0, F.col("ts")).alias("p_ts"),
+    )
+    d = chunked_running_last(
+        tagged,
         "user_id",
-        "ts",
-        F.when(ok, F.col("asof_pid")).alias("asof_purchase_id"),
-        F.when(ok, gap).alias("gap_seconds"),
+        ["purchase_id", "p_ts"],
+        ("ts", "side", "oid"),
+        chunk_ms or DEFAULT_CHUNK_MS,
+    )
+    return _asof_tol_select(
+        d, F.col("run_purchase_id"), F.col("run_p_ts")
     )
 
 

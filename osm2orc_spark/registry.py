@@ -445,8 +445,10 @@ GATE_PRIORITY_R10: tuple[str, ...] = (
     # at sf0.01 — but the dispatch code is new, so both re-gate)
     "customer_rfm_segments", "part_abc_pareto",
     # r10 scale-killer #12: the trailing-RANGE-frame query joins the
-    # window-family switch (ghost-replication chunked twin for hot keys)
-    "rolling_hour_user_activity",
+    # window-family switch (ghost-replication chunked twin for hot keys),
+    # and the tolerance as-of joins the family routing (same carry shape
+    # as asof_join_last_purchase)
+    "rolling_hour_user_activity", "asof_join_tolerance",
 )
 
 

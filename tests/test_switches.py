@@ -60,6 +60,7 @@ WINDOW_FAMILY = [
     "asof_join_next_event",
     "asof_join_last_purchase",
     "rolling_hour_user_activity",
+    "asof_join_tolerance",
 ]
 
 
