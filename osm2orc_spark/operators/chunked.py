@@ -290,14 +290,28 @@ def chunked_running_last(
     return out.drop("_ms", "_chunk")
 
 
+def ranged_base(
+    df: DataFrame, order_cols: list[Column], nparts: int
+) -> DataFrame:
+    """Range-partition ``df`` on ``order_cols`` and stamp the partition
+    id — the working frame for :func:`ranged_two_level`.  Callers MUST
+    ``persist()`` the result before handing it over (the house
+    persist/release pairing lives at the call site): the persist pins
+    the sampled range boundaries so the row subtree and the summary
+    subtree read ONE materialization and agree on pids by
+    construction."""
+    return df.repartitionByRange(max(1, nparts), *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+
 def ranged_two_level(
-    df: DataFrame,
+    base: DataFrame,
     order_cols: list[Column],
-    nparts: int,
     *,
     rank: str | None = None,
     prefix_sum: tuple[str, str] | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Distributed EXACT global window over an arbitrary total order —
     the cure for the UNPARTITIONED-window straggler (r10 scale-killer
     #11, the N=1 case of the fixed-shard class #8/#9): ``NTILE() OVER
@@ -307,13 +321,13 @@ def ranged_two_level(
     linear in SF) serializes at scale no matter how "dimension-sized"
     it looks locally.
 
-    Shape: ``repartitionByRange(nparts, *order_cols)`` (Spark's own
-    global-sort partitioner — sampled composite-key boundaries, so ties
-    on the leading key split across partitions via the unique-id
-    tie-break in ``order_cols``) -> stamp ``spark_partition_id()`` ->
-    ``persist()`` (pins the sampled boundaries: every downstream
-    subtree reads ONE materialization, so the row frame and the
-    per-partition summary agree on pids by construction; boundary
+    Shape: ``ranged_base`` = ``repartitionByRange(nparts, *order_cols)``
+    (Spark's own global-sort partitioner — sampled composite-key
+    boundaries, so ties on the leading key split across partitions via
+    the unique-id tie-break in ``order_cols``) + ``spark_partition_id()``,
+    persisted BY THE CALLER (pins the sampled boundaries: every
+    downstream subtree reads ONE materialization, so the row frame and
+    the per-partition summary agree on pids by construction; boundary
     placement never affects the OUTPUT — the stitch is exact for any
     split because pid order == sort order and the in-partition window
     re-sorts exactly) -> in-partition window PARTITION BY pid + a
@@ -325,8 +339,10 @@ def ranged_two_level(
     - ``prefix_sum=(value_col, "name")`` adds the INCLUSIVE running sum
       of ``value_col`` (in-partition running sum + prior-pid totals).
 
-    Returns ``(result, base)`` — callers must release ``base`` via
-    ``release_with(final, base)`` after their last transformation.
+    ``base`` must be ``ranged_base(df, order_cols, nparts).persist()``
+    — persisted at the call site, released there via
+    ``release_with(final, base)`` after the last transformation (the
+    AST cache sweep enforces the pairing per function).
 
     Exactness requires ``order_cols`` to be a STRICT total order (make
     the last element a unique id), the same requirement every window
@@ -342,11 +358,6 @@ def ranged_two_level(
     class; AQE picks broadcast while it is actually small.
     """
     assert rank or prefix_sum, "ask for at least one output column"
-    base = (
-        df.repartitionByRange(max(1, nparts), *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
     win = W.partitionBy("_pid").orderBy(*order_cols)
     aggs = [F.count(F.lit(1)).alias("_cnt")]
     if prefix_sum is not None:
@@ -394,4 +405,4 @@ def ranged_two_level(
                 + F.coalesce(F.col("_sum_off"), F.lit(0))
             ),
         ).drop("_sum_in")
-    return out.drop("_cnt_off", "_sum_off", "_pid"), base
+    return out.drop("_cnt_off", "_sum_off", "_pid")

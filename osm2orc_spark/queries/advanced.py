@@ -1284,19 +1284,19 @@ def _rfm_ranged(spark: SparkSession, sf_dir: str, base: DataFrame) -> DataFrame:
     ranged-primitive property tests)."""
     from osm2orc_spark.operators.cache import release_with
     from osm2orc_spark.operators import switches
-    from osm2orc_spark.operators.chunked import ranged_two_level
+    from osm2orc_spark.operators.chunked import ranged_base, ranged_two_level
 
     n = switches.cached_probe(sf_dir, "rfm_base_rows", base.count)
     nparts = switches.dim_window_nparts(n)
-    d1, b1 = ranged_two_level(
-        base, [F.desc("recency_days"), F.asc("custkey")], nparts, rank="_r_rank"
-    )
-    d2, b2 = ranged_two_level(
-        d1, [F.asc("frequency"), F.asc("custkey")], nparts, rank="_f_rank"
-    )
-    d3, b3 = ranged_two_level(
-        d2, [F.asc("monetary"), F.asc("custkey")], nparts, rank="_m_rank"
-    )
+    o1 = [F.desc("recency_days"), F.asc("custkey")]
+    b1 = ranged_base(base, o1, nparts).persist()
+    d1 = ranged_two_level(b1, o1, rank="_r_rank")
+    o2 = [F.asc("frequency"), F.asc("custkey")]
+    b2 = ranged_base(d1, o2, nparts).persist()
+    d2 = ranged_two_level(b2, o2, rank="_f_rank")
+    o3 = [F.asc("monetary"), F.asc("custkey")]
+    b3 = ranged_base(d2, o3, nparts).persist()
+    d3 = ranged_two_level(b3, o3, rank="_m_rank")
     scored = d3.select(
         "custkey",
         "recency_days",
@@ -1429,18 +1429,15 @@ def _pareto_ranged(spark: SparkSession, sf_dir: str, rev: DataFrame) -> DataFram
     identity + ranged-primitive property tests)."""
     from osm2orc_spark.operators.cache import release_with
     from osm2orc_spark.operators import switches
-    from osm2orc_spark.operators.chunked import ranged_two_level
+    from osm2orc_spark.operators.chunked import ranged_base, ranged_two_level
 
     tot = rev.agg(F.sum("revenue").alias("total"))
     nparts = switches.dim_window_nparts(
         switches.table_rows(spark, sf_dir, "part")
     )
-    cum_df, base = ranged_two_level(
-        rev,
-        [F.desc("revenue"), F.asc("partkey")],
-        nparts,
-        prefix_sum=("revenue", "_cum"),
-    )
+    order = [F.desc("revenue"), F.asc("partkey")]
+    base = ranged_base(rev, order, nparts).persist()
+    cum_df = ranged_two_level(base, order, prefix_sum=("revenue", "_cum"))
     out = _pareto_select(cum_df, F.col("_cum"), tot)
     return release_with(out, base)
 

@@ -2153,12 +2153,19 @@ def main_rolling_micro() -> None:
     The ghost-replication chunked core bounds per-task rows by two
     chunks' peak occupancy.
 
-    Twin: ONE user with n rows spread uniformly over ~430 hours (the
-    volume-skew case the chunked core fixes — per-hour occupancy n/430)
-    + n background rows over 512 users.  Flat and ghost-chunked are
-    timed PAIRED; identity asserted at the smaller size.  The
-    burst-inside-one-frame case is NOT measured here because it is
-    frame semantics, not a split artifact (see the core's docstring)."""
+    Twin: ONE user with n rows spread uniformly over `hours` + n
+    background rows over 512 users.  Two regimes:
+    - slide-dominated (800k rows / 431 h -> ~1.9k rows per frame):
+      Spark's SlidingWindowFunctionFrame re-scans the frame per output
+      row, so the flat single-task cost is Theta(n x frame occupancy) —
+      at 3.2M rows this measured >20 min single-task (killed; the DNF
+      class itself), which is why the flat side is sized down;
+    - sort-dominated (3.2M rows / 43,100 h -> ~75 rows per frame): the
+      straggler is the per-key sort, the family's usual shape.
+    Flat and ghost-chunked are timed PAIRED; identity asserted at the
+    smaller size.  The burst-inside-one-frame case is NOT measured here
+    because it is frame semantics, not a split artifact (see the
+    core's docstring)."""
     from pyspark.sql import functions as F
 
     from osm2orc_spark.queries import advanced
@@ -2169,11 +2176,11 @@ def main_rolling_micro() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    passes = int(os.environ.get("ROLLING_PASSES", "5"))
+    passes = int(os.environ.get("ROLLING_PASSES", "3"))
 
-    def build(n: int) -> str:
-        twin = os.path.join(SKEW_DIR, f"rollvol_{n}")
-        marker = os.path.join(twin, "_BUILT_v1")
+    def build(n: int, span_s: int, tag: str) -> str:
+        twin = os.path.join(SKEW_DIR, f"rollvol_{tag}_{n}")
+        marker = os.path.join(twin, "_BUILT_v2")
         if not os.path.exists(marker):
             os.makedirs(twin, exist_ok=True)
             par = spark.sparkContext.defaultParallelism
@@ -2182,7 +2189,7 @@ def main_rolling_micro() -> None:
                 F.col("id").alias("event_id"),
                 (
                     hour0
-                    + F.make_interval(secs=(F.col("id") % 1_550_000).cast("int"))
+                    + F.make_interval(secs=(F.col("id") % span_s).cast("int"))
                 ).alias("ts"),
                 F.lit(HOT_USER_ID).cast("long").alias("user_id"),
                 F.lit("view").alias("event_type"),
@@ -2194,7 +2201,7 @@ def main_rolling_micro() -> None:
                 (
                     hour0
                     + F.make_interval(
-                        secs=((F.col("id") * 7) % 1_550_000).cast("int")
+                        secs=((F.col("id") * 7) % span_s).cast("int")
                     )
                 ).alias("ts"),
                 (F.col("id") % 512).cast("long").alias("user_id"),
@@ -2212,8 +2219,11 @@ def main_rolling_micro() -> None:
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    for n in (800_000, 3_200_000):
-        twin = build(n)
+    for n, span_s, tag in (
+        (800_000, 1_550_000, "slide"),
+        (3_200_000, 155_000_000, "sort"),
+    ):
+        twin = build(n, span_s, tag)
         ev = load(spark, twin, "events").filter(F.col("user_id").isNotNull())
         shapes = {
             "flat": lambda: noop(advanced._rolling_hour_window_core(ev)),
@@ -2229,8 +2239,9 @@ def main_rolling_micro() -> None:
                 fn()
                 walls[k].append(time.perf_counter() - t0)
         rec = {
-            "micro": "rolling_range_xl", "round": 10, "hot_rows": n,
-            "total_rows": 2 * n, "hot_hours": 431, "passes": passes,
+            "micro": "rolling_range_xl", "round": 10, "regime": tag,
+            "hot_rows": n, "total_rows": 2 * n,
+            "hot_hours": span_s // 3600, "passes": passes,
             "protocol": "same-session interleaved min-of-%d" % passes,
             "flat_wall_sec": round(min(walls["flat"]), 3),
             "ghost_wall_sec": round(min(walls["ghost"]), 3),

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from osm2orc_spark.operators import switches
-from osm2orc_spark.operators.chunked import ranged_two_level
+from osm2orc_spark.operators.chunked import ranged_base, ranged_two_level
 from osm2orc_spark.queries.advanced import ntile_from_rank
 from osm2orc_spark.registry import all_queries
 
@@ -62,9 +62,8 @@ def test_ranged_two_level_equals_flat_window(spark, rows, nparts):
         .over(flat_w.rowsBetween(W.unboundedPreceding, 0))
         .alias("cum"),
     )
-    got, base = ranged_two_level(
-        df, order, nparts, rank="rk", prefix_sum=("val", "cum")
-    )
+    base = ranged_base(df, order, nparts).persist()
+    got = ranged_two_level(base, order, rank="rk", prefix_sum=("val", "cum"))
     try:
         assert _rows(got.select("id", "rk", "cum")) == _rows(flat)
     finally:
