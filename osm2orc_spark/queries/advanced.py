@@ -519,22 +519,151 @@ def scalar_function_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
-    doc="Exact interpolated percentiles per event_type. Spark's "
-    "percentile() and DuckDB's quantile_cont use the same lower + "
-    "(upper-lower)*frac interpolation, verified bit-identical. Exact "
-    "percentile is a sort-based aggregate (per-group buffer of values); "
-    "the 100 TB path swaps in percentile_approx (mergeable t-digest-like "
-    "sketch, constant memory) when a bounded error is acceptable — same "
-    "query shape, one-token change.",
+    doc="Exact interpolated percentiles per event_type, verified "
+    "bit-identical to DuckDB quantile_cont. Exact percentile as an "
+    "AGGREGATE buffers every group value in one task — event_type is a "
+    "small enum, so each task holds rows/|types| values, fact-sized "
+    "(r10 scale-killer #13). Above DIM_WINDOW_ROWS_MAX the registered "
+    "query computes the IDENTICAL doubles distributed: grouped "
+    "two-level rank over a (type, value, id) range partitioning picks "
+    "the two order statistics around p*(n-1) per type, then applies "
+    "Spark's own convex interpolation lo*(hi-pos) + hi_val*(pos-lo) "
+    "(the formula was pinned empirically — the naive lo + (hi-lo)*frac "
+    "differs in IEEE rounding; equality property-tested bit-for-bit). "
+    "percentile_approx stays the lossy alternative when a bounded "
+    "error is acceptable; this path keeps EXACT semantics at scale.",
     tags=("agg", "percentile"),
 )
 def percentiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
     ev = load(spark, sf_dir, "events")
+    if (
+        switches.table_rows(spark, sf_dir, "events")
+        > switches.DIM_WINDOW_ROWS_MAX
+    ):
+        return _percentiles_ranged(spark, sf_dir, ev)
+    return _percentiles_flat(ev)
+
+
+PCTS_EXACT = (0.5, 0.95, 0.99)
+
+
+def _percentiles_flat(ev: DataFrame) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("p50"),
         F.percentile("value", F.lit(0.95)).alias("p95"),
         F.percentile("value", F.lit(0.99)).alias("p99"),
     )
+
+
+def _percentiles_ranged(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
+    """Distributed EXACT percentiles (r10 scale-killer #13) — output
+    bit-identical to _percentiles_flat (property-tested on ties, NULLs,
+    empty and single-row groups; forced-switch identity at the gate SF):
+
+    1. grouped two-level rank: range-partition the non-NULL values on
+       (event_type, value, event_id) — one global shuffle, ties split
+       by the id tie-break — rank within (pid, type), add the per-type
+       exclusive prefix of per-(pid, type) counts (summary <= nparts x
+       |types| rows);
+    2. per-type non-NULL counts n (count(value) over the FULL frame, so
+       all-NULL groups keep their output row with NULL percentiles —
+       percentile ignores NULLs);
+    3. each percentile needs only ranks floor(p*(n-1))+1 and
+       ceil(p*(n-1))+1 — a <= 6-rows-per-type target table equi-joined
+       back on (type, rank), fan-out 1;
+    4. interpolate with Spark's OWN formula, lo_val*(hi-pos) +
+       hi_val*(pos-lo) when hi != lo else lo_val — pinned empirically:
+       the naive lo_val + (hi_val-lo_val)*(pos-lo) rounds differently
+       in IEEE arithmetic and would break value-hash equality."""
+    from osm2orc_spark.operators.cache import release_with
+    from osm2orc_spark.operators import switches
+    from osm2orc_spark.operators.chunked import ranged_base
+
+    from pyspark.sql.window import Window as W
+
+    nparts = switches.dim_window_nparts(
+        switches.table_rows(spark, sf_dir, "events")
+    )
+    vals = ev.select("event_type", "value", "event_id").filter(
+        F.col("value").isNotNull()
+    )
+    order = [F.asc("event_type"), F.asc("value"), F.asc("event_id")]
+    base = ranged_base(vals, order, nparts).persist()
+    win = W.partitionBy("_pid", "event_type").orderBy("value", "event_id")
+    summ = base.groupBy("_pid", "event_type").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    offw = (
+        W.partitionBy("event_type")
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = summ.select(
+        "_pid",
+        "event_type",
+        F.coalesce(F.sum("_cnt").over(offw), F.lit(0)).alias("_off"),
+    )
+    ranked = (
+        base.withColumn("_rn", F.row_number().over(win))
+        .join(offs, ["_pid", "event_type"])
+        .select(
+            "event_type",
+            "value",
+            (F.col("_rn") + F.col("_off")).cast("bigint").alias("_rank"),
+        )
+    )
+    counts = ev.groupBy("event_type").agg(F.count("value").alias("_n"))
+    pos = (F.col("_p") * (F.col("_n") - 1).cast("double")).alias("_pos")
+    targets = (
+        counts.filter(F.col("_n") > 0)
+        .select(
+            "event_type",
+            "_n",
+            F.explode(F.array(*[F.lit(p) for p in PCTS_EXACT])).alias("_p"),
+        )
+        .select("event_type", "_n", "_p", pos)
+        .select(
+            "event_type", "_p", "_pos",
+            F.floor("_pos").cast("bigint").alias("_lo"),
+            F.ceil("_pos").cast("bigint").alias("_hi"),
+        )
+    )
+    hits = (
+        targets.select(
+            "event_type", "_p", "_pos", "_lo", "_hi",
+            F.explode(
+                F.array(F.col("_lo") + 1, F.col("_hi") + 1)
+            ).alias("_rank"),
+        )
+        .distinct()
+        .join(ranked, ["event_type", "_rank"])
+    )
+    per_p = hits.groupBy("event_type", "_p", "_pos", "_lo", "_hi").agg(
+        F.max(F.when(F.col("_rank") == F.col("_lo") + 1, F.col("value"))).alias(
+            "_vlo"
+        ),
+        F.max(F.when(F.col("_rank") == F.col("_hi") + 1, F.col("value"))).alias(
+            "_vhi"
+        ),
+    )
+    q = F.when(F.col("_hi") == F.col("_lo"), F.col("_vlo")).otherwise(
+        F.col("_vlo") * (F.col("_hi").cast("double") - F.col("_pos"))
+        + F.col("_vhi") * (F.col("_pos") - F.col("_lo").cast("double"))
+    )
+    wide = per_p.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("_p") == F.lit(p), q)).alias(f"p{round(p * 100)}")
+            for p in PCTS_EXACT
+        ]
+    )
+    out = (
+        counts.select("event_type")
+        .join(wide, "event_type", "left")
+        .select("event_type", "p50", "p95", "p99")
+    )
+    return release_with(out, base)
 
 
 # ---------------------------------------------------------------------------

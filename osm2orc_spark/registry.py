@@ -449,6 +449,10 @@ GATE_PRIORITY_R10: tuple[str, ...] = (
     # and the tolerance as-of joins the family routing (same carry shape
     # as asof_join_last_purchase)
     "rolling_hour_user_activity", "asof_join_tolerance",
+    # r10 scale-killer #13: exact percentiles dispatch to the grouped
+    # two-level order-statistic spelling above the bar (gate SFs stay on
+    # the byte-identical aggregate plan; dispatch code is new)
+    "percentiles_value_by_type",
 )
 
 

@@ -2409,6 +2409,76 @@ def main_dim_windows() -> None:
                     )
                 rec["identical"] = a == b
             print(json.dumps(rec), flush=True)
+
+    # exact percentiles (r10 scale-killer #13): the per-type aggregate
+    # buffers rows/|types| values in ONE task; the grouped two-level
+    # rank + order-statistic join computes the identical doubles
+    # distributed.  5 types -> 5 fact-sized buffers flat.
+    def build_events(n: int) -> str:
+        twin = os.path.join(SKEW_DIR, f"pctev_{n}")
+        marker = os.path.join(twin, "_BUILT_v1")
+        if not os.path.exists(marker):
+            os.makedirs(twin, exist_ok=True)
+            par = spark.sparkContext.defaultParallelism
+            hour0 = F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            spark.range(n).select(
+                F.col("id").alias("event_id"),
+                (
+                    hour0
+                    + F.make_interval(secs=(F.col("id") % 1_000_000).cast("int"))
+                ).alias("ts"),
+                (F.col("id") % 65536).cast("long").alias("user_id"),
+                F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
+                    "event_type"
+                ),
+                ((F.col("id") * 7919) % 100003).cast("double").alias("value"),
+                F.lit("{}").alias("props"),
+            ).repartition(par).write.mode("overwrite").parquet(
+                os.path.join(twin, "events.parquet")
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        return twin
+
+    from osm2orc_spark.tables import load as _load
+
+    for n in (3_200_000, 12_800_000):
+        twin = build_events(n)
+        switches.probe_cache_clear()
+        ev = _load(spark, twin, "events")
+        shapes = {
+            "flat": lambda: noop(advanced._percentiles_flat(ev)),
+            "ranged": lambda: noop(advanced._percentiles_ranged(spark, twin, ev)),
+        }
+        walls = {k: [] for k in shapes}
+        for fn in shapes.values():
+            fn()
+        for _ in range(passes):
+            for k, fn in shapes.items():
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn()
+                walls[k].append(time.perf_counter() - t0)
+        rec = {
+            "micro": "pct_exact_xl", "round": 10, "rows": n, "types": 5,
+            "passes": passes,
+            "protocol": "same-session interleaved min-of-%d" % passes,
+            "flat_wall_sec": round(min(walls["flat"]), 3),
+            "ranged_wall_sec": round(min(walls["ranged"]), 3),
+            "registered_strategy": (
+                "ranged" if n > switches.DIM_WINDOW_ROWS_MAX else "flat"
+            ),
+        }
+        if n == 3_200_000:
+            a = sorted(
+                tuple(r) for r in advanced._percentiles_flat(ev).collect()
+            )
+            b = sorted(
+                tuple(r)
+                for r in advanced._percentiles_ranged(spark, twin, ev).collect()
+            )
+            rec["identical"] = a == b
+        print(json.dumps(rec), flush=True)
     spark.stop()
 
 

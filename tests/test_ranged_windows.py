@@ -126,3 +126,46 @@ def test_forced_ranged_plan_has_no_unpartitioned_data_window(
     assert rn_lines, "expected the ranked windows in the executed plan"
     for line in rn_lines:
         assert "_pid" in line, line
+
+
+# --- exact distributed percentiles (r10 scale-killer #13) -----------------
+
+_pct_row = st.tuples(
+    st.sampled_from(["a", "b", "c"]),
+    st.one_of(
+        st.none(),
+        st.integers(min_value=-4, max_value=4).map(float),  # heavy ties
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+)
+
+
+@given(rows=st.lists(_pct_row, min_size=0, max_size=40))
+@settings(max_examples=15, deadline=None)
+def test_percentiles_ranged_bit_equals_flat(spark, rows):
+    from osm2orc_spark.queries.advanced import (
+        _percentiles_flat,
+        _percentiles_ranged,
+    )
+
+    data = [(t, v, i) for i, (t, v) in enumerate(rows)]
+    ev = spark.createDataFrame(
+        data or [("a", None, 0)], "event_type string, value double, event_id long"
+    ).filter(F.col("event_id").isNotNull() | F.lit(True))
+    d = f"/synthetic/pct/{len(data)}"
+    switches._PROBE_CACHE[switches._cache_key(d, "table_rows:events")] = max(
+        1, len(data)
+    )
+    flat = sorted(tuple(r) for r in _percentiles_flat(ev).collect())
+    ranged = sorted(tuple(r) for r in _percentiles_ranged(spark, d, ev).collect())
+    assert flat == ranged  # bit-exact doubles, NULL groups included
+
+
+def test_percentiles_forced_ranged_equals_flat(spark, sf_smoke, monkeypatch):
+    q = REG["percentiles_value_by_type"].fn
+    flat = _rows(q(spark, sf_smoke))
+    assert len(flat) > 0
+    _forced(monkeypatch)
+    assert _rows(q(spark, sf_smoke)) == flat
