@@ -520,30 +520,62 @@ def scalar_function_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     doc="Exact interpolated percentiles per event_type, verified "
-    "bit-identical to DuckDB quantile_cont. Exact percentile as an "
-    "AGGREGATE buffers every group value in one task — event_type is a "
-    "small enum, so each task holds rows/|types| values, fact-sized "
-    "(r10 scale-killer #13). Above DIM_WINDOW_ROWS_MAX the registered "
-    "query computes the IDENTICAL doubles distributed: grouped "
-    "two-level rank over a (type, value, id) range partitioning picks "
-    "the two order statistics around p*(n-1) per type, then applies "
-    "Spark's own convex interpolation lo*(hi-pos) + hi_val*(pos-lo) "
-    "(the formula was pinned empirically — the naive lo + (hi-lo)*frac "
-    "differs in IEEE rounding; equality property-tested bit-for-bit). "
-    "percentile_approx stays the lossy alternative when a bounded "
-    "error is acceptable; this path keeps EXACT semantics at scale.",
+    "bit-identical to DuckDB quantile_cont. Exact percentile buffers a "
+    "per-type (value -> count) map with map-side partial merge, so the "
+    "flat reducer is bounded by DISTINCT-value cardinality — fine for "
+    "bucketed measures, a fact-sized memory cliff for continuous "
+    "doubles where distinct ~= rows (r10 scale-killer #13). When BOTH "
+    "probes exceed the bar (row count from the parquet footer, then "
+    "max per-type approx distinct — HLL error is routing-only), the "
+    "registered query computes the IDENTICAL doubles distributed: "
+    "grouped two-level rank over a (type, value, id) range "
+    "partitioning picks the two order statistics around p*(n-1) per "
+    "type, then applies Spark's own convex interpolation lo*(hi-pos) "
+    "+ hi_val*(pos-lo) (pinned empirically — the naive lo + "
+    "(hi-lo)*frac differs in IEEE rounding; equality property-tested "
+    "bit-for-bit). percentile_approx stays the lossy alternative; "
+    "this path keeps EXACT semantics at scale.",
     tags=("agg", "percentile"),
 )
 def percentiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2orc_spark.operators import switches
 
     ev = load(spark, sf_dir, "events")
+    # Spark's exact Percentile buffers a (value -> count) map with
+    # map-side partial merge, so the flat reducer is bounded by the
+    # per-type DISTINCT-value cardinality, not the row count — a
+    # low-cardinality measure (integer-ish buckets) aggregates at scan
+    # speed and the flat plan measured 1.4-1.6x FASTER than ranged
+    # (`pct_exact_xl` lowcard twin).  Continuous doubles make distinct
+    # ~= rows and the reducer map fact-sized (the memory cliff), so the
+    # routing probes BOTH: row count (free footer read, short-circuits
+    # every gate SF) and then the max per-type approx distinct-value
+    # count (one bounded agg, memoized; HLL ±2% error is routing-only —
+    # both spellings are bit-identical).
     if (
         switches.table_rows(spark, sf_dir, "events")
+        > switches.DIM_WINDOW_ROWS_MAX
+        and _pct_max_type_distinct(spark, sf_dir)
         > switches.DIM_WINDOW_ROWS_MAX
     ):
         return _percentiles_ranged(spark, sf_dir, ev)
     return _percentiles_flat(ev)
+
+
+def _pct_max_type_distinct(spark: SparkSession, sf_dir: str) -> int:
+    from osm2orc_spark.operators import switches
+
+    def _compute() -> int:
+        row = (
+            load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.approx_count_distinct("value").alias("d"))
+            .agg(F.max("d").alias("m"))
+            .first()
+        )
+        return row["m"] or 0
+
+    return switches.cached_probe(sf_dir, "pct_max_type_distinct", _compute)
 
 
 PCTS_EXACT = (0.5, 0.95, 0.99)

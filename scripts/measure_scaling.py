@@ -2410,17 +2410,45 @@ def main_dim_windows() -> None:
                 rec["identical"] = a == b
             print(json.dumps(rec), flush=True)
 
-    # exact percentiles (r10 scale-killer #13): the per-type aggregate
-    # buffers rows/|types| values in ONE task; the grouped two-level
-    # rank + order-statistic join computes the identical doubles
-    # distributed.  5 types -> 5 fact-sized buffers flat.
-    def build_events(n: int) -> str:
-        twin = os.path.join(SKEW_DIR, f"pctev_{n}")
-        marker = os.path.join(twin, "_BUILT_v1")
+    spark.stop()
+
+
+def main_pct_micro() -> None:
+    """r10 scale-killer #13: exact Percentile's reducer is bounded by the
+    per-type DISTINCT-value cardinality (the value->count map merges
+    map-side).  Two regimes:
+    - lowcard: 100k distinct bucketed values — tiny maps, the FLAT plan
+      wins (measured 1.4-1.6x) and the distinct probe keeps it;
+    - distinct: every value unique (continuous doubles) — the reducer
+      map is rows/|types| entries, the linear-memory cliff; the probe
+      routes the grouped order-statistic spelling.
+    Identity asserted at the smaller size in both regimes."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators import switches
+    from osm2orc_spark.queries import advanced
+    from osm2orc_spark.tables import load
+
+    spark = get_spark(
+        app_name="measure_scaling_pct",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    passes = int(os.environ.get("PCT_PASSES", "3"))
+
+    def build_events(n: int, distinct: bool) -> str:
+        tag = "distinct" if distinct else "lowcard"
+        twin = os.path.join(SKEW_DIR, f"pctev_{tag}_{n}")
+        marker = os.path.join(twin, "_BUILT_v2")
         if not os.path.exists(marker):
             os.makedirs(twin, exist_ok=True)
             par = spark.sparkContext.defaultParallelism
             hour0 = F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            value = (
+                (F.col("id") * F.lit(1.0000001) + F.lit(0.25))
+                if distinct
+                else ((F.col("id") * 7919) % 100003).cast("double")
+            )
             spark.range(n).select(
                 F.col("id").alias("event_id"),
                 (
@@ -2431,7 +2459,7 @@ def main_dim_windows() -> None:
                 F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
                     "event_type"
                 ),
-                ((F.col("id") * 7919) % 100003).cast("double").alias("value"),
+                value.alias("value"),
                 F.lit("{}").alias("props"),
             ).repartition(par).write.mode("overwrite").parquet(
                 os.path.join(twin, "events.parquet")
@@ -2440,45 +2468,57 @@ def main_dim_windows() -> None:
                 fh.write("ok\n")
         return twin
 
-    from osm2orc_spark.tables import load as _load
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
 
-    for n in (3_200_000, 12_800_000):
-        twin = build_events(n)
-        switches.probe_cache_clear()
-        ev = _load(spark, twin, "events")
-        shapes = {
-            "flat": lambda: noop(advanced._percentiles_flat(ev)),
-            "ranged": lambda: noop(advanced._percentiles_ranged(spark, twin, ev)),
-        }
-        walls = {k: [] for k in shapes}
-        for fn in shapes.values():
-            fn()
-        for _ in range(passes):
-            for k, fn in shapes.items():
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
+    for distinct in (False, True):
+        for n in (3_200_000, 12_800_000):
+            twin = build_events(n, distinct)
+            switches.probe_cache_clear()
+            ev = load(spark, twin, "events")
+            max_dist = advanced._pct_max_type_distinct(spark, twin)
+            shapes = {
+                "flat": lambda: noop(advanced._percentiles_flat(ev)),
+                "ranged": lambda: noop(
+                    advanced._percentiles_ranged(spark, twin, ev)
+                ),
+            }
+            walls = {k: [] for k in shapes}
+            for fn in shapes.values():
                 fn()
-                walls[k].append(time.perf_counter() - t0)
-        rec = {
-            "micro": "pct_exact_xl", "round": 10, "rows": n, "types": 5,
-            "passes": passes,
-            "protocol": "same-session interleaved min-of-%d" % passes,
-            "flat_wall_sec": round(min(walls["flat"]), 3),
-            "ranged_wall_sec": round(min(walls["ranged"]), 3),
-            "registered_strategy": (
-                "ranged" if n > switches.DIM_WINDOW_ROWS_MAX else "flat"
-            ),
-        }
-        if n == 3_200_000:
-            a = sorted(
-                tuple(r) for r in advanced._percentiles_flat(ev).collect()
-            )
-            b = sorted(
-                tuple(r)
-                for r in advanced._percentiles_ranged(spark, twin, ev).collect()
-            )
-            rec["identical"] = a == b
-        print(json.dumps(rec), flush=True)
+            for _ in range(passes):
+                for k, fn in shapes.items():
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn()
+                    walls[k].append(time.perf_counter() - t0)
+            rec = {
+                "micro": "pct_exact_xl", "round": 10,
+                "regime": "distinct" if distinct else "lowcard",
+                "rows": n, "types": 5, "max_type_distinct": max_dist,
+                "passes": passes,
+                "protocol": "same-session interleaved min-of-%d" % passes,
+                "flat_wall_sec": round(min(walls["flat"]), 3),
+                "ranged_wall_sec": round(min(walls["ranged"]), 3),
+                "registered_strategy": (
+                    "ranged"
+                    if n > switches.DIM_WINDOW_ROWS_MAX
+                    and max_dist > switches.DIM_WINDOW_ROWS_MAX
+                    else "flat"
+                ),
+            }
+            if n == 3_200_000:
+                a = sorted(
+                    tuple(r) for r in advanced._percentiles_flat(ev).collect()
+                )
+                b = sorted(
+                    tuple(r)
+                    for r in advanced._percentiles_ranged(
+                        spark, twin, ev
+                    ).collect()
+                )
+                rec["identical"] = a == b
+            print(json.dumps(rec), flush=True)
     spark.stop()
 
 
@@ -2542,6 +2582,7 @@ if __name__ == "__main__":
         "--dim-windows",
         "--burst-micro",
         "--rolling-micro",
+        "--pct-micro",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -2584,6 +2625,8 @@ if __name__ == "__main__":
         main_burst_micro()
     elif "--rolling-micro" in args:
         main_rolling_micro()
+    elif "--pct-micro" in args:
+        main_pct_micro()
     elif "--skew" in args:
         main_skew()
     else:
