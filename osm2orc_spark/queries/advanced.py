@@ -646,7 +646,21 @@ def _percentiles_ranged(spark: SparkSession, sf_dir: str, ev: DataFrame) -> Data
             (F.col("_rn") + F.col("_off")).cast("bigint").alias("_rank"),
         )
     )
-    counts = ev.groupBy("event_type").agg(F.count("value").alias("_n"))
+    # non-NULL counts from the CACHED summary (not a second events
+    # scan); the all-types frame (one pruned scan of the type column)
+    # re-attaches groups whose values are all NULL with n = 0.  counts
+    # feeds BOTH the target table and the final row set — persist the
+    # |types|-row frame so the pruned distinct runs once.
+    all_types = ev.select("event_type").distinct()
+    counts = (
+        all_types.join(
+            summ.groupBy("event_type").agg(F.sum("_cnt").alias("_n")),
+            "event_type",
+            "left",
+        )
+        .select("event_type", F.coalesce("_n", F.lit(0)).alias("_n"))
+        .persist()
+    )
     pos = (F.col("_p") * (F.col("_n") - 1).cast("double")).alias("_pos")
     targets = (
         counts.filter(F.col("_n") > 0)
@@ -695,7 +709,7 @@ def _percentiles_ranged(spark: SparkSession, sf_dir: str, ev: DataFrame) -> Data
         .join(wide, "event_type", "left")
         .select("event_type", "p50", "p95", "p99")
     )
-    return release_with(out, base)
+    return release_with(out, base, counts)
 
 
 # ---------------------------------------------------------------------------
@@ -1194,14 +1208,20 @@ def _rolling_hour_chunked_core(ev: DataFrame) -> DataFrame:
     engine and any split."""
     from pyspark.sql.window import Window
 
-    base = ev.select("event_id", "user_id", "ts", "value").withColumn(
-        "_us", F.unix_micros("ts")
-    ).withColumn(
-        "_ck", F.floor(F.col("_us") / F.lit(ROLLING_FRAME_US)).cast("bigint")
-    )
-    own = base.withColumn("_ghost", F.lit(0))
-    ghost = base.withColumn("_ck", F.col("_ck") + F.lit(1)).withColumn(
-        "_ghost", F.lit(1)
+    # ghost fan-out via explode (ONE events scan), not a union of two
+    # subtrees (TWO scans — scan audit): each row emits _ghost in {0,1}
+    # and lands in chunk _ck + _ghost.
+    base = (
+        ev.select("event_id", "user_id", "ts", "value")
+        .withColumn("_us", F.unix_micros("ts"))
+        .withColumn(
+            "_ghost", F.explode(F.array(F.lit(0), F.lit(1)))
+        )
+        .withColumn(
+            "_ck",
+            F.floor(F.col("_us") / F.lit(ROLLING_FRAME_US)).cast("bigint")
+            + F.col("_ghost"),
+        )
     )
     w = (
         Window.partitionBy("user_id", "_ck")
@@ -1209,7 +1229,7 @@ def _rolling_hour_chunked_core(ev: DataFrame) -> DataFrame:
         .rangeBetween(-ROLLING_FRAME_US, 0)
     )
     return (
-        own.unionByName(ghost)
+        base
         .select(
             "event_id",
             "user_id",
@@ -1592,12 +1612,16 @@ def _pareto_ranged(spark: SparkSession, sf_dir: str, rev: DataFrame) -> DataFram
     from osm2orc_spark.operators import switches
     from osm2orc_spark.operators.chunked import ranged_base, ranged_two_level
 
-    tot = rev.agg(F.sum("revenue").alias("total"))
     nparts = switches.dim_window_nparts(
         switches.table_rows(spark, sf_dir, "part")
     )
     order = [F.desc("revenue"), F.asc("partkey")]
     base = ranged_base(rev, order, nparts).persist()
+    # total from the CACHED base, not a second rev aggregation — the
+    # flat spelling's rev-subtree-twice shape costs a full fact scan +
+    # groupBy here (scan audit); decimal addition is exact, so the sum
+    # is order-independent.
+    tot = base.agg(F.sum("revenue").alias("total"))
     cum_df = ranged_two_level(base, order, prefix_sum=("revenue", "_cum"))
     out = _pareto_select(cum_df, F.col("_cum"), tot)
     return release_with(out, base)
