@@ -169,3 +169,24 @@ def test_percentiles_forced_ranged_equals_flat(spark, sf_smoke, monkeypatch):
     assert len(flat) > 0
     _forced(monkeypatch)
     assert _rows(q(spark, sf_smoke)) == flat
+
+
+def test_percentiles_bench_sf_stays_flat(spark):
+    """Boundary pin: sf0.1's events table is EXACTLY 100,000 rows — the
+    strict > on DIM_WINDOW_ROWS_MAX must keep the bench/gate plan on the
+    flat aggregate (a >= would flip the headline plan and break bench
+    comparability)."""
+    import os
+
+    d = "/root/testdata/sf0.1"
+    if not os.path.isdir(d):
+        pytest.skip("sf0.1 driver data not present")
+    plan = (
+        REG["percentiles_value_by_type"]
+        .fn(spark, d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile(" in plan
+    assert "_pid" not in plan
