@@ -237,10 +237,38 @@ DRIVER_VERIFIED_R09: frozenset[str] = frozenset({
     "union_all_literals", "weekly_activity_profile", "window_lag_transitions",
 })
 
+# Triple-green rows from the round-10 gate (CORRECTNESS_r10.json): 50/50
+# green, zero failures, zero errors — the GATE_PRIORITY_R10 re-gates (the
+# whole OSM README reference contract, the text family, the r10
+# scale-killer dispatches) plus the two newly registered prebuilt ANN
+# probes earning their first driver green.
+DRIVER_VERIFIED_R10: frozenset[str] = frozenset({
+    "ann_ivf_probe_prebuilt", "ann_ivfpq_probe_prebuilt", "ann_topk_int8",
+    "approx_distinct_users_by_type", "asof_join_tolerance",
+    "corpus_shuffle_shards", "curation_canonical_docs",
+    "curation_contamination_report", "curation_decontaminate",
+    "curation_pack_sequences", "curation_quality_filter",
+    "curation_stratified_sample", "customer_rfm_segments",
+    "dataset_split_assign", "dedup_containment_pairs", "dedup_duplicate_spans",
+    "dedup_minhash_lsh_dfcap", "dedup_spans_clean", "doc_fingerprint",
+    "doc_winnowing_fingerprints", "dupgraph_triangle_stats",
+    "embedding_int8_quantize", "fuzzy_name_match", "lang_confusion_matrix",
+    "lang_id_char_ngrams", "lang_id_heuristic", "multimodal_decode_meta",
+    "multimodal_resize", "osm_changesets_josm", "osm_changesets_liberty_island",
+    "osm_changesets_with_comment", "osm_deleted_count", "osm_latest_versions",
+    "osm_latest_versions_window", "osm_tag_additions_window",
+    "osm_tag_usage_by_month", "osm_ways_reassembly", "pagerank_trade_graph",
+    "part_abc_pareto", "percentiles_value_by_type",
+    "rolling_hour_user_activity", "simhash_near_dup", "text_bigram_coverage",
+    "text_bm25_topk", "text_ngram_vocab", "text_pii_redact",
+    "text_quality_scores", "text_repetition_scores", "text_tfidf_topk",
+    "text_token_stats",
+})
+
 DRIVER_VERIFIED: frozenset[str] = (
     DRIVER_VERIFIED_R01 | DRIVER_VERIFIED_R02 | DRIVER_VERIFIED_R03
     | DRIVER_VERIFIED_R04 | DRIVER_VERIFIED_R05 | DRIVER_VERIFIED_R06
-    | DRIVER_VERIFIED_R08 | DRIVER_VERIFIED_R09
+    | DRIVER_VERIFIED_R08 | DRIVER_VERIFIED_R09 | DRIVER_VERIFIED_R10
 )
 
 # Explicit gate order for round 5.  Every registered query has a driver row
@@ -456,6 +484,45 @@ GATE_PRIORITY_R10: tuple[str, ...] = (
 )
 
 
+# Explicit gate order for round 11 (registry grows 164 -> 165: the kNN
+# self-join over the prebuilt IVF index registers this round).  The r10
+# verdict's #1 leads: 30 greens are last-confirmed r7 — by the end of
+# r11 they would be four rounds stale — so they head the gate as
+# re-confirmations (last-green-r7 set, recomputed from all ten
+# CORRECTNESS files; exactly the verdict's 30).  The remaining 19 slots
+# fall to the oldest r8 cohort, leading with the ANN probe family (the
+# new kNN join composes _ivf_topk, so its neighbors re-confirm beside
+# it), the dedup shingle core, and the streaming suite.  The NEW
+# ann_knn_join_prebuilt is not listed: it auto-sorts into the
+# new-with-oracle tier immediately after this list (slot 50).  The
+# 17 r8-stale queries that miss this round's gate lead R12.
+GATE_PRIORITY_R11: tuple[str, ...] = (
+    # --- 30 r7-stale greens (verdict #1; recomputed last-green == r7) ---
+    "q4_order_priority_check", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_item_losers",
+    "q12_priority_shipping_mix", "q13_customer_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q19_discounted_revenue", "q22_global_sales_opportunity",
+    "bag_setops_nations", "correlated_min_price_parts",
+    "cube_orders_priority_status", "full_outer_nation_presence",
+    "intersect_except_nations", "scalar_function_corpus",
+    "window_rank_suite", "range_join_value_bands", "salted_hot_key_agg",
+    "zorder_key_events", "osm_snapshot_at", "stream_segment_rollup",
+    "curation_dedup_report", "curation_mix_report", "curation_source_cap",
+    "curation_temperature_mix", "curation_training_mix",
+    # --- 19 oldest-r8 fills: ANN probes (kNN-join neighbors), the dedup
+    # shingle core, the streaming suite ---
+    "ann_topk_bruteforce", "ann_topk_batch", "ann_pq_adc",
+    "ann_matryoshka_rerank", "ann_topk_hamming", "ann_hamming_recall",
+    "ann_ivf_index_stats",
+    "dedup_ppjoin", "dedup_containment_ppjoin", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_minhash_calibration", "dedup_components",
+    "stream_hourly_rollup", "stream_session_windows", "stream_dedup_events",
+    "stream_user_totals", "stream_ohlc_bars", "stream_purchase_attribution",
+)
+
+
 GATE_PRIORITY_R08: tuple[str, ...] = (
     # plan-shape changes first. r8 late change: the dedup verify family
     # moved from exploded fan-out joins to in-task array_intersect over
@@ -490,7 +557,7 @@ def all_queries() -> dict[str, Query]:
     from osm2orc_spark.streaming import events  # noqa: F401
 
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
-    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R10)}
+    prio_index = {name: i for i, name in enumerate(GATE_PRIORITY_R11)}
     # Staleness tier for verified re-confirmations: the round a query was
     # LAST driver-confirmed — oldest greens re-confirm first (r5 verdict
     # #7: "then never-re-confirmed r1 greens").
@@ -498,14 +565,15 @@ def all_queries() -> dict[str, Query]:
     for rnd, names in enumerate(
         (DRIVER_VERIFIED_R01, DRIVER_VERIFIED_R02, DRIVER_VERIFIED_R03,
          DRIVER_VERIFIED_R04, DRIVER_VERIFIED_R05, DRIVER_VERIFIED_R06,
-         DRIVER_VERIFIED_R07, DRIVER_VERIFIED_R08, DRIVER_VERIFIED_R09),
+         DRIVER_VERIFIED_R07, DRIVER_VERIFIED_R08, DRIVER_VERIFIED_R09,
+         DRIVER_VERIFIED_R10),
         start=1,
     ):
         for n in names:
             last_confirmed[n] = rnd  # later rounds overwrite earlier ones
 
     def key(name: str) -> tuple[int, int, int]:
-        # The r10 priority list re-gates stale + impl-touched queries first.
+        # The r11 priority list re-gates stale + impl-touched queries first.
         if name in prio_index:
             return (0, prio_index[name], 0)
         no_oracle = REGISTRY[name].oracle is None
