@@ -66,6 +66,10 @@ HEADLINE = [
     # surface exists to price (pass 1 pays the bounded build).
     "ann_ivf_probe_prebuilt",
     "ann_ivfpq_probe_prebuilt",
+    # r11: corpus-wide kNN self-join over the prebuilt IVF index — the
+    # per-doc-neighborhood primitive (probe-only steady state, same
+    # memoized index as the prebuilt probes above)
+    "ann_knn_join_prebuilt",
 ]
 
 

@@ -223,3 +223,284 @@ def _register_prebuilt_queries() -> None:
 
 
 _register_prebuilt_queries()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide kNN self-join over the prebuilt IVF index (r10 verdict #7):
+# every vector's top-k neighbors — the per-doc-neighborhood primitive
+# cluster-based curation consumes (SemDeDup prunes within clusters of a
+# kNN graph; prototype pruning takes per-example neighborhoods).  Until
+# now the surface had only query->corpus top-k and pair-threshold joins.
+#
+# Scale shape — never all-pairs: each vector probes its KNN_NPROBE
+# nearest coarse cells, so the candidate pairing is an equi-join on
+# cell id (n * nprobe probe rows against the cell-assigned corpus),
+# and the per-cell work is a blocked int64 matmul with tie-safe
+# partial top-k — rows out of the cell stage are <= n * nprobe * k,
+# LINEAR in n.  Probe cost is n * nprobe * cell_size: with the
+# registered k=8 fit, cell_size is n/8 (fine at gate SFs); at 100 TB
+# you fit more cells — k_cents ~ n/256, the dedup_semantic_kmeans
+# rule — which makes probe cost n * nprobe * 256, measured in the
+# knn_join_xl SCALING_SKEW record (k_cents is a parameter of the core
+# below precisely so the XL harness can price that regime).
+# ---------------------------------------------------------------------------
+KNN_K = 5
+KNN_NPROBE = 2
+# blocked-matmul cap: probe-chunk x cell cosine cells per block (~32 MB
+# of float64 at 2^22) — bounds kernel memory at any cell size.
+KNN_CHUNK_CELLS = 1 << 22
+
+
+def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
+    """mapInArrow kernel: per vector, exact int64 sqdist to every coarse
+    centroid -> (cell assignment, nprobe probe cells).  Stable argsort
+    of (distance) gives the (d, cid)-ordered probe list — first minimum
+    on ties = lowest cid, the same QUALIFY ROW_NUMBER() OVER (ORDER BY
+    d, cid) pick the DuckDB twin makes."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from osm2orc_spark.operators.similarity import QUANT
+
+        C = np.array(cents, dtype=np.int64)
+        cn2 = (C * C).sum(axis=1)
+        dim = C.shape[1]
+        for b in batches:
+            vec_id = b.column(b.schema.get_field_index("vec_id")).to_numpy(
+                zero_copy_only=False
+            )
+            emb_col = b.column(b.schema.get_field_index("embedding"))
+            flat = emb_col.flatten().to_numpy(zero_copy_only=False)
+            Xq = (
+                np.floor(flat.astype(np.float64) * QUANT)
+                .astype(np.int64)
+                .reshape(-1, dim)
+            )
+            n2 = (Xq * Xq).sum(axis=1)
+            d = n2[:, None] - 2 * (Xq @ C.T) + cn2[None, :]
+            order = np.argsort(d, axis=1, kind="stable")  # ties -> lowest cid
+            probes = order[:, :nprobe].astype(np.int32)
+            if pa.types.is_dictionary(emb_col.type):
+                emb_col = emb_col.cast(emb_col.type.value_type)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_id),
+                    emb_col,
+                    pa.array(order[:, 0].astype(np.int32)),
+                    pa.array(probes.tolist(), type=pa.list_(pa.int32())),
+                ],
+                ["vec_id", "embedding", "cid", "probes"],
+            )
+
+    return kernel
+
+
+def _knn_cell_kernel(k_neighbors: int, chunk_cells: int):
+    """Cogrouped per-cell kernel: build side = the cell's resident
+    vectors, probe side = vectors probing this cell.  Blocked int64
+    matmul -> float64 cosines (the exact _ann_scan_vectorized IEEE
+    tree: float64(dot) / (sqrt(float64(n2_p)) * sqrt(float64(n2_b)))),
+    then a TIE-SAFE per-row top-(k+1): full lexsort on (-cos, nb_id) —
+    argpartition would drop tie candidates at the boundary that win on
+    the nb_id tie-break, and the corpus contains exact-duplicate
+    vectors by design.  Self is excluded by id after selection (hence
+    k+1).  Zero-norm vectors drop on both sides, matching the oracle's
+    WHERE n2 > 0."""
+
+    def kernel(build_pdf, probe_pdf):
+        import numpy as np
+        import pandas as pd
+
+        from osm2orc_spark.operators.similarity import QUANT
+
+        empty = pd.DataFrame({
+            "vec_id": pd.Series(dtype="int64"),
+            "nb_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        })
+        if len(build_pdf) == 0 or len(probe_pdf) == 0:
+            return empty
+
+        def quantize(pdf):
+            X = np.stack(pdf["embedding"].to_numpy())
+            return np.floor(X.astype(np.float64) * QUANT).astype(np.int64)
+
+        Xb = quantize(build_pdf)
+        bid = build_pdf["vec_id"].to_numpy(dtype=np.int64)
+        n2b = (Xb * Xb).sum(axis=1)
+        keep_b = n2b > 0
+        Xb, bid, n2b = Xb[keep_b], bid[keep_b], n2b[keep_b]
+        Xp = quantize(probe_pdf)
+        pid = probe_pdf["vec_id"].to_numpy(dtype=np.int64)
+        n2p = (Xp * Xp).sum(axis=1)
+        keep_p = n2p > 0
+        Xp, pid, n2p = Xp[keep_p], pid[keep_p], n2p[keep_p]
+        nb = len(bid)
+        if nb == 0 or len(pid) == 0:
+            return empty
+
+        sqb = np.sqrt(n2b.astype(np.float64))
+        take = min(k_neighbors + 1, nb)
+        chunk = max(1, chunk_cells // nb)
+        out_v, out_n, out_c = [], [], []
+        for s in range(0, len(pid), chunk):
+            e = s + chunk
+            dot = Xp[s:e] @ Xb.T
+            cos = dot.astype(np.float64) / (
+                np.sqrt(n2p[s:e].astype(np.float64))[:, None] * sqb[None, :]
+            )
+            # per-row total order (-cos, nb_id); lexsort's LAST key is
+            # primary and the sort is stable
+            order = np.lexsort(
+                (np.broadcast_to(bid, cos.shape), -cos), axis=-1
+            )[:, :take]
+            rows = np.repeat(pid[s:e], take)
+            nbs = bid[order].ravel()
+            coss = np.take_along_axis(cos, order, axis=1).ravel()
+            not_self = rows != nbs
+            rows, nbs, coss = rows[not_self], nbs[not_self], coss[not_self]
+            if take == k_neighbors + 1:
+                # after dropping self (<= 1 per row) keep the first k of
+                # each row's run; runs are contiguous by construction
+                pos = np.arange(len(rows))
+                run_start = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+                run_len = np.diff(np.r_[run_start, len(rows)])
+                rel = pos - np.repeat(run_start, run_len)
+                keep = rel < k_neighbors
+                rows, nbs, coss = rows[keep], nbs[keep], coss[keep]
+            out_v.append(rows)
+            out_n.append(nbs)
+            out_c.append(coss)
+        return pd.DataFrame({
+            "vec_id": np.concatenate(out_v),
+            "nb_id": np.concatenate(out_n),
+            "cosine": np.concatenate(out_c),
+        })
+
+    return kernel
+
+
+def ann_knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    index: AnnIndex,
+    k_neighbors: int = KNN_K,
+    nprobe: int = KNN_NPROBE,
+    chunk_cells: int = KNN_CHUNK_CELLS,
+) -> DataFrame:
+    """Corpus-wide approximate kNN self-join via a prebuilt IVF index:
+    (vec_id, rn, nb_id, cosine), rn = 1..k over the vector's probed
+    cells.  Three stages, all linear in n for fixed cell size:
+    assignment scan (centroids as closure literals — no join), a
+    cogrouped per-cell blocked matmul emitting <= nprobe*k partials per
+    vector, and a per-vector WindowGroupLimit merge over those <= 10
+    rows.  Exact-duplicate-safe: every selection orders by (-cosine,
+    nb_id)."""
+    from pyspark.sql import Window
+
+    from osm2orc_spark.operators.cache import release_with
+    from osm2orc_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    emb_t = emb.schema["embedding"].dataType.simpleString()
+    asg = emb.select("vec_id", "embedding").mapInArrow(
+        _knn_assign_kernel([list(c) for c in index.centroids], nprobe),
+        f"vec_id long, embedding {emb_t}, cid int, probes array<int>",
+    )
+    # build and probe both branch off the assignment scan — persist it so
+    # the parquet decode + kernel run once, released with the result
+    asg = asg.persist()
+    build = asg.select("cid", "vec_id", "embedding")
+    probe = asg.select(
+        F.explode("probes").alias("cid"), F.col("vec_id"), F.col("embedding")
+    )
+    partials = (
+        build.groupBy("cid")
+        .cogroup(probe.groupBy("cid"))
+        .applyInPandas(
+            _knn_cell_kernel(k_neighbors, chunk_cells),
+            "vec_id long, nb_id long, cosine double",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "nb_id")
+    result = (
+        partials.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k_neighbors)
+        .select("vec_id", "rn", "nb_id", "cosine")
+        .orderBy("vec_id", "rn")
+    )
+    return release_with(result, asg)
+
+
+def _register_knn_join() -> None:
+    from osm2orc_spark.operators.similarity import (
+        _DUCK_QE,
+        IVF_KM_ITERS,
+        MAX_FIT_ROWS,
+        N_CENTROIDS,
+        _lloyd_cte_sql,
+    )
+    from osm2orc_spark.registry import register
+
+    oracle = f"""
+    WITH {_DUCK_QE},
+    {_lloyd_cte_sql(N_CENTROIDS, IVF_KM_ITERS, "km", fit_m=MAX_FIT_ROWS)},
+    probes AS (
+      SELECT vec_id, cid FROM kmdf
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) <= {KNN_NPROBE}
+    ),
+    cand AS (
+      SELECT p.vec_id AS a, g.vec_id AS b
+      FROM probes p JOIN kmasg g ON g.cid = p.cid AND g.vec_id != p.vec_id
+    ),
+    dots AS (
+      SELECT c.a, c.b, CAST(SUM(ea.v * eb.v) AS BIGINT) AS dot
+      FROM cand c
+      JOIN qe ea ON ea.vec_id = c.a
+      JOIN qe eb ON eb.vec_id = c.b AND eb.i = ea.i
+      GROUP BY 1, 2
+    ),
+    cosines AS (
+      SELECT d.a AS vec_id, d.b AS nb_id,
+             CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.a
+      JOIN norms nb ON nb.vec_id = d.b
+      WHERE na.n2 > 0 AND nb.n2 > 0
+    )
+    SELECT vec_id, CAST(rn AS INT) AS rn, nb_id, cosine
+    FROM (
+      SELECT vec_id, nb_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nb_id) AS rn
+      FROM cosines
+    )
+    WHERE rn <= {KNN_K}
+    ORDER BY vec_id, rn
+    """
+
+    register(
+        "ann_knn_join_prebuilt",
+        oracle=oracle,
+        doc="Corpus-wide approximate kNN self-join over the prebuilt IVF "
+        "index — the per-doc-neighborhood primitive SemDeDup-style "
+        "curation consumes.  Each vector probes its 2 nearest coarse "
+        "cells (equi-join on cell id — never all-pairs); per-cell "
+        "candidates score through a blocked int64-matmul Arrow kernel "
+        "with tie-safe (-cosine, nb_id) partial top-k, and a bounded "
+        "per-vector window (<= nprobe*k rows/key) merges the partials. "
+        "The oracle replays the identical deterministic Lloyd fit as "
+        "unrolled DuckDB CTEs (the ann_ivf_kmeans twin), so the whole "
+        "graph — fit, probe list, candidate set, cosine, rank — is "
+        "value-hashed.  At 100 TB the fit uses k_cents ~ n/256 (the "
+        "dedup_semantic_kmeans rule; a parameter of ann_knn_join), "
+        "making probe cost n*nprobe*256 — the knn_join_xl record "
+        "prices exactly that regime.",
+        tags=("similarity",),
+    )(lambda spark, sf_dir: ann_knn_join(
+        spark, sf_dir, cached_index(spark, sf_dir, "ivf")
+    ))
+
+
+_register_knn_join()
