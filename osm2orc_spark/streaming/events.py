@@ -228,6 +228,53 @@ def run_to_memory(
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+def run_checkpointed(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    extra_conf: dict[str, str] | None = None,
+) -> None:
+    """Drive all currently-available input through a DURABLE file-sink
+    query: parquet sink + checkpointLocation, then stop.  This is the
+    recovery surface a 100 TB deployment actually leans on — call it
+    again later (with a NEW query object built from a fresh readStream
+    graph) on the same ``checkpoint_dir`` and the stream resumes from
+    the recorded offsets with its keyed state restored from the state
+    store, not from zero.  The parquet sink's _spark_metadata commit log
+    makes output exactly-once across the stop/restart boundary.
+
+    Same conf-scoping contract as run_to_memory: ``extra_conf`` (e.g.
+    ``rocksdb_state_conf()``) applies for the query's lifetime and is
+    restored afterwards."""
+    spark = stream_df.sparkSession
+    saved: dict[str, str | None] = {}
+    for k, v in (extra_conf or {}).items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("parquet")
+            .option("checkpointLocation", checkpoint_dir)
+            .option("path", out_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 # ---------------------------------------------------------------------------
 # Registry entries: on bounded input an (unexpired-watermark, complete-mode)
 # streaming query materializes exactly its batch twin's result, so the
@@ -651,7 +698,7 @@ def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def scd2_intervals_stream(events: DataFrame) -> DataFrame:
+def scd2_intervals_stream(events: DataFrame, output_mode: str = "update") -> DataFrame:
     """Streaming SCD2 build via applyInPandasWithState: state = each
     user's OPEN interval (current band, valid_from, event count); a band
     change emits the closed interval and opens a new one.
@@ -745,8 +792,11 @@ def scd2_intervals_stream(events: DataFrame) -> DataFrame:
         .otherwise("high")
         .alias("band"),
     )
+    # "update" for the memory-sink registry entry; "append" for durable
+    # file sinks (checkpoint recovery) — identical emissions either way:
+    # this operator only ever yields final (closed-interval) rows.
     return banded.groupBy("user_id").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
     )
 
 

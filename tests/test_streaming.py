@@ -301,25 +301,23 @@ def test_user_totals_query_reduces_multi_batch_input(spark, sf_smoke, tmp_path):
         assert out[uid]["sum_value_q"] == b["s_q"]
 
 
-def test_scd2_stream_closes_intervals_across_batches(spark, sf_smoke, tmp_path):
-    """stream_scd2_intervals carries the open interval in state across
-    micro-batch boundaries: with the bounded input split into THREE
-    time-sliced files (delivered oldest-first via staggered mtimes), the
-    emitted closed intervals must still equal the batch derivation —
-    including intervals that span a batch boundary."""
+def _slice_events_into_files(spark, sf_smoke, sf_dir):
+    """Split the bounded events table into THREE time-ordered parquet
+    files under ``sf_dir/events.parquet`` with staggered mtimes (the
+    FileStreamSource orders a fresh listing by modification time, so the
+    slices arrive oldest-first, one per trigger).  Returns the two cut
+    timestamps."""
     import os
     import time as _time
 
     from pyspark.sql import functions as F
 
-    from osm2orc_spark.registry import all_queries
     from osm2orc_spark.tables import load
 
     src = load(spark, sf_smoke, "events")
     lo, hi = src.agg(F.min("ts"), F.max("ts")).first()
     cut1 = lo + (hi - lo) / 3
     cut2 = lo + 2 * (hi - lo) / 3
-    sf_dir = tmp_path / "sf_sliced"
     ev_dir = sf_dir / "events.parquet"
     slices = [
         src.filter(F.col("ts") <= F.lit(cut1)),
@@ -330,13 +328,24 @@ def test_scd2_stream_closes_intervals_across_batches(spark, sf_smoke, tmp_path):
         part = sf_dir / f"slice{i}"
         sl.coalesce(1).write.parquet(str(part))
         [pq] = [f for f in os.listdir(part) if f.endswith(".parquet")]
-        ev_dir.mkdir(exist_ok=True)
+        ev_dir.mkdir(exist_ok=True, parents=True)
         dst = ev_dir / f"{i}.parquet"
         os.rename(part / pq, dst)
-        # FileStreamSource orders a fresh listing by modification time:
-        # stagger mtimes so slices arrive oldest-first, one per trigger.
         t = _time.time() - 300 + i * 60
         os.utime(dst, (t, t))
+    return cut1, cut2
+
+
+def test_scd2_stream_closes_intervals_across_batches(spark, sf_smoke, tmp_path):
+    """stream_scd2_intervals carries the open interval in state across
+    micro-batch boundaries: with the bounded input split into THREE
+    time-sliced files (delivered oldest-first via staggered mtimes), the
+    emitted closed intervals must still equal the batch derivation —
+    including intervals that span a batch boundary."""
+    from osm2orc_spark.registry import all_queries
+
+    sf_dir = tmp_path / "sf_sliced"
+    _slice_events_into_files(spark, sf_smoke, sf_dir)
 
     q = all_queries()["stream_scd2_intervals"]
     df = q.fn(spark, str(sf_dir))
@@ -353,3 +362,76 @@ def test_scd2_stream_closes_intervals_across_batches(spark, sf_smoke, tmp_path):
     spdf = df.toPandas()
     assert len(spdf) == len(ddf)
     assert _normalize(spdf) == _normalize(ddf)
+
+
+def test_scd2_stream_restart_from_checkpoint(spark, sf_smoke, tmp_path):
+    """TRUE stop/restart recovery (r10 verdict #5): a RocksDB
+    changelog-checkpointed SCD2 stream processes files 1-2 into a
+    durable parquet sink, STOPS, and a brand-new query object — a fresh
+    readStream graph, same checkpoint dir — processes file 3.  The
+    union of sink output must equal the uninterrupted batch twin
+    exactly: no interval lost (the open interval at the stop boundary
+    must be restored from the state store, not re-derived from zero)
+    and none duplicated (the sink commit log is exactly-once across the
+    boundary).  This is the recovery semantics a 100 TB deployment
+    leans on; the multi-batch test above only covers state hand-off
+    inside one query lifetime."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from osm2orc_spark.registry import all_queries
+    from osm2orc_spark.streaming.events import (
+        read_events_stream,
+        rocksdb_state_conf,
+        run_checkpointed,
+        scd2_intervals_stream,
+    )
+    from tests.oracle_harness import _normalize
+
+    full_dir = tmp_path / "sf_full"
+    cut1, cut2 = _slice_events_into_files(spark, sf_smoke, full_dir)
+    # phase-1 source dir holds only slices 0 and 1; slice 2 arrives
+    # after the stop (hardlink so mtimes are preserved)
+    live_dir = tmp_path / "sf_live"
+    ev_live = live_dir / "events.parquet"
+    ev_live.mkdir(parents=True)
+    for i in (0, 1):
+        os.link(full_dir / "events.parquet" / f"{i}.parquet", ev_live / f"{i}.parquet")
+
+    out_dir = str(tmp_path / "scd2_out")
+    ckpt = str(tmp_path / "scd2_ckpt")
+
+    def run_phase():
+        ev = read_events_stream(spark, str(ev_live))
+        run_checkpointed(
+            scd2_intervals_stream(ev, output_mode="append"),
+            out_dir,
+            ckpt,
+            extra_conf=rocksdb_state_conf(),
+        )
+
+    run_phase()
+    phase1_rows = spark.read.parquet(out_dir).count()
+    os.link(full_dir / "events.parquet" / "2.parquet", ev_live / "2.parquet")
+    run_phase()  # NEW query object, same checkpoint dir
+
+    got = spark.read.parquet(out_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{full_dir}/events.parquet/*.parquet')"
+    )
+    exp = con.sql(all_queries()["stream_scd2_intervals"].oracle).df()
+    assert len(got) == len(exp)
+    assert _normalize(got[exp.columns.tolist()]) == _normalize(exp)
+    # the recovery actually mattered: phase 2 appended rows, and at
+    # least one of them is an interval OPENED before the stop boundary
+    # and closed after it — i.e. reconstructed from recovered state
+    assert phase1_rows < len(got)
+    cross = exp[
+        (pd.to_datetime(exp["valid_from"]) <= cut2)
+        & (pd.to_datetime(exp["valid_to"]) > cut2)
+    ]
+    assert len(cross) > 0
