@@ -728,7 +728,14 @@ def dedup_components(
     # LSH pass at sf0.1. One persisted pairs frame feeds both mirror
     # directions and the strategy-pick count.
     pairs = pairs.persist()
-    n_edges = 2 * pairs.count()
+    # Routed through cached_probe like every other strategy probe (the
+    # switch-registry detection instruments that one choke point); the
+    # count also materializes the persisted pairs frame on first call.
+    from osm2orc_spark.operators import switches
+
+    n_edges = switches.cached_probe(
+        sf_dir, "cc_n_edges", lambda: 2 * pairs.count()
+    )
     # Strategy pick by MEASURED size (the AQE idiom): the paired subgraph
     # is O(|near-dup pairs|) — usually minuscule next to the corpus — and
     # the distributed fixpoint's per-round job overhead (2 joins, 2 aggs,

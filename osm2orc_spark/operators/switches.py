@@ -133,11 +133,17 @@ def _cache_key(sf_dir: str, probe: str) -> tuple[str, str]:
     return (os.path.abspath(sf_dir), probe)
 
 
-def cached_probe(sf_dir: str, probe: str, compute) -> int:
-    """Memoized integer probe: ``compute()`` runs once per (dir, probe)."""
+def cached_probe(sf_dir: str, probe: str, compute) -> int | tuple:
+    """Memoized probe: ``compute()`` runs once per (dir, probe).  Every
+    strategy probe in the package routes through here — it is the choke
+    point the switch-registry detection sweep instruments
+    (tests/test_switch_registry.py), so a new strategy switch cannot
+    ship without joining SWITCHED_QUERIES.  Values are ints (counts,
+    masses) or tuples (hot-key lists)."""
     key = _cache_key(sf_dir, probe)
     if key not in _PROBE_CACHE:
-        _PROBE_CACHE[key] = int(compute())
+        v = compute()
+        _PROBE_CACHE[key] = v if isinstance(v, tuple) else int(v)
     return _PROBE_CACHE[key]
 
 
@@ -173,8 +179,8 @@ def hot_key_list(
     tests monkeypatch it."""
     threshold = HOT_KEY_ROWS
     probe = f"hot_keys:{table}:{key}:{threshold}"
-    cache_key = _cache_key(sf_dir, probe)
-    if cache_key not in _PROBE_CACHE:
+
+    def _compute() -> tuple:
         rows = (
             load(spark, sf_dir, table)
             .groupBy(key)
@@ -193,10 +199,11 @@ def hot_key_list(
         # window: correct always, straggle-bounded only for real keys
         # (a NULL-hot stream is a data-quality bug upstream of any
         # engine strategy).
-        _PROBE_CACHE[cache_key] = tuple(
-            sorted(r[key] for r in rows if r[key] is not None)
-        )
-    return _PROBE_CACHE[cache_key]
+        return tuple(sorted(r[key] for r in rows if r[key] is not None))
+
+    # through cached_probe like every other probe: it is the ONE choke
+    # point the switch-registry detection sweep instruments
+    return cached_probe(sf_dir, probe, _compute)
 
 
 def window_strategy(
@@ -354,3 +361,125 @@ def burst_chunk_ms(
         shrink = _next_pow2(-(-peak // bar))
         width = max(MIN_CHUNK_MS, width // shrink)
     return width
+
+
+# ---------------------------------------------------------------------------
+# The switch registry (r10 verdict #8): every REGISTERED query whose plan
+# is picked by a runtime strategy probe, with the probes it fires and the
+# pytest node ids of its forced-path identity test(s).  The invariant is
+# STRUCTURAL, enforced by tests/test_switch_registry.py three ways:
+#
+# 1. detection — an instrumented sweep of every registered query's plan
+#    build records which queries reach cached_probe (the one choke point
+#    all probes route through); the detected set must equal this dict's
+#    keys exactly, so the 14th scale-killer class cannot ship a switch
+#    without registering here;
+# 2. identity — each listed test node id must exist in pytest's
+#    collection, so an entry cannot point at a deleted/renamed test;
+# 3. plan pin — for every entry, the registered plan at the gate SF must
+#    be byte-identical (modulo expr/plan ids) to the plan with every
+#    threshold knob forced sky-high, proving the gate SFs sit below
+#    every threshold and the driver's oracle hashes ride the base plan.
+#
+# ``probes`` entries match by PREFIX (hot-key probe keys embed their
+# threshold).  Composed queries (the cc_n_edges trio) inherit
+# dedup_components' switch and reference its strategy-agreement test.
+# ---------------------------------------------------------------------------
+_WINDOW_FAMILY_SWITCHED = (
+    "sessionize_events", "window_lag_transitions", "event_transitions",
+    "event_run_islands", "scd2_user_value_bands", "asof_join_next_event",
+    "asof_join_last_purchase", "rolling_hour_user_activity",
+    "asof_join_tolerance",
+)
+
+SWITCHED_QUERIES: dict[str, dict] = {
+    **{
+        name: {
+            "probes": ("hot_keys:events:user_id",),
+            "identity_tests": (
+                f"tests/test_switches.py::test_window_family_switch_identity[{name}]",
+                f"tests/test_switches.py::test_window_family_hybrid_identity[{name}]",
+            ),
+        }
+        for name in _WINDOW_FAMILY_SWITCHED
+    },
+    "simhash_near_dup": {
+        "probes": ("simhash_flat_pairs", "table_rows:documents"),
+        "identity_tests": (
+            "tests/test_switches.py::test_simhash_switch_identity",
+        ),
+    },
+    "embedding_near_dup_lsh": {
+        "probes": ("lsh_max_bucket",),
+        "identity_tests": (
+            "tests/test_switches.py::test_lsh_switch_identity",
+            "tests/test_switches.py::test_lsh_auto_path_below_cap_identical",
+        ),
+    },
+    "dedup_semantic_kmeans": {
+        "probes": ("table_rows:embeddings",),
+        "identity_tests": (
+            "tests/test_switches.py::test_semantic_kmeans_kscale_switch",
+        ),
+    },
+    "dedup_components": {
+        "probes": ("cc_n_edges",),
+        "identity_tests": (
+            "tests/test_guards.py::test_dedup_components_strategies_agree",
+        ),
+    },
+    **{
+        name: {
+            "probes": ("cc_n_edges",),
+            "identity_tests": (
+                "tests/test_guards.py::test_dedup_components_strategies_agree",
+            ),
+        }
+        for name in (
+            "curation_canonical_docs", "curation_training_mix",
+            "curation_mix_report",
+        )
+    },
+    "curation_decontaminate": {
+        "probes": ("decon_flat_pairs",),
+        "identity_tests": (
+            "tests/test_decon_factored.py::test_registered_forced_factored_equals_flat[curation_decontaminate]",
+        ),
+    },
+    "curation_contamination_report": {
+        "probes": ("decon_flat_pairs",),
+        "identity_tests": (
+            "tests/test_decon_factored.py::test_registered_forced_factored_equals_flat[curation_contamination_report]",
+        ),
+    },
+    "curation_pack_sequences": {
+        "probes": ("pack_max_shard_rows",),
+        "identity_tests": (
+            "tests/test_pack_chunked.py::test_registered_forced_chunked_equals_flat",
+        ),
+    },
+    "corpus_shuffle_shards": {
+        "probes": ("table_rows:documents",),
+        "identity_tests": (
+            "tests/test_pack_chunked.py::test_registered_shuffle_forced_chunked_equals_flat",
+        ),
+    },
+    "customer_rfm_segments": {
+        "probes": ("table_rows:customer",),
+        "identity_tests": (
+            "tests/test_ranged_windows.py::test_rfm_forced_ranged_equals_flat",
+        ),
+    },
+    "part_abc_pareto": {
+        "probes": ("table_rows:part",),
+        "identity_tests": (
+            "tests/test_ranged_windows.py::test_pareto_forced_ranged_equals_flat",
+        ),
+    },
+    "percentiles_value_by_type": {
+        "probes": ("table_rows:events",),
+        "identity_tests": (
+            "tests/test_ranged_windows.py::test_percentiles_forced_ranged_equals_flat",
+        ),
+    },
+}

@@ -1,0 +1,158 @@
+"""Structural enforcement of the switch registry (r10 verdict #8).
+
+Three invariants over switches.SWITCHED_QUERIES:
+
+1. DETECTION — every registered query's plan build runs under an
+   instrumented ``cached_probe`` (the single choke point all strategy
+   probes route through); the set of queries that fire a probe must
+   equal the registry's keys EXACTLY, both ways.  A new strategy switch
+   therefore cannot ship without a registry entry, and a stale entry
+   cannot outlive its switch.
+2. IDENTITY TESTS EXIST — every forced-path identity test the registry
+   references must appear in pytest's collection, so an entry cannot
+   point at a renamed or deleted test.
+3. BELOW-THRESHOLD PLAN PIN — at the gate SF, every switched query's
+   executed plan must be byte-identical (modulo expr/plan ids) to the
+   plan with every threshold knob forced sky-high: the gate SFs sit
+   below every threshold, so the driver's oracle hashes ride the base
+   plan and a probe flip at gate scale is structurally impossible.
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+
+import pytest
+
+from osm2orc_spark.operators import switches
+from osm2orc_spark.registry import all_queries
+
+QUERIES = all_queries()
+SF_DETECT = "/root/testdata/sf0.001"
+
+
+def test_switch_registry_detection_complete(spark, monkeypatch):
+    """Instrumented sweep: build every non-streaming registered query's
+    plan and record which queries reach cached_probe.  (Streaming fns
+    execute bounded streams rather than build plans — they are covered
+    by the static assertion that the streaming module never references
+    the switchboard.)"""
+    import osm2orc_spark.streaming.events as streaming_events
+
+    with open(streaming_events.__file__) as fh:
+        src = fh.read()
+    assert "cached_probe" not in src and "switches." not in src
+
+    fired: dict[str, set[str]] = {}
+    current: list[str | None] = [None]
+    orig = switches.cached_probe
+
+    def recording(sf_dir, probe, compute):
+        if current[0] is not None:
+            fired.setdefault(current[0], set()).add(probe)
+        return orig(sf_dir, probe, compute)
+
+    monkeypatch.setattr(switches, "cached_probe", recording)
+    for name, q in QUERIES.items():
+        if name.startswith("stream_"):
+            continue
+        current[0] = name
+        q.fn(spark, SF_DETECT)
+        current[0] = None
+
+    detected = set(fired)
+    registered = set(switches.SWITCHED_QUERIES)
+    assert detected == registered, (
+        f"unregistered switches: {sorted(detected - registered)}; "
+        f"stale registry entries: {sorted(registered - detected)}"
+    )
+    # the probes each query fired must match its registry spec (prefix
+    # match: hot-key probe keys embed their threshold)
+    for name, spec in switches.SWITCHED_QUERIES.items():
+        for fired_probe in fired[name]:
+            assert any(
+                fired_probe.startswith(p) for p in spec["probes"]
+            ), f"{name} fired unspecced probe {fired_probe}"
+        for p in spec["probes"]:
+            assert any(
+                fp.startswith(p) for fp in fired[name]
+            ), f"{name} never fired specced probe {p}"
+
+
+def test_switch_registry_identity_tests_exist():
+    """Every referenced forced-path identity test must be collectable."""
+    wanted = {
+        node_id
+        for spec in switches.SWITCHED_QUERIES.values()
+        for node_id in spec["identity_tests"]
+    }
+    files = sorted({node_id.split("::")[0] for node_id in wanted})
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", *files],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    collected = set(out.stdout.splitlines())
+    missing = wanted - collected
+    assert not missing, f"registry references uncollected tests: {sorted(missing)}"
+
+
+def _normalize_plan(s: str) -> str:
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    # HOF lambda-variable counters are a global per-session sequence
+    s = re.sub(r"\blambda [a-z]+_\d+", "lambda v_", s)
+    return s
+
+
+def _canonicalize_distinct_agg_noise(s: str) -> str:
+    """RewriteDistinctAggregates assigns its Expand group ids (gid) in a
+    hash-iteration order that varies with expression ids, permuting the
+    Expand projections and FILTER (WHERE gid = N) pairings between two
+    otherwise-identical plans.  Canonicalize: erase the gid literals and
+    sort each line's comma segments — operator SEQUENCE and every token
+    are preserved, intra-line ordering is not.  Only used as a fallback
+    when the byte comparison fails."""
+    s = re.sub(r"\(gid# = \d+\)", "(gid# = N)", s)
+    s = re.sub(r", (\d)\]", ", N]", s)
+    return "\n".join(
+        ", ".join(sorted(line.split(", "))) for line in s.splitlines()
+    )
+
+
+@pytest.mark.parametrize("name", sorted(switches.SWITCHED_QUERIES))
+def test_below_threshold_plan_pin(spark, sf_correctness, name, monkeypatch):
+    """Gate-SF plans must not depend on the switch thresholds: forcing
+    every knob sky-high (so no switch can possibly engage) must produce
+    the byte-identical plan, proving the registered query rides the base
+    plan at the SFs the driver hashes."""
+    from osm2orc_spark.operators import similarity
+
+    fn = QUERIES[name].fn
+    # untruncated metadata strings: the default 100-char cap cuts long
+    # HOF filter strings at a counter-width-dependent offset, which
+    # would make the two otherwise-identical plans diff in the '...'
+    saved = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "65536")
+    try:
+        base = _normalize_plan(
+            fn(spark, sf_correctness)._jdf.queryExecution().executedPlan().toString()
+        )
+        big = 1 << 62
+        monkeypatch.setattr(switches, "HOT_KEY_ROWS", big)
+        monkeypatch.setattr(switches, "SIMHASH_FLAT_PAIRS_MAX", big)
+        monkeypatch.setattr(switches, "DECON_FLAT_PAIRS_MAX", big)
+        monkeypatch.setattr(switches, "DIM_WINDOW_ROWS_MAX", big)
+        monkeypatch.setattr(similarity, "LSH_BUCKET_CAP", big)
+        cold = _normalize_plan(
+            fn(spark, sf_correctness)._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", saved)
+    if base != cold:
+        assert _canonicalize_distinct_agg_noise(
+            base
+        ) == _canonicalize_distinct_agg_noise(cold)
