@@ -165,6 +165,83 @@ NOTES = {
         "probe (> 2^28 reducible pairs), no longer on corpus size, so "
         "truth-dominated corpora of any size keep the banded plan."
     ),
+    "dedup_minhash_lsh_dfcap": (
+        "MinHash-LSH with a document-frequency cap (r10 join-back "
+        "spelling — the REGISTERED plan): the over-cap shingle set is no "
+        "longer a forced-broadcast anti-join (its cardinality is the "
+        "m/cap vocabulary tail — grows with the corpus, an unbounded "
+        "build side = the #10 memory cliff); the cap applies as a plain "
+        "equi-join back to the per-shingle df aggregate with fan-out 1 "
+        "per (doc, shingle) row, AQE-splittable, broadcast only if AQE "
+        "prices it small. A/B measured faster at XL (25.8 -> 23.8 s), "
+        "identity at sf0.01 (dfcap_ab)."
+    ),
+    "dedup_containment_pairs": (
+        "Containment pairs over the df-capped shingle stream: the SAME "
+        "r10 join-back spelling as dedup_minhash_lsh_dfcap (shared cap "
+        "path), then candidate equi-join + in-task array_intersect "
+        "verify bounded by the smaller set size; no forced broadcast "
+        "anywhere in the cap path."
+    ),
+    "ann_knn_join_prebuilt": (
+        "Corpus-wide kNN self-join over the prebuilt IVF index (r11): "
+        "ONE parquet scan feeds a MapInArrow assignment kernel "
+        "(centroids as closure literals — no join), persisted so build "
+        "and probe sides read the same InMemoryRelation; per-cell "
+        "scoring is a cogrouped FlatMapCoGroupsInPandas blocked int64 "
+        "matmul emitting <= nprobe*k partials per vector; the merge "
+        "window gets a map-side WindowGroupLimit below its exchange "
+        "(<= 10 rows per vector). Never all-pairs: candidate mass is "
+        "n * nprobe * cell_size."
+    ),
+    "curation_decontaminate_factored": (
+        "Combination-factored decontamination (r10 scale-killer #7; the "
+        "registered query's own auto-routed hot path above 2^27 flat "
+        "pairs, captured here FORCED): docs group by their hot-shingle "
+        "combination and each distinct combination's test-doc union "
+        "count computes once — never the flat per-shingle "
+        "df_train x df_test fan-out join (2.1e12 rows at the measured "
+        "2.56M-doc twin, DNF class). No window over shingle, no "
+        "cartesian; bounded hot-shingle dictionary."
+    ),
+    "customer_rfm_segments_ranged": (
+        "Range-partitioned two-level NTILE (r10 scale-killer #11; the "
+        "registered query's hot path above DIM_WINDOW_ROWS_MAX dim "
+        "rows, captured FORCED): the three dimension-global N=1 "
+        "NTILE/rank windows become range-partitioned in-chunk windows "
+        "plus a bounded per-chunk summary carry (closed-form integer "
+        "NTILE over global rank; property-tested vs F.ntile). No "
+        "unpartitioned WindowExec over the customer dimension — the "
+        "flat plan sorts 10^10 rows in ONE task at 100 TB."
+    ),
+    "part_abc_pareto_ranged": (
+        "Ranged running-share Pareto (same #11 class, FORCED): the "
+        "global revenue-ordered cumulative sum splits into "
+        "range-partitioned chunks with prefix-sum carry; the ABC class "
+        "boundaries are exact because the carry is the full prefix "
+        "aggregate, not an approximation."
+    ),
+    "percentiles_value_by_type_ranged": (
+        "Distributed exact percentiles (r10 scale-killer #13, FORCED): "
+        "two-regime routing on row count THEN per-type distinct "
+        "cardinality — the flat percentile() aggregate's reducer "
+        "materializes a per-type distinct-value map (the cliff when "
+        "distinct ~ rows); the ranged spelling computes order "
+        "statistics via range-partitioned rank windows with "
+        "bit-identical interpolation (pinned by a 200-trial IEEE "
+        "sweep)."
+    ),
+    "rolling_hour_user_activity_ghost": (
+        "Ghost-replication trailing-RANGE frame (r10 scale-killer #12; "
+        "the registered query's hot-key path, captured FORCED on the "
+        "non-null stream): chunk = us DIV frame_width, each row emitted "
+        "in its own chunk and ghosted into chunk k+1 (frame-only, "
+        "filtered after the window) — exact because chunk width == "
+        "frame width means a trailing frame never reaches past the "
+        "previous chunk; windows partition by (user, chunk), so a "
+        "hot user's trailing-RANGE sort splits across tasks (312.9 s "
+        "-> 29.6 s on the 3.2M sort twin)."
+    ),
     "dupgraph_triangle_stats": (
         "Triangle census (r10 degree-ordered core): edges annotate both "
         "endpoint degrees (two small-side joins against the SAME degree "
@@ -199,11 +276,47 @@ def main() -> None:
     from osm2orc_spark.operators.similarity import embedding_near_dup_lsh_refined
     from osm2orc_spark.queries.relational import sessionize_events_chunked
 
+    from osm2orc_spark.operators import switches
+    from osm2orc_spark.queries.advanced import _rolling_hour_chunked_core
+    from pyspark.sql import functions as F
+    from osm2orc_spark.tables import load
+
+    def _forced(base_name: str, knob: str):
+        """Capture a registered query's switch path by forcing its
+        threshold knob to -1 for the duration of the plan build."""
+
+        def fn(spark, sf):
+            saved = getattr(switches, knob)
+            setattr(switches, knob, -1)
+            try:
+                return qs[base_name].fn(spark, sf)
+            finally:
+                setattr(switches, knob, saved)
+
+        return fn
+
     extra = {
         "sessionize_events_chunked": sessionize_events_chunked,
         "embedding_near_dup_lsh_refined": embedding_near_dup_lsh_refined,
         "simhash_near_dup_refined": simhash_near_dup_refined,
         "scd2_user_value_bands_chunked": scd2_user_value_bands_chunked,
+        "curation_decontaminate_factored": _forced(
+            "curation_decontaminate", "DECON_FLAT_PAIRS_MAX"
+        ),
+        "customer_rfm_segments_ranged": _forced(
+            "customer_rfm_segments", "DIM_WINDOW_ROWS_MAX"
+        ),
+        "part_abc_pareto_ranged": _forced(
+            "part_abc_pareto", "DIM_WINDOW_ROWS_MAX"
+        ),
+        "percentiles_value_by_type_ranged": _forced(
+            "percentiles_value_by_type", "DIM_WINDOW_ROWS_MAX"
+        ),
+        "rolling_hour_user_activity_ghost": lambda spark, sf: (
+            _rolling_hour_chunked_core(
+                load(spark, sf, "events").filter(F.col("user_id").isNotNull())
+            )
+        ),
     }
     for name, note in NOTES.items():
         df = (qs[name].fn if name in qs else extra[name])(spark, SF)
