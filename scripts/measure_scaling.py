@@ -2559,6 +2559,233 @@ def main() -> None:
     spark.stop()
 
 
+def main_registered_dimw() -> None:
+    """r10 verdict #4: registered-ENTRY XL lines for the dim-window pair
+    at the 12.8M twin — qs[name].fn through the live dispatch, probes
+    LIVE (cache cleared, nothing pre-seeded), like registered_xl_r10 did
+    for rolling/asof/percentiles.  The twin gains real customer/part
+    dimension tables (one key column, n rows) so the registered
+    table_rows probes answer from parquet footers exactly as they would
+    on driver data."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators import switches
+
+    spark = get_spark(
+        app_name="measure_scaling_regdimw",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    passes = int(os.environ.get("DIMW_PASSES", "3"))
+    n = 12_800_000
+    twin = os.path.join(SKEW_DIR, f"dimw_{n}")
+    # facts: the same orders/lineitem twins main_dim_windows builds
+    if not os.path.exists(os.path.join(twin, "_BUILT_v1")):
+        sys.exit("run --dim-windows first to build the dimw_12800000 twin")
+    dim_marker = os.path.join(twin, "_BUILT_dims")
+    if not os.path.exists(dim_marker):
+        par = spark.sparkContext.defaultParallelism
+        spark.range(n).select(F.col("id").alias("c_custkey")).repartition(
+            par
+        ).write.mode("overwrite").parquet(os.path.join(twin, "customer.parquet"))
+        spark.range(n).select(F.col("id").alias("p_partkey")).repartition(
+            par
+        ).write.mode("overwrite").parquet(os.path.join(twin, "part.parquet"))
+        with open(dim_marker, "w") as fh:
+            fh.write("ok\n")
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    for qname, probe_table in (
+        ("customer_rfm_segments", "customer"),
+        ("part_abc_pareto", "part"),
+    ):
+        switches.probe_cache_clear()
+        t0 = time.perf_counter()
+        df = qs[qname].fn(spark, twin)  # probes run here, live
+        probe_sec = time.perf_counter() - t0
+        strategy = (
+            "ranged"
+            if switches.table_rows(spark, twin, probe_table)
+            > switches.DIM_WINDOW_ROWS_MAX
+            else "flat"
+        )
+        noop(df)  # warm
+        walls = []
+        for _ in range(passes):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            noop(qs[qname].fn(spark, twin))
+            walls.append(time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "micro": "registered_xl_r11",
+                    "round": 11,
+                    "query": qname,
+                    "twin": f"dimw_{n}",
+                    "dim_rows": n,
+                    "strategy_self_selected": strategy,
+                    "probe_plan_sec": round(probe_sec, 3),
+                    "registered_wall_sec": round(min(walls), 3),
+                    "protocol": f"min-of-{passes} after warm, probes live",
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+def main_decon_doubling() -> None:
+    """r10 verdict #3: pin the decontamination factored top-end with a
+    SAME-SESSION interleaved doubling pair — 1.28M and 2.56M docs,
+    min-of-N each, alternating passes so host-load drift hits both
+    sizes equally.  Near-linearity = wall ratio <= ~1.3x per 2x docs
+    (the r10 record had 69.8 s at 2.56M from separate sessions under
+    load, super-linear on its face)."""
+    from osm2orc_spark.operators import curation, switches  # noqa: F401
+
+    spark = get_spark(
+        app_name="measure_scaling_decondbl",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    passes = int(os.environ.get("DECON_PASSES", "3"))
+    sizes = (1_280_000, 2_560_000)
+    twins = {}
+    from pyspark.sql import functions as F
+
+    def build(n: int) -> str:
+        twin = os.path.join(SKEW_DIR, f"decon_boiler_{n}")
+        marker = os.path.join(twin, "_BUILT_v1")
+        if not os.path.exists(marker):
+            os.makedirs(twin, exist_ok=True)
+            uid = F.col("doc_id").cast("string")
+            spark.range(n).withColumnRenamed("id", "doc_id").select(
+                "doc_id",
+                F.concat_ws(
+                    " ",
+                    F.lit("common license header boiler plate text"),
+                    F.concat(F.lit("u"), uid, F.lit("a")),
+                    F.concat(F.lit("u"), uid, F.lit("b")),
+                    F.concat(F.lit("u"), uid, F.lit("c")),
+                    F.concat(F.lit("u"), uid, F.lit("d")),
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("twin").alias("source"),
+                F.lit(100).cast("long").alias("n_chars"),
+            ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(twin, "documents.parquet"))
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        return twin
+
+    for n in sizes:
+        twins[n] = build(n)
+    for qname in ("curation_decontaminate", "curation_contamination_report"):
+        switches.probe_cache_clear()
+        walls = {n: [] for n in sizes}
+        out_rows = {}
+        for n in sizes:  # warm both (also runs the probes once)
+            out_rows[n] = qs[qname].fn(spark, twins[n]).count()
+        for _ in range(passes):
+            for n in sizes:  # interleaved: A B A B A B
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                qs[qname].fn(spark, twins[n]).count()
+                walls[n].append(time.perf_counter() - t0)
+        w1, w2 = min(walls[sizes[0]]), min(walls[sizes[1]])
+        print(
+            json.dumps(
+                {
+                    "micro": "decon_doubling_r11",
+                    "round": 11,
+                    "query": qname,
+                    "docs": list(sizes),
+                    "out_rows": [out_rows[n] for n in sizes],
+                    "wall_sec": [round(w1, 3), round(w2, 3)],
+                    "wall_ratio_per_2x_docs": round(w2 / w1, 3),
+                    "protocol": f"same-session interleaved min-of-{passes}",
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+def main_knn_micro() -> None:
+    """r10 verdict #7 done-criterion: the kNN self-join's probe cost
+    scales with n * nprobe * cell_size, not n^2.  At 100 TB the fit
+    uses k_cents ~ n/256 (the dedup_semantic_kmeans rule — cell size
+    stays ~256 regardless of corpus), so wall should grow ~linearly
+    across 200k -> 400k -> 800k vectors.  The fixed k=8 registered
+    config is ALSO priced at the smallest size to show the regime the
+    scaled fit avoids (cell = n/8 -> per-cell matmul grows with n)."""
+    import numpy as np  # noqa: F401
+
+    from osm2orc_spark.operators.ann_index import AnnIndex, ann_knn_join
+    from osm2orc_spark.operators.similarity import (
+        IVF_KM_ITERS,
+        N_CENTROIDS,
+        _lloyd_fit_ints,
+    )
+
+    spark = get_spark(
+        app_name="measure_scaling_knn",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    passes = int(os.environ.get("KNN_PASSES", "2"))
+
+    global EMB_REP
+    for rep in (100, 200, 400):
+        n = 2000 * rep
+        saved_rep = EMB_REP
+        EMB_REP = rep
+        try:
+            emb_dir = _build_xl_embeddings(spark)
+        finally:
+            EMB_REP = saved_rep
+        configs = [("scaled", max(N_CENTROIDS, n // 256))]
+        if rep == 100:
+            configs.append(("fixed8", N_CENTROIDS))
+        for tag, k_cents in configs:
+            t0 = time.perf_counter()
+            cents = _lloyd_fit_ints(spark, emb_dir, k_cents, IVF_KM_ITERS)
+            fit_sec = time.perf_counter() - t0
+            idx = AnnIndex(
+                kind="ivf", centroids=tuple(tuple(c) for c in cents)
+            )
+            walls = []
+            n_out = 0
+            for i in range(passes + 1):  # first warms
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n_out = ann_knn_join(spark, emb_dir, idx).count()
+                walls.append(time.perf_counter() - t0)
+            print(
+                json.dumps(
+                    {
+                        "micro": "knn_join_xl",
+                        "round": 11,
+                        "vectors": n,
+                        "config": tag,
+                        "k_cents": k_cents,
+                        "avg_cell": round(n / k_cents, 1),
+                        "fit_sec": round(fit_sec, 3),
+                        "probe_wall_min_sec": round(min(walls[1:]), 3),
+                        "out_rows": n_out,
+                    }
+                ),
+                flush=True,
+            )
+    spark.stop()
+
+
 if __name__ == "__main__":
     args = set(sys.argv[1:])
     known = {
@@ -2583,6 +2810,9 @@ if __name__ == "__main__":
         "--burst-micro",
         "--rolling-micro",
         "--pct-micro",
+        "--registered-dimw",
+        "--decon-doubling",
+        "--knn-micro",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -2627,6 +2857,12 @@ if __name__ == "__main__":
         main_rolling_micro()
     elif "--pct-micro" in args:
         main_pct_micro()
+    elif "--registered-dimw" in args:
+        main_registered_dimw()
+    elif "--decon-doubling" in args:
+        main_decon_doubling()
+    elif "--knn-micro" in args:
+        main_knn_micro()
     elif "--skew" in args:
         main_skew()
     else:
