@@ -264,7 +264,16 @@ def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
 
         from osm2orc_spark.operators.similarity import QUANT
 
-        C = np.array(cents, dtype=np.int64)
+        # Distances run in float64 BLAS, and the arithmetic is EXACT:
+        # quantized components are |q| < 2^23 (floor(x * 1e6) on unit-ish
+        # embeddings), so every product is < 2^46 and every 64-dim sum
+        # < 2^52 — below 2^53, where float64 represents integers
+        # exactly.  numpy's int64 matmul is a non-BLAS fallback loop
+        # ~50x slower; the float64 spelling keeps bit-identical argmins
+        # (identical integers, identical first-minimum ties) at BLAS
+        # speed — the n * k_cents assignment stage is the kNN join's
+        # largest flop count once k_cents scales with n.
+        C = np.array(cents, dtype=np.float64)
         cn2 = (C * C).sum(axis=1)
         dim = C.shape[1]
         for b in batches:
@@ -273,11 +282,7 @@ def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
             )
             emb_col = b.column(b.schema.get_field_index("embedding"))
             flat = emb_col.flatten().to_numpy(zero_copy_only=False)
-            Xq = (
-                np.floor(flat.astype(np.float64) * QUANT)
-                .astype(np.int64)
-                .reshape(-1, dim)
-            )
+            Xq = np.floor(flat.astype(np.float64) * QUANT).reshape(-1, dim)
             n2 = (Xq * Xq).sum(axis=1)
             d = n2[:, None] - 2 * (Xq @ C.T) + cn2[None, :]
             order = np.argsort(d, axis=1, kind="stable")  # ties -> lowest cid
@@ -325,7 +330,11 @@ def _knn_cell_kernel(k_neighbors: int, chunk_cells: int):
 
         def quantize(pdf):
             X = np.stack(pdf["embedding"].to_numpy())
-            return np.floor(X.astype(np.float64) * QUANT).astype(np.int64)
+            # float64 carries the quantized integers exactly (|q| < 2^23,
+            # dots < 2^52 — see _knn_assign_kernel) so the matmul runs
+            # in BLAS instead of numpy's slow int64 fallback, with
+            # bit-identical dot values and cosines.
+            return np.floor(X.astype(np.float64) * QUANT)
 
         Xb = quantize(build_pdf)
         bid = build_pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -341,16 +350,14 @@ def _knn_cell_kernel(k_neighbors: int, chunk_cells: int):
         if nb == 0 or len(pid) == 0:
             return empty
 
-        sqb = np.sqrt(n2b.astype(np.float64))
+        sqb = np.sqrt(n2b)
         take = min(k_neighbors + 1, nb)
         chunk = max(1, chunk_cells // nb)
         out_v, out_n, out_c = [], [], []
         for s in range(0, len(pid), chunk):
             e = s + chunk
             dot = Xp[s:e] @ Xb.T
-            cos = dot.astype(np.float64) / (
-                np.sqrt(n2p[s:e].astype(np.float64))[:, None] * sqb[None, :]
-            )
+            cos = dot / (np.sqrt(n2p[s:e])[:, None] * sqb[None, :])
             # per-row total order (-cos, nb_id); lexsort's LAST key is
             # primary and the sort is stable
             order = np.lexsort(

@@ -2751,7 +2751,10 @@ def main_knn_micro() -> None:
         finally:
             EMB_REP = saved_rep
         configs = [("scaled", max(N_CENTROIDS, n // 256))]
-        if rep == 100:
+        if rep in (100, 200):
+            # the regime the scaled fit avoids: fixed cells grow with n,
+            # so per-probe work doubles per doubling AND only k=8 cells
+            # = 8 cogroup tasks occupy the 32 cores
             configs.append(("fixed8", N_CENTROIDS))
         for tag, k_cents in configs:
             t0 = time.perf_counter()
@@ -2772,6 +2775,7 @@ def main_knn_micro() -> None:
                     {
                         "micro": "knn_join_xl",
                         "round": 11,
+                        "kernel": "blas_f64",
                         "vectors": n,
                         "config": tag,
                         "k_cents": k_cents,
