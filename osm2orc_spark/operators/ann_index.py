@@ -358,11 +358,29 @@ def _knn_cell_kernel(k_neighbors: int, chunk_cells: int):
             e = s + chunk
             dot = Xp[s:e] @ Xb.T
             cos = dot / (np.sqrt(n2p[s:e])[:, None] * sqb[None, :])
-            # per-row total order (-cos, nb_id); lexsort's LAST key is
-            # primary and the sort is stable
-            order = np.lexsort(
-                (np.broadcast_to(bid, cos.shape), -cos), axis=-1
-            )[:, :take]
+            # Tie-safe top-take in O(nb) per row: a full per-row lexsort
+            # is O(nb log nb) and DOMINATED the big-cell regime (the
+            # fixed-k=8 twin spent minutes sorting 25k-wide rows).
+            # argpartition selects the take largest cosines with
+            # arbitrary tie order; rows whose boundary value is tied
+            # beyond the partition (count > take) are re-selected
+            # exactly below — rare by construction (only exact-duplicate
+            # cosine values at the boundary), but REQUIRED for oracle
+            # identity on duplicate-heavy corpora.
+            part = np.argpartition(-cos, take - 1, axis=1)[:, :take]
+            part_cos = np.take_along_axis(cos, part, axis=1)
+            kth_val = part_cos.min(axis=1)
+            tie_rows = np.flatnonzero(
+                (cos >= kth_val[:, None]).sum(axis=1) > take
+            )
+            # order the take candidates per row by (-cos, nb_id):
+            # lexsort over a (rows x take) slice — take <= k+1, cheap
+            inner = np.lexsort((bid[part], -part_cos), axis=-1)
+            order = np.take_along_axis(part, inner, axis=1)
+            for r in tie_rows:  # exact re-selection over the tie closure
+                cand = np.flatnonzero(cos[r] >= kth_val[r])
+                sel = cand[np.lexsort((bid[cand], -cos[r][cand]))][:take]
+                order[r, : len(sel)] = sel
             rows = np.repeat(pid[s:e], take)
             nbs = bid[order].ravel()
             coss = np.take_along_axis(cos, order, axis=1).ravel()

@@ -331,6 +331,39 @@ class TestKnnJoin:
         ).collect()
         assert default == tiny
 
+    def test_knn_join_boundary_ties(self, spark, tmp_path):
+        """Force the argpartition boundary-tie closure: 40 EXACT
+        duplicates of one vector mean every duplicate's top-k boundary
+        is a 39-way cosine tie — the O(nb) partition alone would pick
+        arbitrary members; the exact re-selection must pick the lowest
+        nb_ids, matching the brute-force twin."""
+        import numpy as np
+
+        from osm2orc_spark.operators.ann_index import AnnIndex, ann_knn_join
+        from osm2orc_spark.operators.similarity import IVF_KM_ITERS, _lloyd_fit_ints
+
+        rng_rows = []
+        for i in range(40):  # exact duplicates
+            rng_rows.append((i, "dup", [0.25] * 8))
+        for i in range(40, 60):  # distinct fillers
+            rng_rows.append((i, "x", [((i * 7 + j) % 11 - 5) / 10.0 for j in range(8)]))
+        d = str(tmp_path / "ties")
+        spark.createDataFrame(
+            rng_rows, "vec_id long, label string, embedding array<float>"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        cents = _lloyd_fit_ints(spark, d, 4, IVF_KM_ITERS)
+        idx = AnnIndex(kind="ivf", centroids=tuple(tuple(c) for c in cents))
+        got = sorted(
+            (r["vec_id"], r["rn"], r["nb_id"], r["cosine"])
+            for r in ann_knn_join(spark, d, idx, k_neighbors=3, nprobe=2).collect()
+        )
+        assert got == self._bruteforce_twin(spark, d, idx, 3, 2)
+        # the duplicates' neighbor lists are the LOWEST-id co-duplicates
+        by_vec = {}
+        for v, rn, nb, _ in got:
+            by_vec.setdefault(v, []).append(nb)
+        assert by_vec[5] == [0, 1, 2]
+
     def test_knn_join_more_cells(self, spark, sf_correctness):
         """The 100 TB regime fits MORE coarse cells (k_cents ~ n/256) —
         the twin must still agree when the index has finer cells and a
