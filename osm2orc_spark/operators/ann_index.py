@@ -252,11 +252,13 @@ KNN_CHUNK_CELLS = 1 << 22
 
 
 def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
-    """mapInArrow kernel: per vector, exact int64 sqdist to every coarse
-    centroid -> (cell assignment, nprobe probe cells).  Stable argsort
-    of (distance) gives the (d, cid)-ordered probe list — first minimum
-    on ties = lowest cid, the same QUALIFY ROW_NUMBER() OVER (ORDER BY
-    d, cid) pick the DuckDB twin makes."""
+    """mapInArrow kernel: per vector, exact sqdist to every coarse
+    centroid -> (cell assignment, nprobe probe cells) under the (d, cid)
+    total order — the same QUALIFY ROW_NUMBER() OVER (ORDER BY d, cid)
+    pick the DuckDB twin makes.  Blocked argmin passes keep it O(n*k)
+    with rows x 1024 peak memory (no full distance matrix, no per-row
+    argsort of k)."""
+    nprobe = min(nprobe, len(cents))  # fewer cells than probes: probe all
 
     def kernel(batches):
         import numpy as np
@@ -276,6 +278,41 @@ def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
         C = np.array(cents, dtype=np.float64)
         cn2 = (C * C).sum(axis=1)
         dim = C.shape[1]
+        k = len(cents)
+        cb = 1024  # centroid block: bounds the distance matrix to rows x cb
+
+        def top_nprobe(Xq, n2):
+            """Exact top-nprobe centroids per row under the (d, cid)
+            total order, WITHOUT materializing the full rows x k
+            distance matrix or sorting k per row (a full argsort is
+            O(k log k) per row and the n x k matrix is the quadratic
+            object once k_cents scales with n — both measured dominant
+            at 800k vectors / 3125 cells).  Per centroid block:
+            nprobe argmin passes (first minimum = lowest cid on ties),
+            then a lexsort merge of 2*nprobe (d, cid) candidates —
+            any global top-nprobe member is necessarily in its own
+            block's top-nprobe, so the merge is exact."""
+            rows = len(Xq)
+            r = np.arange(rows)
+            best_d = np.full((rows, nprobe), np.inf)
+            best_c = np.full((rows, nprobe), k, dtype=np.int64)
+            for c0 in range(0, k, cb):
+                Cb = C[c0 : c0 + cb]
+                db = n2[:, None] - 2 * (Xq @ Cb.T) + cn2[c0 : c0 + cb][None, :]
+                take = min(nprobe, Cb.shape[0])
+                bd, bc = [], []
+                for _ in range(take):
+                    j = np.argmin(db, axis=1)  # first min -> lowest cid
+                    bd.append(db[r, j])
+                    bc.append(c0 + j)
+                    db[r, j] = np.inf
+                cand_d = np.concatenate([best_d, np.stack(bd, 1)], axis=1)
+                cand_c = np.concatenate([best_c, np.stack(bc, 1)], axis=1)
+                order = np.lexsort((cand_c, cand_d), axis=-1)[:, :nprobe]
+                best_d = np.take_along_axis(cand_d, order, axis=1)
+                best_c = np.take_along_axis(cand_c, order, axis=1)
+            return best_c
+
         for b in batches:
             vec_id = b.column(b.schema.get_field_index("vec_id")).to_numpy(
                 zero_copy_only=False
@@ -284,16 +321,14 @@ def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
             flat = emb_col.flatten().to_numpy(zero_copy_only=False)
             Xq = np.floor(flat.astype(np.float64) * QUANT).reshape(-1, dim)
             n2 = (Xq * Xq).sum(axis=1)
-            d = n2[:, None] - 2 * (Xq @ C.T) + cn2[None, :]
-            order = np.argsort(d, axis=1, kind="stable")  # ties -> lowest cid
-            probes = order[:, :nprobe].astype(np.int32)
+            probes = top_nprobe(Xq, n2).astype(np.int32)
             if pa.types.is_dictionary(emb_col.type):
                 emb_col = emb_col.cast(emb_col.type.value_type)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(vec_id),
                     emb_col,
-                    pa.array(order[:, 0].astype(np.int32)),
+                    pa.array(probes[:, 0]),  # own cell = nearest centroid
                     pa.array(probes.tolist(), type=pa.list_(pa.int32())),
                 ],
                 ["vec_id", "embedding", "cid", "probes"],
