@@ -164,7 +164,7 @@ def ann_ivfpq_probe_prebuilt(
 # md5-ranked seeds), so the oracle is EXACTLY the fused query's oracle —
 # same centroids, same codebooks, same shared probe core.
 # ---------------------------------------------------------------------------
-_INDEX_CACHE: dict[tuple[str, str], AnnIndex] = {}
+_INDEX_CACHE: dict[tuple[str, str, int], AnnIndex] = {}
 
 
 def index_cache_clear() -> None:
@@ -172,15 +172,30 @@ def index_cache_clear() -> None:
     _INDEX_CACHE.clear()
 
 
-def cached_index(spark: SparkSession, sf_dir: str, kind: str) -> AnnIndex:
+def cached_index(
+    spark: SparkSession, sf_dir: str, kind: str, k_cents: int | None = None
+) -> AnnIndex:
     """Build-once-per-process index for ``sf_dir``: fit, round-trip
     through the small-table form (schema + rebuild exercised on the
-    gate path), memoize."""
+    gate path), memoize.  ``k_cents`` overrides the coarse cell count
+    (the kNN join's scaled-fit path); None = the registered
+    N_CENTROIDS config shared with the prebuilt probes."""
     import os
 
-    key = (os.path.abspath(sf_dir), kind)
+    key = (os.path.abspath(sf_dir), kind, k_cents or 0)
     if key not in _INDEX_CACHE:
-        built = ann_build_index(spark, sf_dir, kind=kind)
+        if k_cents is None:
+            built = ann_build_index(spark, sf_dir, kind=kind)
+        else:
+            from osm2orc_spark.operators.similarity import (
+                IVF_KM_ITERS,
+                _lloyd_fit_ints,
+            )
+
+            cents = _lloyd_fit_ints(spark, sf_dir, k_cents, IVF_KM_ITERS)
+            built = AnnIndex(
+                kind=kind, centroids=tuple(tuple(int(v) for v in c) for c in cents)
+            )
         _INDEX_CACHE[key] = index_from_df(index_to_df(spark, built))
     return _INDEX_CACHE[key]
 
@@ -246,6 +261,19 @@ _register_prebuilt_queries()
 # ---------------------------------------------------------------------------
 KNN_K = 5
 KNN_NPROBE = 2
+# Registered k-scale switch (the dedup_semantic_kmeans precedent): above
+# this corpus size the registered query fits k_cents = max(8, n/256)
+# cells instead of the fixed N_CENTROIDS=8 — fixed cells grow as n/8
+# and the per-probe cell scan with them, the measured n^2 regime
+# (knn_join_xl: fixed8 88 -> 312 s from 200k to 400k vectors, 3.5x per
+# doubling, vs 7.2 -> 11.5 s scaled).  At the bar the fixed-8 avg cell
+# is 8k rows (~tens of seconds — far from DNF), so routing errors near
+# it are cost-only in the practical sense that both plans complete;
+# outputs DIFFER across the bar (different cells => different
+# approximate neighbor lists), exactly like semantic kmeans' k rule —
+# the probe is the free parquet footer row count and the gate SFs
+# (500 / 2k vectors) sit three decades below it, byte-identical plans.
+KNN_SCALE_ROWS_MAX = 1 << 16
 # blocked-matmul cap: probe-chunk x cell cosine cells per block (~32 MB
 # of float64 at 2^22) — bounds kernel memory at any cell size.
 KNN_CHUNK_CELLS = 1 << 22
@@ -494,6 +522,19 @@ def ann_knn_join(
     return release_with(result, asg)
 
 
+def _knn_join_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered dispatch: fixed N_CENTROIDS cells at gate sizes
+    (byte-identical plan, shared memoized index with the prebuilt
+    probes), the n/256 scaled fit above KNN_SCALE_ROWS_MAX — see the
+    constant's note for the measured regimes."""
+    from osm2orc_spark.operators import switches
+    from osm2orc_spark.operators.similarity import N_CENTROIDS
+
+    n = switches.table_rows(spark, sf_dir, "embeddings")
+    k = max(N_CENTROIDS, n // 256) if n > KNN_SCALE_ROWS_MAX else None
+    return ann_knn_join(spark, sf_dir, cached_index(spark, sf_dir, "ivf", k))
+
+
 def _register_knn_join() -> None:
     from osm2orc_spark.operators.similarity import (
         _DUCK_QE,
@@ -556,11 +597,11 @@ def _register_knn_join() -> None:
         "value-hashed.  At 100 TB the fit uses k_cents ~ n/256 (the "
         "dedup_semantic_kmeans rule; a parameter of ann_knn_join), "
         "making probe cost n*nprobe*256 — the knn_join_xl record "
-        "prices exactly that regime.",
+        "prices exactly that regime, and the registered entry "
+        "self-selects it above KNN_SCALE_ROWS_MAX via the footer-count "
+        "probe (gate SFs stay on the byte-identical k=8 plan).",
         tags=("similarity",),
-    )(lambda spark, sf_dir: ann_knn_join(
-        spark, sf_dir, cached_index(spark, sf_dir, "ivf")
-    ))
+    )(_knn_join_registered)
 
 
 _register_knn_join()

@@ -422,6 +422,12 @@ SWITCHED_QUERIES: dict[str, dict] = {
             "tests/test_switches.py::test_semantic_kmeans_kscale_switch",
         ),
     },
+    "ann_knn_join_prebuilt": {
+        "probes": ("table_rows:embeddings",),
+        "identity_tests": (
+            "tests/test_switches.py::TestKnnJoin::test_knn_scale_switch_identity",
+        ),
+    },
     "dedup_components": {
         "probes": ("cc_n_edges",),
         "identity_tests": (

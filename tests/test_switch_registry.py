@@ -141,12 +141,15 @@ def test_below_threshold_plan_pin(spark, sf_correctness, name, monkeypatch):
         base = _normalize_plan(
             fn(spark, sf_correctness)._jdf.queryExecution().executedPlan().toString()
         )
+        from osm2orc_spark.operators import ann_index
+
         big = 1 << 62
         monkeypatch.setattr(switches, "HOT_KEY_ROWS", big)
         monkeypatch.setattr(switches, "SIMHASH_FLAT_PAIRS_MAX", big)
         monkeypatch.setattr(switches, "DECON_FLAT_PAIRS_MAX", big)
         monkeypatch.setattr(switches, "DIM_WINDOW_ROWS_MAX", big)
         monkeypatch.setattr(similarity, "LSH_BUCKET_CAP", big)
+        monkeypatch.setattr(ann_index, "KNN_SCALE_ROWS_MAX", big)
         cold = _normalize_plan(
             fn(spark, sf_correctness)._jdf.queryExecution().executedPlan().toString()
         )

@@ -331,6 +331,21 @@ class TestKnnJoin:
         ).collect()
         assert default == tiny
 
+    def test_knn_scale_switch_identity(self, spark, sf_correctness, monkeypatch):
+        """Forcing the registered k-scale switch at the gate SF must be
+        collect-identical: n/256 floors to N_CENTROIDS there, so the
+        forced path fits the same 8 cells through the k-parameterized
+        builder and the output cannot move (the dedup_semantic_kmeans
+        kscale pattern)."""
+        from osm2orc_spark.operators import ann_index
+        from osm2orc_spark.registry import all_queries
+
+        fn = all_queries()["ann_knn_join_prebuilt"].fn
+        base = fn(spark, sf_correctness).collect()
+        assert len(base) > 0
+        monkeypatch.setattr(ann_index, "KNN_SCALE_ROWS_MAX", -1)
+        assert fn(spark, sf_correctness).collect() == base
+
     def test_knn_join_boundary_ties(self, spark, tmp_path):
         """Force the argpartition boundary-tie closure: 40 EXACT
         duplicates of one vector mean every duplicate's top-k boundary
