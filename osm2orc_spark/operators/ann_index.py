@@ -164,7 +164,7 @@ def ann_ivfpq_probe_prebuilt(
 # md5-ranked seeds), so the oracle is EXACTLY the fused query's oracle —
 # same centroids, same codebooks, same shared probe core.
 # ---------------------------------------------------------------------------
-_INDEX_CACHE: dict[tuple[str, str, int], AnnIndex] = {}
+_INDEX_CACHE: dict[tuple[str, str, int | None], AnnIndex] = {}
 
 
 def index_cache_clear() -> None:
@@ -182,7 +182,11 @@ def cached_index(
     N_CENTROIDS config shared with the prebuilt probes."""
     import os
 
-    key = (os.path.abspath(sf_dir), kind, k_cents or 0)
+    if k_cents is not None and k_cents < 1:
+        raise ValueError(f"k_cents must be >= 1, got {k_cents}")
+    # key on k_cents itself (None allowed): `k_cents or 0` would alias an
+    # explicit 0 with the None entry while taking the scaled branch
+    key = (os.path.abspath(sf_dir), kind, k_cents)
     if key not in _INDEX_CACHE:
         if k_cents is None:
             built = ann_build_index(spark, sf_dir, kind=kind)
@@ -279,6 +283,28 @@ KNN_SCALE_ROWS_MAX = 1 << 16
 KNN_CHUNK_CELLS = 1 << 22
 
 
+def _assert_quant_exact(X) -> None:
+    """Exactness guard for the float64 distance kernels: every product,
+    partial sum, and the full combination n2 - 2*dot + cn2 (bounded by
+    4*dim*max|q|^2) is an exactly-representable float64 integer iff
+    4 * dim * max|q|^2 < 2^53.  Asserted per batch so a future embedding
+    distribution (larger norms, coarser quantization) fails loudly
+    instead of silently breaking oracle identity (r11 advice: the old
+    "|q| < 2^23" comment did not cover the combined distance value,
+    which can reach ~2^54 at that bound)."""
+    import numpy as np
+
+    if X.size == 0:
+        return
+    b = float(np.abs(X).max())
+    dim = X.shape[-1]
+    if 4.0 * dim * b * b >= 2.0**53:
+        raise AssertionError(
+            f"quantized magnitude {b:.0f} at dim {dim} breaks float64 "
+            "exactness (need 4*dim*max|q|^2 < 2^53)"
+        )
+
+
 def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
     """mapInArrow kernel: per vector, exact sqdist to every coarse
     centroid -> (cell assignment, nprobe probe cells) under the (d, cid)
@@ -294,16 +320,22 @@ def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
 
         from osm2orc_spark.operators.similarity import QUANT
 
-        # Distances run in float64 BLAS, and the arithmetic is EXACT:
-        # quantized components are |q| < 2^23 (floor(x * 1e6) on unit-ish
-        # embeddings), so every product is < 2^46 and every 64-dim sum
-        # < 2^52 — below 2^53, where float64 represents integers
-        # exactly.  numpy's int64 matmul is a non-BLAS fallback loop
-        # ~50x slower; the float64 spelling keeps bit-identical argmins
-        # (identical integers, identical first-minimum ties) at BLAS
-        # speed — the n * k_cents assignment stage is the kNN join's
-        # largest flop count once k_cents scales with n.
+        # Distances run in float64 BLAS, and the arithmetic is EXACT
+        # under the invariant _assert_quant_exact enforces per batch:
+        # with |q| <= B and 4*dim*B^2 < 2^53, every product, partial
+        # sum, and the full combination n2 - 2*dot + cn2 (<= 4*dim*B^2)
+        # stays below 2^53, where float64 represents every integer
+        # exactly in any summation order.  Unit-norm-ish embeddings at
+        # QUANT=1e6 give |q| < ~2^20 (distances < 2^48), far inside the
+        # bound; a raw "|q| < 2^23" bound would NOT suffice — the
+        # combination can reach ~2^54 there (r11 advice).  numpy's
+        # int64 matmul is a non-BLAS fallback loop ~50x slower; the
+        # float64 spelling keeps bit-identical argmins (identical
+        # integers, identical first-minimum ties) at BLAS speed — the
+        # n * k_cents assignment stage is the kNN join's largest flop
+        # count once k_cents scales with n.
         C = np.array(cents, dtype=np.float64)
+        _assert_quant_exact(C)
         cn2 = (C * C).sum(axis=1)
         dim = C.shape[1]
         k = len(cents)
@@ -348,6 +380,7 @@ def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
             emb_col = b.column(b.schema.get_field_index("embedding"))
             flat = emb_col.flatten().to_numpy(zero_copy_only=False)
             Xq = np.floor(flat.astype(np.float64) * QUANT).reshape(-1, dim)
+            _assert_quant_exact(Xq)
             n2 = (Xq * Xq).sum(axis=1)
             probes = top_nprobe(Xq, n2).astype(np.int32)
             if pa.types.is_dictionary(emb_col.type):
@@ -393,11 +426,14 @@ def _knn_cell_kernel(k_neighbors: int, chunk_cells: int):
 
         def quantize(pdf):
             X = np.stack(pdf["embedding"].to_numpy())
-            # float64 carries the quantized integers exactly (|q| < 2^23,
-            # dots < 2^52 — see _knn_assign_kernel) so the matmul runs
-            # in BLAS instead of numpy's slow int64 fallback, with
+            # float64 carries the quantized integers exactly under the
+            # asserted 4*dim*max|q|^2 < 2^53 invariant (see
+            # _assert_quant_exact / _knn_assign_kernel) so the matmul
+            # runs in BLAS instead of numpy's slow int64 fallback, with
             # bit-identical dot values and cosines.
-            return np.floor(X.astype(np.float64) * QUANT)
+            Q = np.floor(X.astype(np.float64) * QUANT)
+            _assert_quant_exact(Q)
+            return Q
 
         Xb = quantize(build_pdf)
         bid = build_pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -526,12 +562,26 @@ def _knn_join_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered dispatch: fixed N_CENTROIDS cells at gate sizes
     (byte-identical plan, shared memoized index with the prebuilt
     probes), the n/256 scaled fit above KNN_SCALE_ROWS_MAX — see the
-    constant's note for the measured regimes."""
+    constant's note for the measured regimes.  The scaled k is CAPPED
+    at MAX_FIT_ROWS // 4 (the dedup_semantic_kmeans precedent,
+    similarity.py:_semantic_kmeans_kscaled): the Lloyd fit trains on at
+    most MAX_FIT_ROWS sampled vectors, so k beyond a fraction of the
+    sample is meaningless (one seed per sample row at the extreme) AND
+    effective_fit_m raises when k_min exceeds the cap — the uncapped
+    rule hard-crashed above 256*MAX_FIT_ROWS ~= 16.7M vectors (r11
+    advice; regression-pinned in tests/test_switches.py).  Above the
+    cap the avg cell grows as n/16384 — the bounded-fit discipline's
+    inherent ceiling — and the hierarchical assignment path keeps the
+    assignment stage at ~n*sqrt(k) flops."""
     from osm2orc_spark.operators import switches
-    from osm2orc_spark.operators.similarity import N_CENTROIDS
+    from osm2orc_spark.operators.similarity import MAX_FIT_ROWS, N_CENTROIDS
 
     n = switches.table_rows(spark, sf_dir, "embeddings")
-    k = max(N_CENTROIDS, n // 256) if n > KNN_SCALE_ROWS_MAX else None
+    k = (
+        min(MAX_FIT_ROWS // 4, max(N_CENTROIDS, n // 256))
+        if n > KNN_SCALE_ROWS_MAX
+        else None
+    )
     return ann_knn_join(spark, sf_dir, cached_index(spark, sf_dir, "ivf", k))
 
 

@@ -396,6 +396,42 @@ class TestKnnJoin:
         )
         assert got == self._bruteforce_twin(spark, sf_correctness, idx, 3, 4)
 
+    def test_knn_scaled_k_capped_at_fit_bound(
+        self, spark, sf_correctness, monkeypatch
+    ):
+        """r11 advice (high): the uncapped scaled rule k = n//256
+        hard-crashed above 256*MAX_FIT_ROWS (~16.7M) vectors —
+        effective_fit_m raises when k_min exceeds the fit-sample cap —
+        precisely the at-scale regime the switch exists for.  The
+        registered dispatch must cap k at MAX_FIT_ROWS // 4 (the
+        dedup_semantic_kmeans precedent) and still build a plan."""
+        from osm2orc_spark.operators import ann_index, switches
+        from osm2orc_spark.operators.similarity import MAX_FIT_ROWS
+        from osm2orc_spark.registry import all_queries
+
+        seen = {}
+        real = ann_index.cached_index
+
+        def spy(spark_, sf_dir_, kind_, k_cents=None):
+            seen["k"] = k_cents
+            return real(spark_, sf_dir_, kind_, k_cents)
+
+        monkeypatch.setattr(ann_index, "cached_index", spy)
+        monkeypatch.setattr(
+            switches, "table_rows", lambda *_a, **_k: 256 * MAX_FIT_ROWS + 1
+        )
+        df = all_queries()["ann_knn_join_prebuilt"].fn(spark, sf_correctness)
+        assert df.columns == ["vec_id", "rn", "nb_id", "cosine"]
+        assert seen["k"] == MAX_FIT_ROWS // 4
+
+    def test_cached_index_rejects_nonpositive_k(self, spark, sf_correctness):
+        """r11 advice: an explicit k_cents=0 used to alias the None cache
+        entry (`k_cents or 0`) while taking the scaled-fit branch."""
+        from osm2orc_spark.operators.ann_index import cached_index
+
+        with pytest.raises(ValueError, match="k_cents"):
+            cached_index(spark, sf_correctness, "ivf", 0)
+
 
 @pytest.mark.parametrize("name", WINDOW_FAMILY)
 def test_window_family_hybrid_identity(spark, sf_correctness, name, monkeypatch):
