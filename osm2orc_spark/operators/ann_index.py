@@ -585,7 +585,12 @@ def _knn_join_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_knn_join(spark, sf_dir, cached_index(spark, sf_dir, "ivf", k))
 
 
-def _register_knn_join() -> None:
+def _knn_cte_sql() -> str:
+    """The kNN self-join's DuckDB CTE chain, ending in ``knn``(vec_id,
+    rn INT, nb_id, cosine) — factored out so composed consumers
+    (curation_semdedup's greedy keep rule) replay the IDENTICAL fit /
+    probe / candidate / cosine / rank graph the registered kNN oracle
+    value-hashes, instead of forking a second spelling."""
     from osm2orc_spark.operators.similarity import (
         _DUCK_QE,
         IVF_KM_ITERS,
@@ -593,10 +598,8 @@ def _register_knn_join() -> None:
         N_CENTROIDS,
         _lloyd_cte_sql,
     )
-    from osm2orc_spark.registry import register
 
-    oracle = f"""
-    WITH {_DUCK_QE},
+    return f"""{_DUCK_QE},
     {_lloyd_cte_sql(N_CENTROIDS, IVF_KM_ITERS, "km", fit_m=MAX_FIT_ROWS)},
     probes AS (
       SELECT vec_id, cid FROM kmdf
@@ -620,14 +623,24 @@ def _register_knn_join() -> None:
       JOIN norms na ON na.vec_id = d.a
       JOIN norms nb ON nb.vec_id = d.b
       WHERE na.n2 > 0 AND nb.n2 > 0
-    )
-    SELECT vec_id, CAST(rn AS INT) AS rn, nb_id, cosine
-    FROM (
-      SELECT vec_id, nb_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nb_id) AS rn
-      FROM cosines
-    )
-    WHERE rn <= {KNN_K}
+    ),
+    knn AS (
+      SELECT vec_id, CAST(rn AS INT) AS rn, nb_id, cosine
+      FROM (
+        SELECT vec_id, nb_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nb_id) AS rn
+        FROM cosines
+      )
+      WHERE rn <= {KNN_K}
+    )"""
+
+
+def _register_knn_join() -> None:
+    from osm2orc_spark.registry import register
+
+    oracle = f"""
+    WITH {_knn_cte_sql()}
+    SELECT vec_id, rn, nb_id, cosine FROM knn
     ORDER BY vec_id, rn
     """
 

@@ -23,6 +23,7 @@ from osm2orc_spark.operators.dedup import (
     _shingles,
     dedup_components,
 )
+from osm2orc_spark.operators.similarity import NEAR_DUP_COS
 from osm2orc_spark.operators.text import (
     FEAT_BUCKETS,
     _ngrams_uni_bi,
@@ -1490,3 +1491,95 @@ def _assemble_contamination_oracle() -> None:
 
 
 _assemble_contamination_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup over the kNN self-join (r11 verdict #4):
+# the stated reason ann_knn_join_prebuilt exists — per-doc neighborhoods
+# feeding a greedy keep rule.  Rule (the dedup_semantic_kmeans keeper
+# idiom, similarity.py: "dropped iff a lower-id mate has cosine >=
+# threshold"): symmetrize the kNN edges at NEAR_DUP_COS, then a vector
+# is DROPPED iff it has any lower-id neighbor above the threshold;
+# dup_of records the smallest such witness (a near-dup witness, not
+# necessarily itself a survivor — chains drop transitively by id
+# order).  Survivors are therefore MUTUALLY sub-threshold across every
+# observed kNN edge: if an edge (a < b) were above tau, b would be
+# dropped — the invariant tests/test_selection_invariants.py pins.
+#
+# Scale shape: everything after the kNN join is linear — filter,
+# symmetrizing union + distinct (<= 2*n*k rows), one groupBy(vec_id),
+# one equi-join back to the id scan.  The kNN join itself carries the
+# bounded-stage analysis (and the k-scale switch) of its own entry.
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAU = NEAR_DUP_COS
+
+
+@register(
+    "curation_semdedup",
+    oracle=None,  # assembled below from the kNN CTE chain
+    doc="Semantic dedup composed on the corpus-wide kNN self-join: "
+    "symmetrized neighbor edges at the house NEAR_DUP_COS threshold, "
+    "greedy keep-lowest-id rule (the dedup_semantic_kmeans keeper "
+    "idiom), per-doc near-neighbor degree and dup_of witness.  The "
+    "oracle replays the registered kNN oracle's identical CTE graph "
+    "(shared _knn_cte_sql) plus the greedy tail, so fit, probe list, "
+    "cosines, ranks, edges, and the keep decision are all value-hashed. "
+    "All post-kNN stages are linear (<= 2*n*k edge rows, one groupBy, "
+    "one equi-join back); inherits the kNN join's k-scale switch.",
+    tags=("curation", "similarity"),
+)
+def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators.ann_index import _knn_join_registered
+
+    knn = _knn_join_registered(spark, sf_dir)
+    edges = knn.filter(F.col("cosine") >= F.lit(SEMDEDUP_TAU)).select(
+        "vec_id", "nb_id"
+    )
+    sym = edges.union(
+        edges.select(F.col("nb_id").alias("vec_id"), F.col("vec_id").alias("nb_id"))
+    ).distinct()
+    agg = sym.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.min(F.when(F.col("nb_id") < F.col("vec_id"), F.col("nb_id"))).alias(
+            "dup_of"
+        ),
+    )
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        ids.join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNull().alias("kept"),
+            F.coalesce(F.col("n_near"), F.lit(0).cast("long")).alias("n_near"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _assemble_semdedup_oracle() -> None:
+    from osm2orc_spark.operators.ann_index import _knn_cte_sql
+
+    REGISTRY["curation_semdedup"].oracle = f"""
+    WITH {_knn_cte_sql()},
+    sd_edges AS (
+      SELECT vec_id, nb_id FROM knn WHERE cosine >= {SEMDEDUP_TAU!r}
+    ),
+    sd_sym AS (
+      SELECT vec_id, nb_id FROM sd_edges
+      UNION
+      SELECT nb_id, vec_id FROM sd_edges
+    ),
+    sd_agg AS (
+      SELECT vec_id, COUNT(*) AS n_near,
+             MIN(CASE WHEN nb_id < vec_id THEN nb_id END) AS dup_of
+      FROM sd_sym GROUP BY 1
+    )
+    SELECT e.vec_id, a.dup_of IS NULL AS kept,
+           COALESCE(a.n_near, 0) AS n_near, a.dup_of
+    FROM embeddings e LEFT JOIN sd_agg a ON a.vec_id = e.vec_id
+    ORDER BY e.vec_id
+    """
+
+
+_assemble_semdedup_oracle()

@@ -428,6 +428,14 @@ SWITCHED_QUERIES: dict[str, dict] = {
             "tests/test_switches.py::TestKnnJoin::test_knn_scale_switch_identity",
         ),
     },
+    # composed consumer: inherits the kNN join's k-scale switch through
+    # _knn_join_registered (the cc_n_edges-trio inheritance pattern)
+    "curation_semdedup": {
+        "probes": ("table_rows:embeddings",),
+        "identity_tests": (
+            "tests/test_switches.py::TestKnnJoin::test_semdedup_kscale_switch_identity",
+        ),
+    },
     "dedup_components": {
         "probes": ("cc_n_edges",),
         "identity_tests": (

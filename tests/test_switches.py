@@ -424,6 +424,57 @@ class TestKnnJoin:
         assert df.columns == ["vec_id", "rn", "nb_id", "cosine"]
         assert seen["k"] == MAX_FIT_ROWS // 4
 
+    def test_semdedup_kscale_switch_identity(
+        self, spark, sf_correctness, monkeypatch
+    ):
+        """curation_semdedup composes _knn_join_registered, so it
+        inherits the k-scale switch — forcing it at the gate SF must be
+        collect-identical (n/256 floors to N_CENTROIDS there)."""
+        from osm2orc_spark.operators import ann_index
+        from osm2orc_spark.registry import all_queries
+
+        fn = all_queries()["curation_semdedup"].fn
+        base = fn(spark, sf_correctness).collect()
+        assert len(base) > 0
+        monkeypatch.setattr(ann_index, "KNN_SCALE_ROWS_MAX", -1)
+        assert fn(spark, sf_correctness).collect() == base
+
+    def test_semdedup_survivors_mutually_subthreshold(
+        self, spark, sf_correctness
+    ):
+        """The r11 verdict #4 done-criterion: survivors must be mutually
+        sub-threshold across every observed kNN edge — for any
+        symmetrized edge (a, b) with cosine >= SEMDEDUP_TAU, at most one
+        endpoint is kept (the higher id is always dropped).  Also pins
+        non-triviality (both kept and dropped rows exist) and the
+        dup_of witness (dropped rows name a lower-id above-threshold
+        neighbor; kept rows have none)."""
+        from osm2orc_spark.operators.curation import SEMDEDUP_TAU
+        from osm2orc_spark.registry import all_queries
+
+        qs = all_queries()
+        sd = {
+            r["vec_id"]: r
+            for r in qs["curation_semdedup"].fn(spark, sf_correctness).collect()
+        }
+        knn = qs["ann_knn_join_prebuilt"].fn(spark, sf_correctness).collect()
+        edges = {
+            (min(r["vec_id"], r["nb_id"]), max(r["vec_id"], r["nb_id"]))
+            for r in knn
+            if r["cosine"] >= SEMDEDUP_TAU
+        }
+        assert edges, "threshold too high: no near-dup edges at gate SF"
+        kept = {v for v, r in sd.items() if r["kept"]}
+        assert kept and (set(sd) - kept), "need both kept and dropped rows"
+        for a, b in edges:
+            assert b not in kept, f"edge ({a},{b}) above tau but {b} kept"
+        for v, r in sd.items():
+            if r["kept"]:
+                assert r["dup_of"] is None
+            else:
+                assert r["dup_of"] is not None and r["dup_of"] < v
+                assert (r["dup_of"], v) in edges
+
     def test_cached_index_rejects_nonpositive_k(self, spark, sf_correctness):
         """r11 advice: an explicit k_cents=0 used to alias the None cache
         entry (`k_cents or 0`) while taking the scaled-fit branch."""
