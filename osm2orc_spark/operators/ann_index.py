@@ -281,6 +281,23 @@ KNN_SCALE_ROWS_MAX = 1 << 16
 # blocked-matmul cap: probe-chunk x cell cosine cells per block (~32 MB
 # of float64 at 2^22) — bounds kernel memory at any cell size.
 KNN_CHUNK_CELLS = 1 << 22
+# Hierarchical-assignment switch (r11 verdict #1): above this many coarse
+# cells the assignment stage runs the EXACT two-level scan — group the k
+# cell centroids into g = ceil(sqrt(k)) super-cells (deterministic
+# integer Lloyd's over the centroids, driver-side), compute each row's
+# distances to the g group centers, then scan member cells group-by-
+# group in (distance, group) order with triangle-inequality pruning
+# (sqrt(D_qg) - sqrt(R_g) > sqrt(B) => every cell in the group is
+# strictly farther than the current nprobe-th best, so the group cannot
+# change the exact top-nprobe).  Pruning bounds are over-slacked floats
+# of exact-integer quantities, so no tie or true candidate is ever
+# pruned: OUTPUT IS BIT-IDENTICAL to the flat scan (test-pinned), only
+# the flop count changes — ~n*(sqrt(k) + nprobe*sqrt(k)) when cells
+# cluster vs the flat n*k, which under the scaled fit (k ~ n/256) was
+# the one remaining Theta(n^2/256) term.  Below the threshold the flat
+# one-BLAS-matmul scan wins on constants (k=512: 512 fused dots/row
+# beat scattered sub-matmuls + bucketing overhead).
+KNN_HIER_CELLS_MIN = 512
 
 
 def _assert_quant_exact(X) -> None:
@@ -305,13 +322,70 @@ def _assert_quant_exact(X) -> None:
         )
 
 
-def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
+def _hier_groups(cents: list[list[int]]):
+    """Deterministic two-level coarse structure over the k cell
+    centroids (driver-side, O(k^1.5) on at most 16,384 rows): integer
+    Lloyd's with the house rules — seeds = the first g centroids in cid
+    order, first-minimum argmin, truncate-toward-zero updates, empty
+    groups keep their previous center — clusters the cells into
+    g = ceil(sqrt(k)) super-cells.  Returns (G, gn2, R2, members):
+    integer group centers as float64 (exact — same bound as the cells),
+    their squared norms, each group's squared COVER RADIUS (max squared
+    distance from its center to a member cell, the triangle-inequality
+    pruning bound), and each group's member cids sorted ascending (so a
+    first-minimum argmin inside a group block picks the lowest cid,
+    preserving the (d, cid) total order).  Empty groups are dropped.
+    The grouping affects ONLY the scan order and pruning — any grouping
+    yields the same exact top-nprobe — so it needs no SQL twin."""
+    import math
+
+    import numpy as np
+
+    X = np.array(cents, dtype=np.float64)
+    k = len(cents)
+    g = max(1, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
+    G = X[:g].copy()
+    from osm2orc_spark.operators.similarity import IVF_KM_ITERS
+
+    for _ in range(IVF_KM_ITERS):
+        gn2 = (G * G).sum(axis=1)
+        d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ G.T) + gn2[None, :]
+        gid = d.argmin(axis=1)  # first minimum -> lowest group id on ties
+        new = G.copy()
+        for j in range(g):
+            mask = gid == j
+            if mask.any():
+                s = X[mask].sum(axis=0)
+                n = int(mask.sum())
+                q = np.floor_divide(np.abs(s), n)
+                new[j] = np.where(s >= 0, q, -q)  # truncate toward zero
+        G = new
+    gn2 = (G * G).sum(axis=1)
+    d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ G.T) + gn2[None, :]
+    gid = d.argmin(axis=1)
+    members, centers, radii = [], [], []
+    for j in range(g):
+        cids = np.flatnonzero(gid == j)  # ascending by construction
+        if cids.size == 0:
+            continue
+        members.append(cids.astype(np.int64))
+        centers.append(G[j])
+        radii.append(float(d[cids, j].max()))
+    G = np.stack(centers)
+    return G, (G * G).sum(axis=1), np.array(radii), members
+
+
+def _knn_assign_kernel(cents: list[list[int]], nprobe: int, hier=None):
     """mapInArrow kernel: per vector, exact sqdist to every coarse
     centroid -> (cell assignment, nprobe probe cells) under the (d, cid)
     total order — the same QUALIFY ROW_NUMBER() OVER (ORDER BY d, cid)
     pick the DuckDB twin makes.  Blocked argmin passes keep it O(n*k)
     with rows x 1024 peak memory (no full distance matrix, no per-row
-    argsort of k)."""
+    argsort of k).  With ``hier`` (the _hier_groups structure) the scan
+    is the exact two-level variant: O(n*sqrt(k)) group distances, then
+    member-cell blocks in per-row (D_qg, gid) order with conservative
+    triangle-inequality pruning — bit-identical output, subquadratic
+    total assignment flops under the scaled fit."""
     nprobe = min(nprobe, len(cents))  # fewer cells than probes: probe all
 
     def kernel(batches):
@@ -341,6 +415,19 @@ def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
         k = len(cents)
         cb = 1024  # centroid block: bounds the distance matrix to rows x cb
 
+        def merge(best_d, best_c, new_d, new_c):
+            """Exact (d, cid)-ordered top-nprobe merge of the running
+            best lists with a block's candidates — any global top-nprobe
+            member is necessarily in its own block's top-nprobe, so the
+            lexsort over <= 2*nprobe candidates per row is exact."""
+            cand_d = np.concatenate([best_d, new_d], axis=1)
+            cand_c = np.concatenate([best_c, new_c], axis=1)
+            order = np.lexsort((cand_c, cand_d), axis=-1)[:, :nprobe]
+            return (
+                np.take_along_axis(cand_d, order, axis=1),
+                np.take_along_axis(cand_c, order, axis=1),
+            )
+
         def top_nprobe(Xq, n2):
             """Exact top-nprobe centroids per row under the (d, cid)
             total order, WITHOUT materializing the full rows x k
@@ -366,12 +453,82 @@ def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
                     bd.append(db[r, j])
                     bc.append(c0 + j)
                     db[r, j] = np.inf
-                cand_d = np.concatenate([best_d, np.stack(bd, 1)], axis=1)
-                cand_c = np.concatenate([best_c, np.stack(bc, 1)], axis=1)
-                order = np.lexsort((cand_c, cand_d), axis=-1)[:, :nprobe]
-                best_d = np.take_along_axis(cand_d, order, axis=1)
-                best_c = np.take_along_axis(cand_c, order, axis=1)
+                best_d, best_c = merge(
+                    best_d, best_c, np.stack(bd, 1), np.stack(bc, 1)
+                )
             return best_c
+
+        def top_nprobe_hier(Xq, n2):
+            """Exact top-nprobe via the two-level structure: distances
+            to the g group centers (one BLAS matmul), then member-cell
+            blocks in per-row (D_qg, gid) order.  A row stops scanning
+            once every remaining group is PROVABLY outside its current
+            nprobe-th best: for a group with center distance D and
+            squared cover radius R, sqrt(D) > sqrt(B) + sqrt(R) implies
+            every member cell's distance exceeds B strictly — cells at
+            exactly B (tie candidates under the (d, cid) order) can
+            never satisfy the strict bound, and sqrt(B*R) is rounded UP
+            (1e-12 relative + 1 absolute slack on exact-integer inputs),
+            so pruning never drops a true or tied candidate: output is
+            bit-identical to the flat scan."""
+            G, gn2, R2, members = hier
+            rows = len(Xq)
+            Dg = n2[:, None] - 2.0 * (Xq @ G.T) + gn2[None, :]
+            # stable argsort: ties break toward the lower group index —
+            # any total order works (exactness never depends on it)
+            ordg = np.argsort(Dg, axis=1, kind="stable")
+            Dg_s = np.take_along_axis(Dg, ordg, axis=1)
+            R2_s = R2[ordg]
+            ng = G.shape[0]
+            best_d = np.full((rows, nprobe), np.inf)
+            best_c = np.full((rows, nprobe), k, dtype=np.int64)
+            active = np.arange(rows)
+            for j in range(ng):
+                if active.size == 0:
+                    break
+                gids = ordg[active, j]
+                by = np.argsort(gids, kind="stable")
+                act, gsrt = active[by], gids[by]
+                starts = np.flatnonzero(np.r_[True, gsrt[1:] != gsrt[:-1]])
+                ends = np.r_[starts[1:], len(gsrt)]
+                for s0, e0 in zip(starts, ends):
+                    gid = int(gsrt[s0])
+                    rws = act[s0:e0]
+                    cids = members[gid]
+                    db = (
+                        n2[rws][:, None]
+                        - 2.0 * (Xq[rws] @ C[cids].T)
+                        + cn2[cids][None, :]
+                    )
+                    take = min(nprobe, len(cids))
+                    r = np.arange(len(rws))
+                    bd, bc = [], []
+                    for _ in range(take):
+                        # first min -> lowest local index -> lowest cid
+                        # (members are sorted ascending)
+                        i = np.argmin(db, axis=1)
+                        bd.append(db[r, i])
+                        bc.append(cids[i])
+                        db[r, i] = np.inf
+                    best_d[rws], best_c[rws] = merge(
+                        best_d[rws], best_c[rws],
+                        np.stack(bd, 1), np.stack(bc, 1),
+                    )
+                if j + 1 >= ng:
+                    break
+                B = best_d[active, -1]  # inf until nprobe slots filled
+                filled = np.isfinite(B)
+                Bc = np.where(filled, B, 0.0)  # masked below; avoids inf*0
+                rem_D = Dg_s[active, j + 1 :]
+                rem_R = R2_s[active, j + 1 :]
+                s_over = np.sqrt(Bc[:, None] * rem_R) * (1.0 + 1e-12) + 1.0
+                done = filled & (
+                    rem_D > Bc[:, None] + rem_R + 2.0 * s_over
+                ).all(axis=1)
+                active = active[~done]
+            return best_c
+
+        pick = top_nprobe_hier if hier is not None else top_nprobe
 
         for b in batches:
             vec_id = b.column(b.schema.get_field_index("vec_id")).to_numpy(
@@ -382,7 +539,7 @@ def _knn_assign_kernel(cents: list[list[int]], nprobe: int):
             Xq = np.floor(flat.astype(np.float64) * QUANT).reshape(-1, dim)
             _assert_quant_exact(Xq)
             n2 = (Xq * Xq).sum(axis=1)
-            probes = top_nprobe(Xq, n2).astype(np.int32)
+            probes = pick(Xq, n2).astype(np.int32)
             if pa.types.is_dictionary(emb_col.type):
                 emb_col = emb_col.cast(emb_col.type.value_type)
             yield pa.RecordBatch.from_arrays(
@@ -529,8 +686,14 @@ def ann_knn_join(
 
     emb = load(spark, sf_dir, "embeddings")
     emb_t = emb.schema["embedding"].dataType.simpleString()
+    cents = [list(c) for c in index.centroids]
+    # above KNN_HIER_CELLS_MIN cells the assignment scan goes two-level:
+    # bit-identical output (exact pruning — see top_nprobe_hier), flop
+    # count drops from n*k to ~n*sqrt(k); the structure is built once on
+    # the driver and rides the kernel closure like the centroids do
+    hier = _hier_groups(cents) if len(cents) > KNN_HIER_CELLS_MIN else None
     asg = emb.select("vec_id", "embedding").mapInArrow(
-        _knn_assign_kernel([list(c) for c in index.centroids], nprobe),
+        _knn_assign_kernel(cents, nprobe, hier),
         f"vec_id long, embedding {emb_t}, cid int, probes array<int>",
     )
     # build and probe both branch off the assignment scan — persist it so

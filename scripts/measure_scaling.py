@@ -2718,31 +2718,40 @@ def main_decon_doubling() -> None:
 
 
 def main_knn_micro() -> None:
-    """r10 verdict #7 done-criterion: the kNN self-join's probe cost
-    scales with n * nprobe * cell_size, not n^2.  At 100 TB the fit
-    uses k_cents ~ n/256 (the dedup_semantic_kmeans rule — cell size
-    stays ~256 regardless of corpus), so wall should grow ~linearly
-    across 200k -> 400k -> 800k vectors.  The fixed k=8 registered
-    config is ALSO priced at the smallest size to show the regime the
-    scaled fit avoids (cell = n/8 -> per-cell matmul grows with n)."""
+    """r10 verdict #7 + r11 verdict #1/#2 done-criteria: the kNN
+    self-join's probe cost scales with n * nprobe * cell_size, not n^2
+    — and with the r12 hierarchical assignment (exact two-level scan,
+    ~n*sqrt(k) flops) the ASSIGNMENT stage is subquadratic too, which
+    was the one remaining Theta(n^2/256) term under the scaled fit
+    (k ~ n/256).  Per size (now up to 1.6M vectors, min-of-3): the
+    assignment scan is timed ALONE in both kernels (flat vs hier,
+    bit-identical output), then the full join under the default
+    dispatch.  The r11 fixed8 records (the avoided n^2/8 cell regime)
+    stand in SCALING_SKEW.jsonl; not re-measured."""
     import numpy as np  # noqa: F401
 
-    from osm2orc_spark.operators.ann_index import AnnIndex, ann_knn_join
+    from osm2orc_spark.operators import ann_index
+    from osm2orc_spark.operators.ann_index import (
+        KNN_NPROBE,
+        AnnIndex,
+        ann_knn_join,
+    )
     from osm2orc_spark.operators.similarity import (
         IVF_KM_ITERS,
         N_CENTROIDS,
         _lloyd_fit_ints,
     )
+    from osm2orc_spark.tables import load
 
     spark = get_spark(
         app_name="measure_scaling_knn",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    passes = int(os.environ.get("KNN_PASSES", "2"))
+    passes = int(os.environ.get("KNN_PASSES", "3"))
 
     global EMB_REP
-    for rep in (100, 200, 400):
+    for rep in (100, 200, 400, 800):
         n = 2000 * rep
         saved_rep = EMB_REP
         EMB_REP = rep
@@ -2750,43 +2759,55 @@ def main_knn_micro() -> None:
             emb_dir = _build_xl_embeddings(spark)
         finally:
             EMB_REP = saved_rep
-        configs = [("scaled", max(N_CENTROIDS, n // 256))]
-        if rep in (100, 200):
-            # the regime the scaled fit avoids: fixed cells grow with n,
-            # so per-probe work doubles per doubling AND only k=8 cells
-            # = 8 cogroup tasks occupy the 32 cores
-            configs.append(("fixed8", N_CENTROIDS))
-        for tag, k_cents in configs:
-            t0 = time.perf_counter()
-            cents = _lloyd_fit_ints(spark, emb_dir, k_cents, IVF_KM_ITERS)
-            fit_sec = time.perf_counter() - t0
-            idx = AnnIndex(
-                kind="ivf", centroids=tuple(tuple(c) for c in cents)
-            )
+        k_cents = max(N_CENTROIDS, n // 256)
+        t0 = time.perf_counter()
+        cents = _lloyd_fit_ints(spark, emb_dir, k_cents, IVF_KM_ITERS)
+        fit_sec = time.perf_counter() - t0
+        cents_l = [list(c) for c in cents]
+        idx = AnnIndex(kind="ivf", centroids=tuple(tuple(c) for c in cents))
+
+        emb = load(spark, emb_dir, "embeddings").select("vec_id", "embedding")
+        emb_t = emb.schema["embedding"].dataType.simpleString()
+        schema = f"vec_id long, embedding {emb_t}, cid int, probes array<int>"
+        assign = {}
+        for tag in ("flat", "hier"):
+            h = ann_index._hier_groups(cents_l) if tag == "hier" else None
+            kern = ann_index._knn_assign_kernel(cents_l, KNN_NPROBE, h)
             walls = []
-            n_out = 0
             for i in range(passes + 1):  # first warms
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                n_out = ann_knn_join(spark, emb_dir, idx).count()
+                emb.mapInArrow(kern, schema).count()
                 walls.append(time.perf_counter() - t0)
-            print(
-                json.dumps(
-                    {
-                        "micro": "knn_join_xl",
-                        "round": 11,
-                        "kernel": "blas_f64",
-                        "vectors": n,
-                        "config": tag,
-                        "k_cents": k_cents,
-                        "avg_cell": round(n / k_cents, 1),
-                        "fit_sec": round(fit_sec, 3),
-                        "probe_wall_min_sec": round(min(walls[1:]), 3),
-                        "out_rows": n_out,
-                    }
-                ),
-                flush=True,
-            )
+            assign[tag] = round(min(walls[1:]), 3)
+
+        walls = []
+        n_out = 0
+        for i in range(passes + 1):  # first warms; default dispatch = hier
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_out = ann_knn_join(spark, emb_dir, idx).count()
+            walls.append(time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "micro": "knn_join_xl",
+                    "round": 12,
+                    "kernel": "hier_f64",
+                    "vectors": n,
+                    "config": "scaled",
+                    "k_cents": k_cents,
+                    "avg_cell": round(n / k_cents, 1),
+                    "fit_sec": round(fit_sec, 3),
+                    "assign_flat_sec": assign["flat"],
+                    "assign_hier_sec": assign["hier"],
+                    "probe_wall_min_sec": round(min(walls[1:]), 3),
+                    "out_rows": n_out,
+                    "protocol": f"min-of-{passes}",
+                }
+            ),
+            flush=True,
+        )
     spark.stop()
 
 

@@ -424,6 +424,74 @@ class TestKnnJoin:
         assert df.columns == ["vec_id", "rn", "nb_id", "cosine"]
         assert seen["k"] == MAX_FIT_ROWS // 4
 
+    def test_hier_assignment_identity(self, spark, sf_correctness, monkeypatch):
+        """r11 verdict #1: the hierarchical (two-level, triangle-
+        inequality-pruned) assignment scan must be BIT-identical to the
+        flat scan — forcing it at the gate SF (k=8 cells, 3 super-cells)
+        cannot move a single row."""
+        from osm2orc_spark.operators import ann_index
+
+        idx = ann_index.cached_index(spark, sf_correctness, "ivf")
+        flat = ann_index.ann_knn_join(spark, sf_correctness, idx).collect()
+        assert len(flat) > 0
+        monkeypatch.setattr(ann_index, "KNN_HIER_CELLS_MIN", 0)
+        assert ann_index.ann_knn_join(spark, sf_correctness, idx).collect() == flat
+
+    def test_hier_assignment_identity_many_cells(
+        self, spark, sf_correctness, monkeypatch
+    ):
+        """The regime the hierarchical scan exists for: many cells, wide
+        probes.  64 cells over 500 vectors, nprobe=4 — flat, forced-hier,
+        and the independent brute-force twin must all agree exactly."""
+        from osm2orc_spark.operators import ann_index
+        from osm2orc_spark.operators.ann_index import AnnIndex, ann_knn_join
+        from osm2orc_spark.operators.similarity import IVF_KM_ITERS, _lloyd_fit_ints
+
+        cents = _lloyd_fit_ints(spark, sf_correctness, 64, IVF_KM_ITERS)
+        idx = AnnIndex(kind="ivf", centroids=tuple(tuple(c) for c in cents))
+
+        def run():
+            return sorted(
+                (r["vec_id"], r["rn"], r["nb_id"], r["cosine"])
+                for r in ann_knn_join(
+                    spark, sf_correctness, idx, k_neighbors=3, nprobe=4
+                ).collect()
+            )
+
+        flat = run()
+        monkeypatch.setattr(ann_index, "KNN_HIER_CELLS_MIN", 0)
+        assert run() == flat
+        assert flat == self._bruteforce_twin(spark, sf_correctness, idx, 3, 4)
+
+    def test_hier_assignment_ties_under_pruning(self, spark, tmp_path, monkeypatch):
+        """Exact-duplicate vectors make every distance a tie candidate —
+        the pruning bound is strict-> so tied cells must never be
+        pruned; forced-hier output on the duplicate-heavy corpus must
+        equal the brute-force twin bit-for-bit."""
+        from osm2orc_spark.operators import ann_index
+        from osm2orc_spark.operators.ann_index import AnnIndex, ann_knn_join
+        from osm2orc_spark.operators.similarity import IVF_KM_ITERS, _lloyd_fit_ints
+
+        rng_rows = []
+        for i in range(40):  # exact duplicates
+            rng_rows.append((i, "dup", [0.25] * 8))
+        for i in range(40, 120):  # distinct fillers
+            rng_rows.append(
+                (i, "x", [((i * 7 + j) % 11 - 5) / 10.0 for j in range(8)])
+            )
+        d = str(tmp_path / "hier_ties")
+        spark.createDataFrame(
+            rng_rows, "vec_id long, label string, embedding array<float>"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        cents = _lloyd_fit_ints(spark, d, 16, IVF_KM_ITERS)
+        idx = AnnIndex(kind="ivf", centroids=tuple(tuple(c) for c in cents))
+        monkeypatch.setattr(ann_index, "KNN_HIER_CELLS_MIN", 0)
+        got = sorted(
+            (r["vec_id"], r["rn"], r["nb_id"], r["cosine"])
+            for r in ann_knn_join(spark, d, idx, k_neighbors=3, nprobe=2).collect()
+        )
+        assert got == self._bruteforce_twin(spark, d, idx, 3, 2)
+
     def test_semdedup_kscale_switch_identity(
         self, spark, sf_correctness, monkeypatch
     ):
