@@ -70,6 +70,9 @@ HEADLINE = [
     # per-doc-neighborhood primitive (probe-only steady state, same
     # memoized index as the prebuilt probes above)
     "ann_knn_join_prebuilt",
+    # r12: the SemDeDup consumer of the kNN neighborhoods — greedy
+    # keep-lowest-id over symmetrized above-threshold edges
+    "curation_semdedup",
 ]
 
 

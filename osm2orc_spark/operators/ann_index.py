@@ -282,8 +282,8 @@ KNN_SCALE_ROWS_MAX = 1 << 16
 # of float64 at 2^22) — bounds kernel memory at any cell size.
 KNN_CHUNK_CELLS = 1 << 22
 # Hierarchical-assignment switch (r11 verdict #1): above this many coarse
-# cells the assignment stage runs the EXACT two-level scan — group the k
-# cell centroids into g = ceil(sqrt(k)) super-cells (deterministic
+# cells the assignment stage MAY run the EXACT two-level scan — group
+# the k cell centroids into g = ceil(sqrt(k)) super-cells (deterministic
 # integer Lloyd's over the centroids, driver-side), compute each row's
 # distances to the g group centers, then scan member cells group-by-
 # group in (distance, group) order with triangle-inequality pruning
@@ -292,12 +292,50 @@ KNN_CHUNK_CELLS = 1 << 22
 # change the exact top-nprobe).  Pruning bounds are over-slacked floats
 # of exact-integer quantities, so no tie or true candidate is ever
 # pruned: OUTPUT IS BIT-IDENTICAL to the flat scan (test-pinned), only
-# the flop count changes — ~n*(sqrt(k) + nprobe*sqrt(k)) when cells
-# cluster vs the flat n*k, which under the scaled fit (k ~ n/256) was
-# the one remaining Theta(n^2/256) term.  Below the threshold the flat
-# one-BLAS-matmul scan wins on constants (k=512: 512 fused dots/row
-# beat scattered sub-matmuls + bucketing overhead).
-KNN_HIER_CELLS_MIN = 512
+# the flop count changes — ~n*(1 + nprobe)*sqrt(k) WHEN PRUNING FIRES.
+#
+# Whether it fires is a property of the DATA, not the algorithm, and it
+# is MEASURED, not assumed (KNN_HIER_VISIT_MAX below): on clusterable
+# corpora (the realistic embedding case IVF itself presumes) rows
+# deactivate after a handful of groups; on decorrelated/uniform-ish
+# 64-dim data distance concentration makes every cover-radius bound
+# vacuous — measured on the sign-salted XL twin: ALL 56 groups visited
+# for EVERY row, i.e. flat flops + overhead.  The two rejected
+# alternatives are recorded here so they are not re-proposed: (a)
+# IMI-style approximate routing (scan only the s nearest super-cells)
+# measured 56-90x faster but only 15-32% own-cell agreement on the
+# decorrelated twin — a different, worse operator, not a faster one;
+# (b) the k ~ sqrt(256n) rule does MORE assignment work than n/256
+# below their n = 16.8M crossover, which is exactly where the
+# MAX_FIT_ROWS/4 cap equalizes both — pointless given the cap.  NOTE
+# the cap also bounds the flat path: assignment is
+# n * min(n/256, 16384) dots = O(n * 16384), LINEAR at scale with a
+# large constant; the hierarchical path is a constant-factor win, not
+# an asymptote change beyond the cap.
+#
+# The SECOND, pruning-independent finding (r12 quiet-host sweep,
+# knn_join_xl in SCALING_SKEW.jsonl): even at FULL visitation the
+# two-level kernel beats the flat blocked scan once k is large — the
+# flat kernel streams rows x 1024 distance blocks (argmin passes over
+# 1024-wide, cache-hostile matrices), the two-level kernel works in
+# ~sqrt(k)-wide group blocks that stay cache-resident.  Measured on the
+# sign-salted twin (visit_frac 0.90-1.00, i.e. zero pruning):
+# k=1562 flat wins 1.64 vs 2.69 s; k=3125 hier wins 6.95 vs 11.60 s;
+# k=6250 hier wins 17.3 vs 38.1 s.  Hence TWO thresholds:
+KNN_HIER_CELLS_MIN = 2048  # above: hier unconditionally (constants win)
+# in (PRUNE_CELLS_MIN, CELLS_MIN]: hier only when the visit-fraction
+# probe measures real pruning (multi-scale corpora — clusters of
+# clusters; single-scale cluster structure does NOT make the CENTROID
+# set clusterable, measured 0.886 on the jitter-clustered twin)
+KNN_HIER_PRUNE_CELLS_MIN = 512
+# The measured gate for that band: fraction of super-cells a typical
+# row must visit, estimated driver-side for FREE by running the
+# two-level scan with the k centroids THEMSELVES as queries.  <= 0.5
+# means pruning kills at least half the group scans; above it the flat
+# one-GEMM scan wins on constants at these k (measured).  Routing
+# errors are COST-ONLY in the strictest sense: both kernels are
+# bit-identical, so this switch cannot move a value.
+KNN_HIER_VISIT_MAX = 0.5
 
 
 def _assert_quant_exact(X) -> None:
@@ -344,7 +382,18 @@ def _hier_groups(cents: list[list[int]]):
     X = np.array(cents, dtype=np.float64)
     k = len(cents)
     g = max(1, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
-    G = X[:g].copy()
+    # Deterministic farthest-point seeding (seed 0 = cid 0; seed j = the
+    # centroid maximizing min distance to the chosen seeds, ties to the
+    # lowest cid): first-g-by-cid seeding collapses when the centroid
+    # list happens to order by cluster — all seeds in one cluster, one
+    # giant group whose cover radius spans the corpus, pruning dead.
+    seeds = [0]
+    mind = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(g - 1):
+        s = int(mind.argmax())  # argmax: first maximum -> lowest cid
+        seeds.append(s)
+        mind = np.minimum(mind, ((X - X[s]) ** 2).sum(axis=1))
+    G = X[seeds].copy()
     from osm2orc_spark.operators.similarity import IVF_KM_ITERS
 
     for _ in range(IVF_KM_ITERS):
@@ -373,6 +422,83 @@ def _hier_groups(cents: list[list[int]]):
         radii.append(float(d[cids, j].max()))
     G = np.stack(centers)
     return G, (G * G).sum(axis=1), np.array(radii), members
+
+
+def _hier_visit_frac(cents: list[list[int]], hier, nprobe: int) -> float:
+    """Driver-side pruning-effectiveness probe (see KNN_HIER_VISIT_MAX):
+    run the exact two-level scan with the k centroids THEMSELVES as
+    queries and return the mean fraction of super-cells a query visits
+    before every remaining group is provably prunable.  Free (no data
+    scan, no collect — O(k*sqrt(k)) driver flops on <= 16,384 rows) and
+    deterministic; the centroids sample the data's own geometry, so
+    clusterable corpora measure low and distance-concentrated ones
+    measure ~1.0."""
+    import numpy as np
+
+    G, gn2, R2, members = hier
+    X = np.array(cents, dtype=np.float64)
+    n2 = (X * X).sum(axis=1)
+    C = X
+    cn2 = n2
+    k = len(cents)
+    nprobe = min(nprobe, k)
+    Dg = n2[:, None] - 2.0 * (X @ G.T) + gn2[None, :]
+    ordg = np.argsort(Dg, axis=1, kind="stable")
+    Dg_s = np.take_along_axis(Dg, ordg, axis=1)
+    R2_s = R2[ordg]
+    ng = G.shape[0]
+    rows = len(X)
+    best_d = np.full((rows, nprobe), np.inf)
+    visited = np.zeros(rows, dtype=np.int64)
+    active = np.arange(rows)
+    for j in range(ng):
+        if active.size == 0:
+            break
+        visited[active] += 1
+        gids = ordg[active, j]
+        for gid in np.unique(gids):
+            rws = active[gids == gid]
+            cids = members[gid]
+            db = (
+                n2[rws][:, None]
+                - 2.0 * (X[rws] @ C[cids].T)
+                + cn2[cids][None, :]
+            )
+            take = min(nprobe, len(cids))
+            part = np.sort(db, axis=1)[:, :take]
+            cand = np.concatenate([best_d[rws], part], axis=1)
+            cand.sort(axis=1)
+            best_d[rws] = cand[:, :nprobe]
+        if j + 1 >= ng:
+            break
+        B = best_d[active, -1]
+        filled = np.isfinite(B)
+        Bc = np.where(filled, B, 0.0)
+        rem_D = Dg_s[active, j + 1 :]
+        rem_R = R2_s[active, j + 1 :]
+        s_over = np.sqrt(Bc[:, None] * rem_R) * (1.0 + 1e-12) + 1.0
+        done = filled & (rem_D > Bc[:, None] + rem_R + 2.0 * s_over).all(axis=1)
+        active = active[~done]
+    return float(visited.mean()) / ng
+
+
+def _pick_hier(cents: list[list[int]], nprobe: int):
+    """The hierarchical-assignment route (cost-only decision — both
+    kernels are bit-identical): above KNN_HIER_CELLS_MIN the two-level
+    kernel wins on cache constants alone (measured, no pruning needed);
+    in the (PRUNE_CELLS_MIN, CELLS_MIN] band it wins only when the
+    visit-fraction probe measures real pruning.  The probe is skipped
+    in the unconditional band — its own simulation is O(k^2) dots at
+    full visitation, ~17 GFLOPs at the 16,384-cell cap."""
+    k = len(cents)
+    if k <= KNN_HIER_PRUNE_CELLS_MIN:
+        return None
+    cand = _hier_groups(cents)
+    if k > KNN_HIER_CELLS_MIN:
+        return cand
+    if _hier_visit_frac(cents, cand, nprobe) <= KNN_HIER_VISIT_MAX:
+        return cand
+    return None
 
 
 def _knn_assign_kernel(cents: list[list[int]], nprobe: int, hier=None):
@@ -687,11 +813,13 @@ def ann_knn_join(
     emb = load(spark, sf_dir, "embeddings")
     emb_t = emb.schema["embedding"].dataType.simpleString()
     cents = [list(c) for c in index.centroids]
-    # above KNN_HIER_CELLS_MIN cells the assignment scan goes two-level:
-    # bit-identical output (exact pruning — see top_nprobe_hier), flop
-    # count drops from n*k to ~n*sqrt(k); the structure is built once on
-    # the driver and rides the kernel closure like the centroids do
-    hier = _hier_groups(cents) if len(cents) > KNN_HIER_CELLS_MIN else None
+    # above KNN_HIER_CELLS_MIN cells — and only when the driver-side
+    # visit-fraction probe says pruning will fire on THIS data — the
+    # assignment scan goes two-level: bit-identical output (exact
+    # pruning — see top_nprobe_hier), flop count ~n*sqrt(k)*(1+nprobe)
+    # instead of n*k; the structure is built once on the driver and
+    # rides the kernel closure like the centroids do
+    hier = _pick_hier(cents, min(nprobe, len(cents)))
     asg = emb.select("vec_id", "embedding").mapInArrow(
         _knn_assign_kernel(cents, nprobe, hier),
         f"vec_id long, embedding {emb_t}, cid int, probes array<int>",

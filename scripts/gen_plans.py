@@ -255,6 +255,27 @@ NOTES = {
         "hub 3e4, analytic 2.5e11 join rows at hub 1e6 vs 6.3 s flat "
         "for this plan)."
     ),
+    "ann_knn_join_prebuilt_scaledk_forced": (
+        "The kNN join's k-scale + hierarchical-assignment switch path, "
+        "captured FORCED (KNN_SCALE_ROWS_MAX=-1, KNN_HIER_CELLS_MIN=0): "
+        "the PLAN is structurally IDENTICAL to the base section above "
+        "by construction — both switches live INSIDE the MapInArrow "
+        "assignment kernel (more centroids as closure constants; the "
+        "exact two-level triangle-inequality-pruned scan replacing the "
+        "flat argmin), so no operator, exchange, or pushdown moves. "
+        "That identity is machine-asserted by the switch-registry plan "
+        "pin; this section documents the forced path's capture so every "
+        "switch has one (r11 missing #3)."
+    ),
+    "curation_semdedup": (
+        "SemDeDup over the kNN self-join (r12): the kNN subtree is the "
+        "base plan above; the greedy tail is all linear — filter on "
+        "cosine >= tau, symmetrizing Union + HashAggregate(distinct), "
+        "one groupBy(vec_id) with partial aggregation (count + "
+        "conditional min witness), and a final left equi-join back to "
+        "the one-column vec_id scan. No window, no broadcast of "
+        "anything unbounded, <= 2*n*k edge rows total."
+    ),
 }
 
 
@@ -295,6 +316,28 @@ def main() -> None:
 
         return fn
 
+    def _forced_knn_scaledk(spark, sf):
+        """The kNN switches live in ann_index (not switches): force the
+        scaled fit and the hierarchical assignment for the plan build."""
+        from osm2orc_spark.operators import ann_index
+
+        saved = (
+            ann_index.KNN_SCALE_ROWS_MAX,
+            ann_index.KNN_HIER_CELLS_MIN,
+            ann_index.KNN_HIER_PRUNE_CELLS_MIN,
+        )
+        ann_index.KNN_SCALE_ROWS_MAX = -1
+        ann_index.KNN_HIER_CELLS_MIN = 0
+        ann_index.KNN_HIER_PRUNE_CELLS_MIN = 0
+        try:
+            return qs["ann_knn_join_prebuilt"].fn(spark, sf)
+        finally:
+            (
+                ann_index.KNN_SCALE_ROWS_MAX,
+                ann_index.KNN_HIER_CELLS_MIN,
+                ann_index.KNN_HIER_PRUNE_CELLS_MIN,
+            ) = saved
+
     extra = {
         "sessionize_events_chunked": sessionize_events_chunked,
         "embedding_near_dup_lsh_refined": embedding_near_dup_lsh_refined,
@@ -317,6 +360,7 @@ def main() -> None:
                 load(spark, sf, "events").filter(F.col("user_id").isNotNull())
             )
         ),
+        "ann_knn_join_prebuilt_scaledk_forced": _forced_knn_scaledk,
     }
     for name, note in NOTES.items():
         df = (qs[name].fn if name in qs else extra[name])(spark, SF)

@@ -2717,17 +2717,63 @@ def main_decon_doubling() -> None:
     spark.stop()
 
 
+def _build_xl_embeddings_clustered(spark) -> str:
+    """Clusterable XL twin (the regime IVF itself presumes): per-replica
+    multiplicative jitter — every replica i scales each dim by a
+    deterministic 1 + u(i, dim)/20 with u in [-0.5, 0.5) from
+    hash(i, dim) — so replicas cluster TIGHTLY around each of the 2,000
+    base vectors (in-cluster cosine ~0.999, cross-cluster decorrelated).
+    The sign-salted twin (_build_xl_embeddings) deliberately destroys
+    global cluster structure to measure pure scale; THIS twin preserves
+    it to measure the hierarchical assignment's pruning in the regime
+    it exists for."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.tables import load
+
+    mode_dir = os.path.join(SKEW_DIR, f"xl_embc_r{EMB_REP}")
+    marker = os.path.join(mode_dir, "_BUILT")
+    if os.path.exists(marker):
+        return mode_dir
+    os.makedirs(mode_dir, exist_ok=True)
+    emb = load(spark, BASE_SF, "embeddings")
+    rep = emb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(EMB_REP - 1))).alias("i"), "*"
+    )
+    jittered = F.transform(
+        "embedding",
+        lambda x, idx: x
+        * (
+            1.0
+            + (F.pmod(F.hash(F.col("i"), idx), F.lit(1000)) - 500).cast("float")
+            / 20000.0
+        ),
+    )
+    rep.select(
+        (F.col("vec_id") * EMB_REP + F.col("i")).alias("vec_id"),
+        jittered.alias("embedding"),
+        "label",
+    ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(mode_dir, "embeddings.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return mode_dir
+
+
 def main_knn_micro() -> None:
-    """r10 verdict #7 + r11 verdict #1/#2 done-criteria: the kNN
-    self-join's probe cost scales with n * nprobe * cell_size, not n^2
-    — and with the r12 hierarchical assignment (exact two-level scan,
-    ~n*sqrt(k) flops) the ASSIGNMENT stage is subquadratic too, which
-    was the one remaining Theta(n^2/256) term under the scaled fit
-    (k ~ n/256).  Per size (now up to 1.6M vectors, min-of-3): the
-    assignment scan is timed ALONE in both kernels (flat vs hier,
-    bit-identical output), then the full join under the default
-    dispatch.  The r11 fixed8 records (the avoided n^2/8 cell regime)
-    stand in SCALING_SKEW.jsonl; not re-measured."""
+    """r10 verdict #7 + r11 verdict #1/#2 done-criteria, r12 protocol:
+    TWO twins x four sizes (200k..1.6M vectors, min-of-3).  The
+    sign-salted twin has no global cluster structure (measured: the
+    exact two-level scan visits ALL groups — nothing prunes in
+    concentrated 64-dim distances), so its route must stay FLAT, whose
+    cost is n * min(n/256, 16384) dots — linear at scale by the r12
+    k-cap.  The clustered twin preserves the structure IVF presumes;
+    there the visit-fraction probe must pick HIER and the assignment
+    wall must drop well below flat.  Per (twin, size): the driver-side
+    visit-frac probe value + chosen route, assignment scan timed ALONE
+    in both kernels (bit-identical output), then the full join under
+    the default (auto-routed) dispatch."""
     import numpy as np  # noqa: F401
 
     from osm2orc_spark.operators import ann_index
@@ -2751,63 +2797,86 @@ def main_knn_micro() -> None:
     passes = int(os.environ.get("KNN_PASSES", "3"))
 
     global EMB_REP
-    for rep in (100, 200, 400, 800):
-        n = 2000 * rep
-        saved_rep = EMB_REP
-        EMB_REP = rep
-        try:
-            emb_dir = _build_xl_embeddings(spark)
-        finally:
-            EMB_REP = saved_rep
-        k_cents = max(N_CENTROIDS, n // 256)
-        t0 = time.perf_counter()
-        cents = _lloyd_fit_ints(spark, emb_dir, k_cents, IVF_KM_ITERS)
-        fit_sec = time.perf_counter() - t0
-        cents_l = [list(c) for c in cents]
-        idx = AnnIndex(kind="ivf", centroids=tuple(tuple(c) for c in cents))
+    for twin, builder in (
+        ("salted", _build_xl_embeddings),
+        ("clustered", _build_xl_embeddings_clustered),
+    ):
+        for rep in (100, 200, 400, 800):
+            n = 2000 * rep
+            saved_rep = EMB_REP
+            EMB_REP = rep
+            try:
+                emb_dir = builder(spark)
+            finally:
+                EMB_REP = saved_rep
+            k_cents = max(N_CENTROIDS, n // 256)
+            t0 = time.perf_counter()
+            cents = _lloyd_fit_ints(spark, emb_dir, k_cents, IVF_KM_ITERS)
+            fit_sec = time.perf_counter() - t0
+            cents_l = [list(c) for c in cents]
+            idx = AnnIndex(kind="ivf", centroids=tuple(tuple(c) for c in cents))
 
-        emb = load(spark, emb_dir, "embeddings").select("vec_id", "embedding")
-        emb_t = emb.schema["embedding"].dataType.simpleString()
-        schema = f"vec_id long, embedding {emb_t}, cid int, probes array<int>"
-        assign = {}
-        for tag in ("flat", "hier"):
-            h = ann_index._hier_groups(cents_l) if tag == "hier" else None
-            kern = ann_index._knn_assign_kernel(cents_l, KNN_NPROBE, h)
+            hier = ann_index._hier_groups(cents_l)
+            visit_frac = ann_index._hier_visit_frac(cents_l, hier, KNN_NPROBE)
+            route = (
+                "hier"
+                if k_cents > ann_index.KNN_HIER_PRUNE_CELLS_MIN
+                and (
+                    k_cents > ann_index.KNN_HIER_CELLS_MIN
+                    or visit_frac <= ann_index.KNN_HIER_VISIT_MAX
+                )
+                else "flat"
+            )
+
+            emb = load(spark, emb_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            emb_t = emb.schema["embedding"].dataType.simpleString()
+            schema = (
+                f"vec_id long, embedding {emb_t}, cid int, probes array<int>"
+            )
+            assign = {}
+            for tag in ("flat", "hier"):
+                kern = ann_index._knn_assign_kernel(
+                    cents_l, KNN_NPROBE, hier if tag == "hier" else None
+                )
+                walls = []
+                for i in range(passes + 1):  # first warms
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    emb.mapInArrow(kern, schema).count()
+                    walls.append(time.perf_counter() - t0)
+                assign[tag] = round(min(walls[1:]), 3)
+
             walls = []
-            for i in range(passes + 1):  # first warms
+            n_out = 0
+            for i in range(passes + 1):  # first warms; auto-routed dispatch
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                emb.mapInArrow(kern, schema).count()
+                n_out = ann_knn_join(spark, emb_dir, idx).count()
                 walls.append(time.perf_counter() - t0)
-            assign[tag] = round(min(walls[1:]), 3)
-
-        walls = []
-        n_out = 0
-        for i in range(passes + 1):  # first warms; default dispatch = hier
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            n_out = ann_knn_join(spark, emb_dir, idx).count()
-            walls.append(time.perf_counter() - t0)
-        print(
-            json.dumps(
-                {
-                    "micro": "knn_join_xl",
-                    "round": 12,
-                    "kernel": "hier_f64",
-                    "vectors": n,
-                    "config": "scaled",
-                    "k_cents": k_cents,
-                    "avg_cell": round(n / k_cents, 1),
-                    "fit_sec": round(fit_sec, 3),
-                    "assign_flat_sec": assign["flat"],
-                    "assign_hier_sec": assign["hier"],
-                    "probe_wall_min_sec": round(min(walls[1:]), 3),
-                    "out_rows": n_out,
-                    "protocol": f"min-of-{passes}",
-                }
-            ),
-            flush=True,
-        )
+            print(
+                json.dumps(
+                    {
+                        "micro": "knn_join_xl",
+                        "round": 12,
+                        "twin": twin,
+                        "vectors": n,
+                        "config": "scaled",
+                        "k_cents": k_cents,
+                        "avg_cell": round(n / k_cents, 1),
+                        "visit_frac": round(visit_frac, 4),
+                        "route": route,
+                        "fit_sec": round(fit_sec, 3),
+                        "assign_flat_sec": assign["flat"],
+                        "assign_hier_sec": assign["hier"],
+                        "probe_wall_min_sec": round(min(walls[1:]), 3),
+                        "out_rows": n_out,
+                        "protocol": f"min-of-{passes} quiet-host",
+                    }
+                ),
+                flush=True,
+            )
     spark.stop()
 
 

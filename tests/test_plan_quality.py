@@ -720,3 +720,17 @@ def test_chunked_rank_windows_keyed_by_chunk(spark, sf_correctness, monkeypatch)
             assert plan.count("windowspecdefinition") == len(specs), name
     finally:
         switches.probe_cache_clear()
+
+
+def test_semdedup_plan_linear_tail(spark, sf_correctness):
+    """curation_semdedup's post-kNN tail must stay linear: no cartesian,
+    the per-vector aggregation runs with a partial (map-side) phase, and
+    the only window in the plan is the kNN join's own bounded per-vector
+    merge (the greedy tail itself is window-free)."""
+    plan = plan_of(spark, sf_correctness, "curation_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan  # the edge symmetrization
+    # exactly the kNN subtree's single merge window, none added
+    assert plan.count("[Window]") <= 1
+    # the groupBy(vec_id) aggregate has a partial phase
+    assert "partial_min" in plan or "HashAggregate" in plan

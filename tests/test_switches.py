@@ -435,6 +435,7 @@ class TestKnnJoin:
         flat = ann_index.ann_knn_join(spark, sf_correctness, idx).collect()
         assert len(flat) > 0
         monkeypatch.setattr(ann_index, "KNN_HIER_CELLS_MIN", 0)
+        monkeypatch.setattr(ann_index, "KNN_HIER_PRUNE_CELLS_MIN", 0)
         assert ann_index.ann_knn_join(spark, sf_correctness, idx).collect() == flat
 
     def test_hier_assignment_identity_many_cells(
@@ -460,6 +461,7 @@ class TestKnnJoin:
 
         flat = run()
         monkeypatch.setattr(ann_index, "KNN_HIER_CELLS_MIN", 0)
+        monkeypatch.setattr(ann_index, "KNN_HIER_PRUNE_CELLS_MIN", 0)
         assert run() == flat
         assert flat == self._bruteforce_twin(spark, sf_correctness, idx, 3, 4)
 
@@ -486,6 +488,7 @@ class TestKnnJoin:
         cents = _lloyd_fit_ints(spark, d, 16, IVF_KM_ITERS)
         idx = AnnIndex(kind="ivf", centroids=tuple(tuple(c) for c in cents))
         monkeypatch.setattr(ann_index, "KNN_HIER_CELLS_MIN", 0)
+        monkeypatch.setattr(ann_index, "KNN_HIER_PRUNE_CELLS_MIN", 0)
         got = sorted(
             (r["vec_id"], r["rn"], r["nb_id"], r["cosine"])
             for r in ann_knn_join(spark, d, idx, k_neighbors=3, nprobe=2).collect()
@@ -542,6 +545,71 @@ class TestKnnJoin:
             else:
                 assert r["dup_of"] is not None and r["dup_of"] < v
                 assert (r["dup_of"], v) in edges
+
+    def test_hier_visit_probe_separates_regimes(self):
+        """The visit-fraction probe must measure LOW on clusterable
+        centroid geometry (well-separated tight clusters — pruning
+        fires) and HIGH on distance-concentrated geometry (uniform-ish
+        high-dim — every cover-radius bound vacuous), because that
+        measurement IS the routing decision."""
+        from osm2orc_spark.operators.ann_index import (
+            _hier_groups,
+            _hier_visit_frac,
+        )
+
+        # 64 centroids in 8 tight clusters, cluster centers 10^6 apart,
+        # in-cluster spread ~10^2: groups align with clusters, radii
+        # tiny vs inter-cluster distances -> one group visit suffices
+        clustered = []
+        for c in range(8):
+            base = [(c * 1_000_000 if d == c else 0) for d in range(8)]
+            for i in range(8):
+                clustered.append([v + ((c * 31 + i * 7 + d) % 199) for d, v in enumerate(base)])
+        frac_c = _hier_visit_frac(clustered, _hier_groups(clustered), 2)
+        # 64 deterministic scattered points in 64-dim (md5-derived, no
+        # lattice structure): distance concentration makes the cover
+        # radii comparable to every gap, so nothing prunes
+        import hashlib
+
+        def h(i, d):
+            v = int.from_bytes(
+                hashlib.md5(f"{i}:{d}".encode()).digest()[:4], "big"
+            )
+            return v % 2_000_001 - 1_000_000
+
+        scattered = [[h(i, d) for d in range(64)] for i in range(64)]
+        frac_s = _hier_visit_frac(scattered, _hier_groups(scattered), 2)
+        assert frac_c < 0.5, f"clusterable geometry should prune, got {frac_c}"
+        assert frac_s > 0.5, f"concentrated geometry can't prune, got {frac_s}"
+
+    def test_pick_hier_routes_by_measurement(self, monkeypatch):
+        from osm2orc_spark.operators import ann_index
+
+        clustered = []
+        for c in range(8):
+            base = [(c * 1_000_000 if d == c else 0) for d in range(8)]
+            for i in range(8):
+                clustered.append([v + ((c * 31 + i * 7 + d) % 199) for d, v in enumerate(base)])
+        # below the prune-band floor: never hier, regardless of geometry
+        assert ann_index._pick_hier(clustered, 2) is None
+        # inside the probe band (PRUNE_CELLS_MIN < k <= CELLS_MIN): the
+        # measured visit fraction decides
+        monkeypatch.setattr(ann_index, "KNN_HIER_PRUNE_CELLS_MIN", 0)
+        assert ann_index._pick_hier(clustered, 2) is not None
+        import hashlib
+
+        def h(i, d):
+            v = int.from_bytes(
+                hashlib.md5(f"{i}:{d}".encode()).digest()[:4], "big"
+            )
+            return v % 2_000_001 - 1_000_000
+
+        scattered = [[h(i, d) for d in range(64)] for i in range(64)]
+        assert ann_index._pick_hier(scattered, 2) is None  # probe rejects
+        # above CELLS_MIN: unconditional, probe skipped (cache constants
+        # win even at full visitation — the measured salted-twin result)
+        monkeypatch.setattr(ann_index, "KNN_HIER_CELLS_MIN", 0)
+        assert ann_index._pick_hier(scattered, 2) is not None
 
     def test_cached_index_rejects_nonpositive_k(self, spark, sf_correctness):
         """r11 advice: an explicit k_cents=0 used to alias the None cache
