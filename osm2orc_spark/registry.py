@@ -77,10 +77,16 @@ def register(
 # curation_semdedup consumer), then 29 oldest-r9 fills in registry
 # order.
 # ---------------------------------------------------------------------------
+import importlib.resources as _res
 import json as _json
-from pathlib import Path as _Path
 
-_DV = _json.loads(_Path(__file__).with_name("driver_verified.json").read_text())
+# importlib.resources, not Path(__file__): the driver ships the package
+# to executors as a ZIP (spark.submit.pyFiles), where __file__ points
+# inside the archive and plain open() fails with NotADirectoryError
+# (caught by tests/test_driver_env.py's foreign-cwd driver sim).
+_DV = _json.loads(
+    (_res.files("osm2orc_spark") / "driver_verified.json").read_text()
+)
 
 #: round -> names triple-green in that round's driver gate (CORRECTNESS_rN.json)
 DRIVER_VERIFIED_BY_ROUND: dict[int, frozenset[str]] = {

@@ -48,8 +48,13 @@ def ship_package(spark: SparkSession) -> None:
     pkg_root = Path(__file__).resolve().parent
     zip_path = Path(tempfile.mkdtemp(prefix="osm2orc_pyfiles_")) / "osm2orc_spark.zip"
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for py in sorted(pkg_root.rglob("*.py")):
-            zf.write(py, arcname=str(Path(pkg_root.name) / py.relative_to(pkg_root)))
+        # *.json rides along: registry.py loads driver_verified.json as a
+        # package resource, so a zip without it breaks worker-side imports
+        for pat in ("*.py", "*.json"):
+            for f in sorted(pkg_root.rglob(pat)):
+                zf.write(
+                    f, arcname=str(Path(pkg_root.name) / f.relative_to(pkg_root))
+                )
     sc.addPyFile(str(zip_path))
     _SHIPPED_APP_IDS.add(app_id)
 
