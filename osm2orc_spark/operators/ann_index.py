@@ -959,3 +959,101 @@ def _register_knn_join() -> None:
 
 
 _register_knn_join()
+
+
+# ---------------------------------------------------------------------------
+# kNN-join recall eval (r12): the corpus-wide self-join is APPROXIMATE
+# (nprobe cells per vector), so its quality needs the same first-class
+# eval the probe family has (ann_ivf_recall et al).  Ground truth is
+# EXACT top-KNN_K for a bounded md5-free deterministic query set (the
+# first N_BATCH_QUERIES vec_ids — the ann_topk_batch sample), computed
+# linearly (broadcast query block x corpus scan, never all-pairs), so
+# the eval itself is scale-safe: exact side n * |queries|, approx side
+# the kNN join's own linear pipeline.
+# ---------------------------------------------------------------------------
+def _register_knn_recall() -> None:
+    from osm2orc_spark.registry import REGISTRY, register
+
+    def ann_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from osm2orc_spark.operators.similarity import (
+            N_BATCH_QUERIES,
+            ann_topk_batch,
+        )
+        from osm2orc_spark.tables import load
+
+        # exact top-KNN_K = the first KNN_K rows of the batch query's
+        # exact top-TOP_K under the identical (cosine DESC, vec_id) order
+        exact = ann_topk_batch(spark, sf_dir)
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+        exact_k = (
+            exact.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KNN_K)
+            .select("q_id", "vec_id")
+        )
+        qids = (
+            load(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .limit(N_BATCH_QUERIES)
+            .select(F.col("vec_id").alias("q_id"))
+        )
+        knn = _knn_join_registered(spark, sf_dir)
+        approx = knn.join(
+            F.broadcast(qids), knn["vec_id"] == qids["q_id"]
+        ).select("q_id", F.col("nb_id").alias("vec_id"), F.lit(1).alias("hit"))
+        return (
+            exact_k.join(approx, ["q_id", "vec_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count("hit").cast("bigint").alias("n_overlap"),
+                (F.count("hit").cast("double") / F.lit(float(KNN_K))).alias(
+                    "recall"
+                ),
+            )
+            .orderBy("q_id")
+        )
+
+    from osm2orc_spark.operators.similarity import N_BATCH_QUERIES
+    from osm2orc_spark.registry import REGISTRY as _REG
+
+    batch_sql = _REG["ann_topk_batch"].oracle
+    oracle = f"""
+    WITH {_knn_cte_sql()},
+    batch AS ({batch_sql}),
+    exact_k AS (
+      SELECT q_id, vec_id FROM batch
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= {KNN_K}
+    ),
+    qids AS (
+      SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id LIMIT {N_BATCH_QUERIES}
+    ),
+    approx AS (
+      SELECT k.vec_id AS q_id, k.nb_id AS vec_id
+      FROM knn k JOIN qids q ON q.q_id = k.vec_id
+    )
+    SELECT e.q_id, CAST(COUNT(p.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(p.vec_id) AS DOUBLE) / {KNN_K} AS recall
+    FROM exact_k e
+    LEFT JOIN approx p ON p.q_id = e.q_id AND p.vec_id = e.vec_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """
+
+    register(
+        "ann_knn_recall",
+        oracle=oracle,
+        doc=f"Recall@{KNN_K} of the approximate corpus-wide kNN self-join "
+        "vs exact per-query ground truth, per query — the quality eval "
+        "the probe family already carries (ann_ivf_recall pattern). "
+        "Ground truth composes ann_topk_batch's broadcast-block exact "
+        "scan (linear, never all-pairs) re-ranked to the join's k; both "
+        "sides are deterministic (total-order tie-breaks), so the "
+        "overlap counts are exact and the composed DuckDB oracle "
+        "value-hashes the whole graph.  Inherits the kNN join's "
+        "k-scale and assignment-route switches through composition.",
+        tags=("similarity", "eval"),
+    )(ann_knn_recall)
+
+
+_register_knn_recall()

@@ -1557,11 +1557,14 @@ def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assemble_semdedup_oracle() -> None:
+def _semdedup_cte_sql() -> str:
+    """The semdedup CTE chain (kNN graph + greedy tail), ending in
+    ``sd_result``(vec_id, kept, n_near, dup_of) — factored so composed
+    consumers (curation_semdedup_docs) replay the identical graph the
+    registered oracle value-hashes instead of forking a spelling."""
     from osm2orc_spark.operators.ann_index import _knn_cte_sql
 
-    REGISTRY["curation_semdedup"].oracle = f"""
-    WITH {_knn_cte_sql()},
+    return f"""{_knn_cte_sql()},
     sd_edges AS (
       SELECT vec_id, nb_id FROM knn WHERE cosine >= {SEMDEDUP_TAU!r}
     ),
@@ -1574,12 +1577,59 @@ def _assemble_semdedup_oracle() -> None:
       SELECT vec_id, COUNT(*) AS n_near,
              MIN(CASE WHEN nb_id < vec_id THEN nb_id END) AS dup_of
       FROM sd_sym GROUP BY 1
-    )
-    SELECT e.vec_id, a.dup_of IS NULL AS kept,
-           COALESCE(a.n_near, 0) AS n_near, a.dup_of
-    FROM embeddings e LEFT JOIN sd_agg a ON a.vec_id = e.vec_id
-    ORDER BY e.vec_id
+    ),
+    sd_result AS (
+      SELECT e.vec_id, a.dup_of IS NULL AS kept,
+             COALESCE(a.n_near, 0) AS n_near, a.dup_of
+      FROM embeddings e LEFT JOIN sd_agg a ON a.vec_id = e.vec_id
+    )"""
+
+
+def _assemble_semdedup_oracle() -> None:
+    REGISTRY["curation_semdedup"].oracle = f"""
+    WITH {_semdedup_cte_sql()}
+    SELECT vec_id, kept, n_near, dup_of FROM sd_result
+    ORDER BY vec_id
     """
 
 
 _assemble_semdedup_oracle()
+
+
+@register(
+    "curation_semdedup_docs",
+    oracle=None,  # assembled below from the semdedup CTE chain
+    doc="The corpus-facing application of curation_semdedup: the "
+    "surviving DOCUMENTS (embeddings.vec_id is the 1:1 doc_id key in "
+    "the driver schema) with their metadata and near-dup pressure — "
+    "what a training-data pipeline actually materializes after "
+    "semantic dedup.  One additional equi-join of the survivor ids "
+    "against the documents scan (linear; all heavy lifting is the "
+    "composed kNN + greedy tail, which carries its own scale record). "
+    "The oracle replays the identical semdedup CTE chain (shared "
+    "_semdedup_cte_sql) plus the join — value-hashed end-to-end.",
+    tags=("curation", "similarity"),
+)
+def curation_semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sd = curation_semdedup(spark, sf_dir).filter(F.col("kept"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return (
+        docs.join(sd, docs["doc_id"] == sd["vec_id"])
+        .select("doc_id", "lang", "source", "n_chars", "n_near")
+        .orderBy("doc_id")
+    )
+
+
+def _assemble_semdedup_docs_oracle() -> None:
+    REGISTRY["curation_semdedup_docs"].oracle = f"""
+    WITH {_semdedup_cte_sql()}
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, s.n_near
+    FROM documents d JOIN sd_result s ON s.vec_id = d.doc_id
+    WHERE s.kept
+    ORDER BY d.doc_id
+    """
+
+
+_assemble_semdedup_docs_oracle()

@@ -428,12 +428,24 @@ SWITCHED_QUERIES: dict[str, dict] = {
             "tests/test_switches.py::TestKnnJoin::test_knn_scale_switch_identity",
         ),
     },
-    # composed consumer: inherits the kNN join's k-scale switch through
+    # composed consumers: inherit the kNN join's k-scale switch through
     # _knn_join_registered (the cc_n_edges-trio inheritance pattern)
     "curation_semdedup": {
         "probes": ("table_rows:embeddings",),
         "identity_tests": (
             "tests/test_switches.py::TestKnnJoin::test_semdedup_kscale_switch_identity",
+        ),
+    },
+    "curation_semdedup_docs": {
+        "probes": ("table_rows:embeddings",),
+        "identity_tests": (
+            "tests/test_switches.py::TestKnnJoin::test_composed_kscale_switch_identity[curation_semdedup_docs]",
+        ),
+    },
+    "ann_knn_recall": {
+        "probes": ("table_rows:embeddings",),
+        "identity_tests": (
+            "tests/test_switches.py::TestKnnJoin::test_composed_kscale_switch_identity[ann_knn_recall]",
         ),
     },
     "dedup_components": {

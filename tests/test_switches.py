@@ -546,6 +546,24 @@ class TestKnnJoin:
                 assert r["dup_of"] is not None and r["dup_of"] < v
                 assert (r["dup_of"], v) in edges
 
+    @pytest.mark.parametrize(
+        "name", ["curation_semdedup_docs", "ann_knn_recall"]
+    )
+    def test_composed_kscale_switch_identity(
+        self, spark, sf_correctness, name, monkeypatch
+    ):
+        """The r12 composed consumers of _knn_join_registered inherit
+        its k-scale switch — forcing it at the gate SF must be
+        collect-identical (n/256 floors to N_CENTROIDS there)."""
+        from osm2orc_spark.operators import ann_index
+        from osm2orc_spark.registry import all_queries
+
+        fn = all_queries()[name].fn
+        base = fn(spark, sf_correctness).collect()
+        assert len(base) > 0
+        monkeypatch.setattr(ann_index, "KNN_SCALE_ROWS_MAX", -1)
+        assert fn(spark, sf_correctness).collect() == base
+
     def test_hier_visit_probe_separates_regimes(self):
         """The visit-fraction probe must measure LOW on clusterable
         centroid geometry (well-separated tight clusters — pruning
