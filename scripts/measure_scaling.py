@@ -2761,6 +2761,122 @@ def _build_xl_embeddings_clustered(spark) -> str:
     return mode_dir
 
 
+def main_knn_band_micro() -> None:
+    """The probe band (KNN_HIER_PRUNE_CELLS_MIN < k <= KNN_HIER_CELLS_MIN):
+    real-data demonstration that the visit-fraction probe routes HIER
+    inside the band exactly when the corpus is coarse-clustered enough
+    for the CENTROID set to cluster.  Twin: 40 base vectors x heavy
+    jittered replication (40 coarse clusters) — at k=781/1562 cells each
+    cluster holds ~20-40 cells, so the two-level groups align with the
+    clusters and pruning fires at in-band k (the 2,000-cluster twin
+    only prunes once k > 2,000, which is outside the band)."""
+    from pyspark.sql import functions as F
+
+    from osm2orc_spark.operators import ann_index
+    from osm2orc_spark.operators.ann_index import (
+        KNN_NPROBE,
+        AnnIndex,
+        ann_knn_join,
+    )
+    from osm2orc_spark.operators.similarity import IVF_KM_ITERS, _lloyd_fit_ints
+    from osm2orc_spark.tables import load
+
+    spark = get_spark(
+        app_name="measure_scaling_knn_band",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    passes = int(os.environ.get("KNN_PASSES", "3"))
+    n_bases = 40
+    for n in (200_000, 400_000):
+        rep = n // n_bases
+        twin = os.path.join(SKEW_DIR, f"xl_embb_b{n_bases}_r{rep}")
+        marker = os.path.join(twin, "_BUILT")
+        if not os.path.exists(marker):
+            os.makedirs(twin, exist_ok=True)
+            emb = load(spark, BASE_SF, "embeddings").filter(
+                F.col("vec_id") < n_bases
+            )
+            r = emb.select(
+                F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("i"), "*"
+            )
+            jittered = F.transform(
+                "embedding",
+                lambda x, idx: x
+                * (
+                    1.0
+                    + (
+                        F.pmod(F.hash(F.col("i"), idx), F.lit(1000)) - 500
+                    ).cast("float")
+                    / 20000.0
+                ),
+            )
+            r.select(
+                (F.col("vec_id") * rep + F.col("i")).alias("vec_id"),
+                jittered.alias("embedding"),
+                "label",
+            ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(twin, "embeddings.parquet"))
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        k_cents = n // 256
+        t0 = time.perf_counter()
+        cents = _lloyd_fit_ints(spark, twin, k_cents, IVF_KM_ITERS)
+        fit_sec = time.perf_counter() - t0
+        cents_l = [list(c) for c in cents]
+        idx = AnnIndex(kind="ivf", centroids=tuple(tuple(c) for c in cents))
+        hier = ann_index._hier_groups(cents_l)
+        visit_frac = ann_index._hier_visit_frac(cents_l, hier, KNN_NPROBE)
+        route = (
+            "hier" if ann_index._pick_hier(cents_l, KNN_NPROBE) is not None
+            else "flat"
+        )
+        emb = load(spark, twin, "embeddings").select("vec_id", "embedding")
+        emb_t = emb.schema["embedding"].dataType.simpleString()
+        schema = f"vec_id long, embedding {emb_t}, cid int, probes array<int>"
+        assign = {}
+        for tag in ("flat", "hier"):
+            kern = ann_index._knn_assign_kernel(
+                cents_l, KNN_NPROBE, hier if tag == "hier" else None
+            )
+            walls = []
+            for i in range(passes + 1):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                emb.mapInArrow(kern, schema).count()
+                walls.append(time.perf_counter() - t0)
+            assign[tag] = round(min(walls[1:]), 3)
+        walls = []
+        n_out = 0
+        for i in range(passes + 1):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_out = ann_knn_join(spark, twin, idx).count()
+            walls.append(time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "micro": "knn_band_xl",
+                    "round": 12,
+                    "twin": f"coarse{n_bases}",
+                    "vectors": n,
+                    "k_cents": k_cents,
+                    "visit_frac": round(visit_frac, 4),
+                    "route": route,
+                    "fit_sec": round(fit_sec, 3),
+                    "assign_flat_sec": assign["flat"],
+                    "assign_hier_sec": assign["hier"],
+                    "probe_wall_min_sec": round(min(walls[1:]), 3),
+                    "out_rows": n_out,
+                    "protocol": f"min-of-{passes} quiet-host",
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
 def main_knn_micro() -> None:
     """r10 verdict #7 + r11 verdict #1/#2 done-criteria, r12 protocol:
     TWO twins x four sizes (200k..1.6M vectors, min-of-3).  The
@@ -2907,6 +3023,7 @@ if __name__ == "__main__":
         "--registered-dimw",
         "--decon-doubling",
         "--knn-micro",
+        "--knn-band-micro",
     }
     if args - known:
         # Unknown flags must NOT fall through to the (long) default run.
@@ -2955,6 +3072,8 @@ if __name__ == "__main__":
         main_registered_dimw()
     elif "--decon-doubling" in args:
         main_decon_doubling()
+    elif "--knn-band-micro" in args:
+        main_knn_band_micro()
     elif "--knn-micro" in args:
         main_knn_micro()
     elif "--skew" in args:
