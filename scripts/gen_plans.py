@@ -276,6 +276,22 @@ NOTES = {
         "the one-column vec_id scan. No window, no broadcast of "
         "anything unbounded, <= 2*n*k edge rows total."
     ),
+    "curation_semdedup_docs": (
+        "The corpus-facing application (r12): the semdedup subtree "
+        "above plus ONE equi-join of the survivor ids against the "
+        "pruned 4-column documents scan — survivors filter before the "
+        "join, so join mass is <= kept rows. Linear tail on a linear "
+        "pipeline."
+    ),
+    "ann_knn_recall": (
+        "Recall@5 eval of the approximate kNN self-join (r12): exact "
+        "side is ann_topk_batch's broadcast-query-block scan (BroadcastNestedLoopJoin "
+        "of a 10-row block — bounded by construction, never corpus x "
+        "corpus) re-ranked to k=5; approx side is the kNN join "
+        "filtered to the same 10 query ids via a broadcast semi "
+        "pattern; LEFT join + groupBy(q_id) count. The eval adds no "
+        "unbounded operator to either subtree."
+    ),
 }
 
 
