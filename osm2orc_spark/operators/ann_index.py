@@ -184,6 +184,13 @@ def cached_index(
 
     if k_cents is not None and k_cents < 1:
         raise ValueError(f"k_cents must be >= 1, got {k_cents}")
+    if k_cents is not None and kind != "ivf":
+        # The scaled branch fits coarse centroids ONLY — an 'ivfpq'
+        # index without books would be inconsistent if a PQ probe ever
+        # consumed it (r12 advice #4).
+        raise ValueError(
+            f"k_cents override is only valid for kind='ivf', got {kind!r}"
+        )
     # key on k_cents itself (None allowed): `k_cents or 0` would alias an
     # explicit 0 with the None entry while taking the scaled branch
     key = (os.path.abspath(sf_dir), kind, k_cents)
@@ -363,9 +370,11 @@ def _assert_quant_exact(X) -> None:
 def _hier_groups(cents: list[list[int]]):
     """Deterministic two-level coarse structure over the k cell
     centroids (driver-side, O(k^1.5) on at most 16,384 rows): integer
-    Lloyd's with the house rules — seeds = the first g centroids in cid
-    order, first-minimum argmin, truncate-toward-zero updates, empty
-    groups keep their previous center — clusters the cells into
+    Lloyd's with the house rules — deterministic farthest-point seeding
+    (seed 0 = cid 0, then each next seed = argmax of min squared
+    distance to the chosen seeds, first-maximum so ties break to the
+    lowest cid), first-minimum argmin, truncate-toward-zero updates,
+    empty groups keep their previous center — clusters the cells into
     g = ceil(sqrt(k)) super-cells.  Returns (G, gn2, R2, members):
     integer group centers as float64 (exact — same bound as the cells),
     their squared norms, each group's squared COVER RADIUS (max squared

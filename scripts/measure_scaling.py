@@ -2934,13 +2934,12 @@ def main_knn_micro() -> None:
 
             hier = ann_index._hier_groups(cents_l)
             visit_frac = ann_index._hier_visit_frac(cents_l, hier, KNN_NPROBE)
+            # Route via the SAME decision ann_knn_join makes (r12 advice
+            # #3: recomputing the threshold logic inline can silently
+            # diverge from _pick_hier if the probe rules change).
             route = (
                 "hier"
-                if k_cents > ann_index.KNN_HIER_PRUNE_CELLS_MIN
-                and (
-                    k_cents > ann_index.KNN_HIER_CELLS_MIN
-                    or visit_frac <= ann_index.KNN_HIER_VISIT_MAX
-                )
+                if ann_index._pick_hier(cents_l, KNN_NPROBE) is not None
                 else "flat"
             )
 

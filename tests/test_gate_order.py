@@ -105,7 +105,18 @@ def test_verified_sets_match_driver_artifacts(path):
         and r.get("hash_match")
         and not r.get("err")
     }
-    recorded = set(_dv()["verified"].get(str(rnd), []))
+    verified = _dv()["verified"]
+    if str(rnd) not in verified and rnd > max(int(r) for r in verified):
+        # Post-gate window (r12 verdict "What's wrong"): the driver
+        # writes CORRECTNESS_rN.json AFTER the builder's last commit, so
+        # the newest artifact legitimately has no verified entry until
+        # the next round folds it in.  Only rounds <= the max recorded
+        # round must round-trip exactly.
+        pytest.skip(
+            f"round {rnd} newer than driver_verified.json's max recorded "
+            "round (post-gate window; folded in next round)"
+        )
+    recorded = set(verified.get(str(rnd), []))
     assert greens == recorded, (
         f"round {rnd}: JSON drifted from driver artifact "
         f"(+{sorted(greens - recorded)} -{sorted(recorded - greens)})"

@@ -637,6 +637,17 @@ class TestKnnJoin:
         with pytest.raises(ValueError, match="k_cents"):
             cached_index(spark, sf_correctness, "ivf", 0)
 
+    def test_cached_index_rejects_k_cents_for_non_ivf(
+        self, spark, sf_correctness
+    ):
+        """r12 advice: the scaled branch fits coarse centroids only, so
+        kind='ivfpq' with an explicit k_cents would build a books=None
+        index labeled ivfpq — inconsistent if a PQ probe consumed it."""
+        from osm2orc_spark.operators.ann_index import cached_index
+
+        with pytest.raises(ValueError, match="ivf"):
+            cached_index(spark, sf_correctness, "ivfpq", 8)
+
 
 @pytest.mark.parametrize("name", WINDOW_FAMILY)
 def test_window_family_hybrid_identity(spark, sf_correctness, name, monkeypatch):
