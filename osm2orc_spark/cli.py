@@ -21,8 +21,12 @@ Mirrors the reference entrypoint contract (Osm2Orc.java:12-41):
   compatibility path, not the scale path; the directory mode above is
   what a cluster job uses.
 
+- ``--with-discussion`` (with ``--changesets``): append the opt-in
+  ``comments ARRAY<STRUCT<date,uid,user,text>>`` column (the
+  reference's explicit TODO, OsmPbf2Orc.java:193-195).
+
 Usage:
-    python -m osm2orc_spark.cli [--changesets] <input> <output-orc-dir>
+    python -m osm2orc_spark.cli [--changesets [--with-discussion]] <input> <output-orc-dir>
     python -m osm2orc_spark.cli [--changesets] --watch [--once] <in-dir> <out-orc-dir>
     python -m osm2orc_spark.cli [--changesets] --write-orc [file=NAME | NAME] <input>
 """
@@ -72,13 +76,22 @@ def _write_single_orc_file(df, out: str, bounds) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
-    changesets = watch = once = osmosis_mode = False
-    while args and args[0] in ("--changesets", "--watch", "--once", "--write-orc"):
+    changesets = watch = once = osmosis_mode = discussion = False
+    while args and args[0] in (
+        "--changesets",
+        "--watch",
+        "--once",
+        "--write-orc",
+        "--with-discussion",
+    ):
         flag = args.pop(0)
         changesets |= flag == "--changesets"
         watch |= flag == "--watch"
         once |= flag == "--once"
         osmosis_mode |= flag == "--write-orc"
+        # opt-in comments column (the reference's TODO surface,
+        # OsmPbf2Orc.java:193-195); only meaningful with --changesets
+        discussion |= flag == "--with-discussion"
     if osmosis_mode:
         # osmosis arg forms: `--write-orc out.orc`, `--write-orc file=out.orc`,
         # or no filename -> dump.osm.orc (OrcWriterFactory.java:11-22).
@@ -127,14 +140,18 @@ def main(argv: list[str] | None = None) -> int:
                 q.stop()
         elif osmosis_mode:
             df = (
-                read_changesets(spark, inp)
+                read_changesets(spark, inp, include_discussion=discussion)
                 if changesets
                 else read_pbf(spark, inp)
             )
             bounds = None if changesets else read_pbf_bounds(inp)
             _write_single_orc_file(df, out, bounds)
         elif changesets:
-            write_orc(read_changesets(spark, inp), out, sort_type_then_id=False)
+            write_orc(
+                read_changesets(spark, inp, include_discussion=discussion),
+                out,
+                sort_type_then_id=False,
+            )
         else:
             write_orc(read_pbf(spark, inp), out, bounds=read_pbf_bounds(inp))
     finally:

@@ -169,6 +169,27 @@ def changeset_rows(seed: int = 42, n: int = 400) -> list[dict]:
             lat1, lat2 = sorted([_coord(rng, 40.0, 41.0), _coord(rng, 40.0, 41.0)], key=Decimal)
             lon1, lon2 = sorted([_coord(rng, -75.0, -73.0), _coord(rng, -75.0, -73.0)], key=Decimal)
             bbox = {"min_lat": lat1, "max_lat": lat2, "min_lon": lon1, "max_lon": lon2}
+        # discussion: exactly comments_count comments (the planet dump
+        # keeps the attribute and the <discussion> list in agreement);
+        # every 13th commenter is anonymous (no uid/user), every 7th
+        # text carries XML-hostile characters, every 5th a newline
+        n_comments = i % 5
+        discussion = []
+        for j in range(n_comments):
+            c_anon = (i + j) % 13 == 0
+            text = f"comment {j + 1} on changeset {i}"
+            if (i + j) % 7 == 0:
+                text += ' — needs <review> & "fixes"'
+            if (i + j) % 5 == 0:
+                text += "\nsecond line"
+            discussion.append(
+                {
+                    "date": created + 1800 + j * 600,
+                    "uid": None if c_anon else 200 + (i + j) % 11,
+                    "user": None if c_anon else f"commenter{200 + (i + j) % 11}",
+                    "text": text,
+                }
+            )
         rows.append(
             {
                 "id": i,
@@ -176,10 +197,11 @@ def changeset_rows(seed: int = 42, n: int = 400) -> list[dict]:
                 "created_at": created,
                 "open": is_open,
                 "closed_at": None if is_open else created + rng.randint(60, 86_400),
-                "comments_count": i % 5,
+                "comments_count": n_comments,
                 "num_changes": rng.randint(1, 200),
                 "uid": None if anonymous else 100 + i % 7,
                 "user": None if anonymous else f"user{100 + i % 7}",
+                "discussion": discussion,
                 **bbox,
             }
         )
@@ -219,10 +241,28 @@ def changesets_xml(rows: list[dict]) -> str:
                 attrs.append(f'{k}="{r[k]}"')
         attrs.append(f'num_changes="{r["num_changes"]}"')
         attrs.append(f'comments_count="{r["comments_count"]}"')
-        if r["tags"]:
+        discussion = r.get("discussion") or []
+        if r["tags"] or discussion:
             out.append(f'  <changeset {" ".join(attrs)}>')
             for k, v in r["tags"].items():
                 out.append(f"    <tag k={quoteattr(k)} v={quoteattr(v)}/>")
+            if discussion:
+                from xml.sax.saxutils import escape
+
+                out.append("    <discussion>")
+                for c in discussion:
+                    cattrs = [f'date="{_iso(c["date"])}"']
+                    if c["uid"] is not None:
+                        cattrs.append(f'uid="{c["uid"]}"')
+                    if c["user"] is not None:
+                        cattrs.append(f"user={quoteattr(c['user'])}")
+                    # <text> stays INLINE: element text is significant,
+                    # pretty-printed indentation would leak into it
+                    out.append(
+                        f'      <comment {" ".join(cattrs)}>'
+                        f"<text>{escape(c['text'])}</text></comment>"
+                    )
+                out.append("    </discussion>")
             out.append("  </changeset>")
         else:
             out.append(f'  <changeset {" ".join(attrs)}/>')

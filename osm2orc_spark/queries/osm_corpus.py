@@ -605,3 +605,78 @@ def osm_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("member_kinds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Changeset discussion (the reference's explicit TODO,
+# OsmPbf2Orc.java:193-195: "changesets also include discussion, which is
+# a list of comments (date, uid, user, text)") — ingested by
+# read_changesets(include_discussion=True) through the same pipeline
+# that builds the other fixture tables, landed as
+# fixtures/changesets_discussion.parquet.  The query exercises the
+# nested surface end-to-end: lateral explode WITH ORDINALITY over the
+# struct array, struct-field access, per-commenter aggregation, a
+# self-reply join-back against the changeset author, and unicode text
+# lengths (comment texts carry multi-byte and XML-escaped characters by
+# fixture design).
+# ---------------------------------------------------------------------------
+_DISCUSSION = f"read_parquet('{FIXTURES}/changesets_discussion.parquet/*.parquet')"
+
+
+@register(
+    "osm_changeset_discussions",
+    oracle=f"""
+    WITH x AS (
+      SELECT id AS changeset_id, uid AS author_uid,
+             CAST(generate_subscripts(comments, 1) AS BIGINT) AS ord,
+             unnest(comments) AS comment
+      FROM {_DISCUSSION}
+    )
+    SELECT comment.uid AS commenter_uid,
+           CAST(COUNT(*) AS BIGINT) AS n_comments,
+           CAST(COUNT(DISTINCT changeset_id) AS BIGINT) AS n_changesets,
+           CAST(SUM(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_openers,
+           CAST(SUM(CASE WHEN comment.uid = author_uid THEN 1 ELSE 0 END) AS BIGINT) AS n_self_replies,
+           CAST(SUM(length(comment.text)) AS BIGINT) AS text_chars,
+           MIN(comment.date) AS first_comment_at,
+           MAX(comment.date) AS last_comment_at
+    FROM x
+    GROUP BY 1
+    ORDER BY n_comments DESC, commenter_uid
+    """,
+    doc="Per-commenter discussion activity over the opt-in changeset "
+    "comments array (reference TODO surface): posexplode WITH "
+    "ORDINALITY of ARRAY<STRUCT<date,uid,user,text>>, struct-field "
+    "projection, openers (ordinality = 1), self-replies (commenter = "
+    "changeset author), unicode text lengths, comment-date range. "
+    "Anonymous commenters (NULL uid) group as their own row. Scale: "
+    "narrow per-row generate then one hash aggregate on commenter_uid "
+    "— no join, no window.",
+    tags=("osm", "explode"),
+)
+def osm_changeset_discussions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = spark.read.parquet(f"{FIXTURES}/changesets_discussion.parquet")
+    ex = cs.select(
+        F.col("id").alias("changeset_id"),
+        F.col("uid").alias("author_uid"),
+        F.posexplode("comments").alias("pos", "comment"),
+    )
+    return (
+        ex.groupBy(F.col("comment.uid").alias("commenter_uid"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_comments"),
+            F.countDistinct("changeset_id").cast("bigint").alias("n_changesets"),
+            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_openers"),
+            F.sum(
+                F.when(F.col("comment.uid") == F.col("author_uid"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_self_replies"),
+            F.sum(F.length(F.col("comment.text"))).cast("bigint").alias("text_chars"),
+            F.min("comment.date").alias("first_comment_at"),
+            F.max("comment.date").alias("last_comment_at"),
+        )
+        .orderBy(F.desc("n_comments"), "commenter_uid")
+    )

@@ -94,6 +94,39 @@ CHANGESET_RAW_SCHEMA = T.StructType(
     ]
 )
 
+# Changeset discussion (the reference's explicit TODO —
+# OsmPbf2Orc.java:193-195: "changesets also include discussion, which is
+# a list of comments (date, uid, user, text)").  OPT-IN: the default
+# changeset schema above stays field-identical to the reference's ORC
+# schema; read_changesets(include_discussion=True) appends `comments`.
+# Comment dates stay STRINGS through parsing (same discipline as
+# created_at/closed_at: the typed projection owns the cast, NULL on
+# absence/parse failure); uid is nullable — anonymous commenters exist.
+CHANGESET_COMMENT_TYPE = T.StructType(
+    [
+        T.StructField("date", T.TimestampType()),
+        T.StructField("uid", T.LongType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+CHANGESET_COMMENT_RAW_TYPE = T.StructType(
+    [
+        T.StructField("date", T.StringType()),
+        T.StructField("uid", T.LongType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+CHANGESET_DISCUSSION_RAW_SCHEMA = T.StructType(
+    list(CHANGESET_RAW_SCHEMA.fields)
+    + [T.StructField("comments", T.ArrayType(CHANGESET_COMMENT_RAW_TYPE))]
+)
+CHANGESET_DISCUSSION_SCHEMA = T.StructType(
+    list(CHANGESET_SCHEMA.fields)
+    + [T.StructField("comments", T.ArrayType(CHANGESET_COMMENT_TYPE))]
+)
+
 PLANET_DDL = (
     "id BIGINT, type STRING, tags MAP<STRING,STRING>, lat DECIMAL(9,7), "
     "lon DECIMAL(10,7), nds ARRAY<STRUCT<ref:BIGINT>>, "

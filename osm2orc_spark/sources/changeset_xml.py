@@ -38,7 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm2orc_spark import transforms as X
-from osm2orc_spark.schemas import CHANGESET_RAW_SCHEMA
+from osm2orc_spark.schemas import (
+    CHANGESET_DISCUSSION_RAW_SCHEMA,
+    CHANGESET_RAW_SCHEMA,
+)
 
 
 class NotAChangesetFileError(ValueError):
@@ -60,12 +63,26 @@ def _long(v: str | None) -> int | None:
         return None
 
 
-def parse_changeset_stream(name: str, data: bytes) -> Iterator[tuple]:
-    """Stream rows (CHANGESET_RAW_SCHEMA order) from one XML file."""
+def parse_changeset_stream(
+    name: str, data: bytes, include_discussion: bool = False
+) -> Iterator[tuple]:
+    """Stream rows (CHANGESET_RAW_SCHEMA order; + ``comments`` when
+    ``include_discussion``) from one XML file.
+
+    Discussion shape (the reference's TODO, OsmPbf2Orc.java:193-195;
+    the planet changeset dump's actual element layout):
+    ``<discussion><comment date uid user><text>..</text></comment>
+    </discussion>``.  Comment text is captured at the <text> END event —
+    the streaming ``elem.clear()`` wipes child text before the parent
+    <comment> closes, so reading it lazily at <comment> would see None.
+    Zero-comment changesets get an EMPTY list, never NULL (the tags
+    convention, B11)."""
     stream = _open_stream(name, data)
     root_seen = False
     cs_attrs: dict | None = None
     tags: dict[str, str] = {}
+    comments: list[dict] = []
+    pending_text: str | None = None
     for event, elem in iterparse(stream, events=("start", "end")):
         tag = elem.tag.rsplit("}", 1)[-1]
         if event == "start":
@@ -78,14 +95,28 @@ def parse_changeset_stream(name: str, data: bytes) -> Iterator[tuple]:
             elif tag == "changeset":
                 cs_attrs = dict(elem.attrib)
                 tags = {}
+                comments = []
         else:  # end
             if tag == "tag" and cs_attrs is not None:
                 k, v = elem.get("k"), elem.get("v")
                 if k is not None:
                     tags[k] = v if v is not None else ""
+            elif tag == "text" and cs_attrs is not None:
+                pending_text = elem.text if elem.text is not None else ""
+            elif tag == "comment" and cs_attrs is not None:
+                if include_discussion:
+                    comments.append(
+                        {
+                            "date": elem.get("date"),
+                            "uid": _long(elem.get("uid")),
+                            "user": elem.get("user"),
+                            "text": pending_text,
+                        }
+                    )
+                pending_text = None
             elif tag == "changeset" and cs_attrs is not None:
                 a = cs_attrs
-                yield {
+                row = {
                     "id": _long(a.get("id")),
                     "tags": tags,
                     "created_at": a.get("created_at"),
@@ -100,30 +131,59 @@ def parse_changeset_stream(name: str, data: bytes) -> Iterator[tuple]:
                     "uid": _long(a.get("uid")),
                     "user": a.get("user"),
                 }
+                if include_discussion:
+                    row["comments"] = comments
+                yield row
                 cs_attrs = None
             elem.clear()
 
 
-def _parse_file_batches(batches) -> Iterator:
-    """mapInArrow worker over the binaryFile source: each (path, content)
-    row parses to one RecordBatch — whole columnar batches to the JVM,
-    no per-row pickling (same Arrow path as sources/pbf.py)."""
-    import pyarrow as pa
+def _parse_file_batches(include_discussion: bool = False):
+    """mapInArrow worker factory over the binaryFile source: each
+    (path, content) row parses to one RecordBatch — whole columnar
+    batches to the JVM, no per-row pickling (same Arrow path as
+    sources/pbf.py)."""
+    raw_schema = (
+        CHANGESET_DISCUSSION_RAW_SCHEMA
+        if include_discussion
+        else CHANGESET_RAW_SCHEMA
+    )
 
-    from pyspark.sql.pandas.types import to_arrow_schema
+    def worker(batches) -> Iterator:
+        import pyarrow as pa
 
-    arrow_schema = to_arrow_schema(CHANGESET_RAW_SCHEMA)
-    for batch in batches:
-        for r in batch.to_pylist():
-            rows = list(parse_changeset_stream(r["path"], r["content"]))
-            if rows:
-                yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(raw_schema)
+        for batch in batches:
+            for r in batch.to_pylist():
+                rows = list(
+                    parse_changeset_stream(
+                        r["path"], r["content"], include_discussion
+                    )
+                )
+                if rows:
+                    yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+    return worker
 
 
-def read_changesets(spark: SparkSession, path: str) -> DataFrame:
-    """Read changeset XML file(s) at ``path`` (glob ok; .xml/.gz/.bz2)."""
+def read_changesets(
+    spark: SparkSession, path: str, include_discussion: bool = False
+) -> DataFrame:
+    """Read changeset XML file(s) at ``path`` (glob ok; .xml/.gz/.bz2).
+
+    ``include_discussion`` (opt-in — the reference's TODO surface,
+    OsmPbf2Orc.java:193-195) appends ``comments
+    ARRAY<STRUCT<date TIMESTAMP, uid BIGINT, user STRING, text STRING>>``;
+    the default output schema is unchanged."""
+    raw_schema = (
+        CHANGESET_DISCUSSION_RAW_SCHEMA
+        if include_discussion
+        else CHANGESET_RAW_SCHEMA
+    )
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-    raw = files.mapInArrow(_parse_file_batches, CHANGESET_RAW_SCHEMA)
+    raw = files.mapInArrow(_parse_file_batches(include_discussion), raw_schema)
     return _typed(raw)
 
 
@@ -141,7 +201,7 @@ def read_changesets_stream(spark: SparkSession, dir_path: str) -> DataFrame:
         .load(dir_path)
         .select("path", "content")
     )
-    raw = files.mapInArrow(_parse_file_batches, CHANGESET_RAW_SCHEMA)
+    raw = files.mapInArrow(_parse_file_batches(), CHANGESET_RAW_SCHEMA)
     return _typed(raw)
 
 
@@ -181,7 +241,7 @@ def write_batch_orc(batch_df: DataFrame, batch_id: int, out_path: str) -> None:
 
 
 def _typed(raw: DataFrame) -> DataFrame:
-    return raw.select(
+    cols = [
         F.col("id"),
         F.coalesce("tags", F.map_from_arrays(F.array(), F.array())).alias("tags"),
         X.optional_timestamp(F.col("created_at")).alias("created_at"),
@@ -195,4 +255,20 @@ def _typed(raw: DataFrame) -> DataFrame:
         F.col("num_changes"),
         F.col("uid"),
         F.col("user"),
-    )
+    ]
+    if "comments" in raw.columns:
+        # nested typed projection: comment dates go through the SAME
+        # optional-timestamp cast as created_at/closed_at (B6 semantics
+        # element-wise); empty lists stay empty, never NULL (B11)
+        cols.append(
+            F.transform(
+                F.coalesce("comments", F.array()),
+                lambda c: F.struct(
+                    X.optional_timestamp(c["date"]).alias("date"),
+                    c["uid"].alias("uid"),
+                    c["user"].alias("user"),
+                    c["text"].alias("text"),
+                ),
+            ).alias("comments")
+        )
+    return raw.select(*cols)

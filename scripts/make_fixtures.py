@@ -54,9 +54,16 @@ def main() -> None:
     changesets.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(FIXTURES, "changesets.parquet")
     )
+    # opt-in discussion surface (reference TODO, OsmPbf2Orc.java:193-195):
+    # same XML through the same pipeline with include_discussion=True
+    discussion = read_changesets(spark, xml, include_discussion=True)
+    discussion.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(FIXTURES, "changesets_discussion.parquet")
+    )
     print(
         f"fixtures: {n_entities} history rows, {planet.count()} snapshot rows, "
-        f"{n_changesets} changesets"
+        f"{n_changesets} changesets "
+        f"({discussion.selectExpr('sum(size(comments))').collect()[0][0]} comments)"
     )
     spark.stop()
 

@@ -168,6 +168,73 @@ class TestChangesetXml:
             list(parse_changeset_stream("bad.xml", bad))
 
 
+class TestChangesetDiscussion:
+    """Opt-in discussion ingest (the reference's TODO,
+    OsmPbf2Orc.java:193-195): comments ARRAY<STRUCT<date,uid,user,text>>
+    through the full Spark pipeline."""
+
+    @pytest.fixture(scope="class")
+    def csd(self, spark, xml_path):
+        df = read_changesets(spark, xml_path, include_discussion=True)
+        df.cache()
+        df.count()
+        return df
+
+    @staticmethod
+    def _shape(schema):
+        # names + types; nullability differs between the projection's
+        # inferred flags and the declared schema and carries no
+        # cell-semantics here
+        return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+    def test_schema(self, csd):
+        from osm2orc_spark.schemas import CHANGESET_DISCUSSION_SCHEMA
+
+        assert self._shape(csd.schema) == self._shape(CHANGESET_DISCUSSION_SCHEMA)
+
+    def test_default_reader_schema_unchanged(self, spark, xml_path):
+        from osm2orc_spark.schemas import CHANGESET_SCHEMA
+
+        assert self._shape(read_changesets(spark, xml_path).schema) == self._shape(
+            CHANGESET_SCHEMA
+        )
+
+    def test_counts_agree_with_attribute(self, csd):
+        # fixture keeps comments_count and the discussion list in
+        # agreement (the planet dump invariant)
+        assert (
+            csd.filter("size(comments) != comments_count").count() == 0
+        )
+
+    def test_empty_list_not_null(self, csd):
+        assert csd.filter("comments is null").count() == 0
+        assert csd.filter("size(comments) = 0").count() > 0
+
+    def test_comment_fields_typed_and_values(self, csd):
+        import datetime as dt
+
+        rows = {r["id"]: r for r in changeset_rows()}
+        some = csd.filter("size(comments) > 0").limit(20).collect()
+        assert some
+        for r in some:
+            want = rows[r["id"]]["discussion"]
+            got = r["comments"]
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert g["date"] == dt.datetime.fromtimestamp(
+                    w["date"], dt.timezone.utc
+                ).replace(tzinfo=None)
+                assert g["uid"] == w["uid"]
+                assert g["user"] == w["user"]
+                assert g["text"] == w["text"]
+
+    def test_anonymous_commenters(self, csd):
+        from pyspark.sql import functions as F
+
+        ex = csd.select(F.explode("comments").alias("c"))
+        assert ex.filter("c.uid is null and c.user is null").count() > 0
+
+
 class TestOrcSink:
     def test_roundtrip_with_metadata(self, spark, planet, tmp_path):
         out = str(tmp_path / "planet.orc")

@@ -649,6 +649,89 @@ class TestKnnJoin:
             cached_index(spark, sf_correctness, "ivfpq", 8)
 
 
+class TestKnnTuned:
+    """r12 verdict #1: the recall-routed kNN join.  The route's claims
+    are each pinned: (a) the tuned join's pair-level eval recall meets
+    the 80% target; (b) it dominates the fixed-nprobe default; (c) the
+    chosen fan-out is MINIMAL (one probe less misses the target); and
+    (d) the routing's exactness argument — predicted recall from the
+    cell-rank curve EQUALS measured recall of the actual join at that
+    fan-out (the monotone survive-the-merge theorem, empirically)."""
+
+    @staticmethod
+    def _pair_recall(spark, sf_dir, knn_df):
+        """Pair-level recall of a kNN result vs the exact ann_topk_batch
+        ground truth re-ranked to KNN_K (the routed quantity)."""
+        from pyspark.sql import Window
+
+        from osm2orc_spark.operators.ann_index import KNN_K
+        from osm2orc_spark.operators.similarity import ann_topk_batch
+
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+        exact = (
+            ann_topk_batch(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KNN_K)
+            .select("q_id", "vec_id")
+        )
+        pairs = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+        got = {
+            (r["vec_id"], r["nb_id"])
+            for r in knn_df.select("vec_id", "nb_id").collect()
+        }
+        hits = sum(1 for p in pairs if p in got)
+        return hits, len(pairs)
+
+    def test_tuned_meets_target_and_dominates_default(
+        self, spark, sf_correctness
+    ):
+        from osm2orc_spark.operators.ann_index import (
+            KNN_RECALL_TARGET_PCT,
+            _knn_join_tuned,
+            ann_knn_join,
+            cached_index,
+        )
+
+        idx = cached_index(spark, sf_correctness, "ivf")
+        h_t, n = self._pair_recall(
+            spark, sf_correctness, _knn_join_tuned(spark, sf_correctness)
+        )
+        h_d, n_d = self._pair_recall(
+            spark, sf_correctness, ann_knn_join(spark, sf_correctness, idx)
+        )
+        assert n == n_d and n > 0
+        assert 100 * h_t >= KNN_RECALL_TARGET_PCT * n
+        assert h_t >= h_d
+
+    def test_tuned_nprobe_minimal_and_curve_exact(self, spark, sf_correctness):
+        from osm2orc_spark.operators.ann_index import (
+            KNN_NPROBE,
+            KNN_RECALL_TARGET_PCT,
+            _tuned_nprobe,
+            ann_knn_join,
+            cached_index,
+        )
+
+        idx = cached_index(spark, sf_correctness, "ivf")
+        r_star = _tuned_nprobe(spark, sf_correctness, idx)
+        assert r_star > KNN_NPROBE  # the gate fixture's known recall gap
+        # (d) curve exactness at the chosen fan-out
+        h, n = self._pair_recall(
+            spark,
+            sf_correctness,
+            ann_knn_join(spark, sf_correctness, idx, nprobe=r_star),
+        )
+        assert 100 * h >= KNN_RECALL_TARGET_PCT * n
+        # (c) minimality: one probe fewer misses the target
+        h1, n1 = self._pair_recall(
+            spark,
+            sf_correctness,
+            ann_knn_join(spark, sf_correctness, idx, nprobe=r_star - 1),
+        )
+        assert n1 == n
+        assert 100 * h1 < KNN_RECALL_TARGET_PCT * n
+
+
 @pytest.mark.parametrize("name", WINDOW_FAMILY)
 def test_window_family_hybrid_identity(spark, sf_correctness, name, monkeypatch):
     """TRUE hybrid: pick a threshold that makes SOME keys hot and some
