@@ -1547,9 +1547,31 @@ class PbfWriter:
     Entities are dicts: {'id','type','tags','lat','lon' (degrees float or
     str),'nds','members','changeset','timestamp_ms','uid','user','version',
     'visible'}. Nodes are written as DenseNodes (exercising delta + string
-    table decode paths); ways/relations as their messages with Info."""
+    table decode paths); ways/relations as their messages with Info.
+
+    Encoding variants (r12 verdict #3: no real extract is reachable in
+    this offline container, so the writer emits the encoding SPACE real
+    producers use and the property suite certifies decode across it):
+
+    - ``compression``: 'zlib' (osmosis/osmium default) or 'raw'
+      (uncompressed Blob field 1 — legal and seen in the wild).
+    - ``granularity`` / ``lat_offset`` / ``lon_offset``: non-default
+      coordinate grids (PrimitiveBlock fields 17/19/20; coordinate =
+      offset + granularity*raw).  Coordinates snap to the grid by
+      floor division — byte-exact round-trip requires grid-aligned
+      inputs, which the variant tests generate.
+    - ``date_granularity``: timestamp unit (field 18).
+    - ``plain_nodes``: plain Node messages (PrimitiveGroup field 1)
+      instead of DenseNodes — the route old/unusual producers emit and
+      the Arrow fast path deliberately falls back on."""
 
     bounds: tuple[float, float, float, float] | None = None  # left,bottom,right,top
+    compression: str = "zlib"
+    granularity: int = 100
+    date_granularity: int = 1000
+    lat_offset: int = 0  # nanodegrees
+    lon_offset: int = 0
+    plain_nodes: bool = False
     _entities: list[dict] = field(default_factory=list)
 
     def add(self, **entity) -> None:
@@ -1585,7 +1607,7 @@ class PbfWriter:
         out = bytearray()
         _emit_varint(out, 1, e.get("version", 1))
         if e.get("timestamp_ms") is not None:
-            _emit_varint(out, 2, e["timestamp_ms"] // 1000)
+            _emit_varint(out, 2, e["timestamp_ms"] // self.date_granularity)
         if e.get("changeset") is not None:
             _emit_varint(out, 3, e["changeset"])
         if e.get("uid") is not None:
@@ -1614,8 +1636,8 @@ class PbfWriter:
         for e in nodes:
             ids.append(e["id"] - prev["id"])
             prev["id"] = e["id"]
-            lat = self._deg_to_nano(e["lat"]) // 100
-            lon = self._deg_to_nano(e["lon"]) // 100
+            lat = (self._deg_to_nano(e["lat"]) - self.lat_offset) // self.granularity
+            lon = (self._deg_to_nano(e["lon"]) - self.lon_offset) // self.granularity
             lats.append(lat - prev["lat"])
             prev["lat"] = lat
             lons.append(lon - prev["lon"])
@@ -1624,7 +1646,7 @@ class PbfWriter:
                 kvs.extend([index[k], index[v]])
             kvs.append(0)
             versions.append(e.get("version", 1))
-            ts = (e.get("timestamp_ms") or 0) // 1000
+            ts = (e.get("timestamp_ms") or 0) // self.date_granularity
             tss.append(ts - prev["ts"])
             prev["ts"] = ts
             cs = e.get("changeset") or 0
@@ -1652,6 +1674,25 @@ class PbfWriter:
         _emit_packed(dense, 10, kvs)
         group = bytearray()
         _emit_bytes(group, 2, bytes(dense))
+        return bytes(group)
+
+    def _encode_plain_nodes(self, nodes: list[dict], index: dict[str, int]) -> bytes:
+        """One PrimitiveGroup of plain Node messages (field 1, repeated):
+        absolute sint64 id/lat/lon, packed key/val indices, full Info —
+        the non-dense route the Arrow fast path falls back on."""
+        group = bytearray()
+        for e in nodes:
+            out = bytearray()
+            _emit_varint(out, 1, _zigzag_encode(e["id"]))
+            tags = e.get("tags") or {}
+            _emit_packed(out, 2, [index[k] for k in tags])
+            _emit_packed(out, 3, [index[v] for v in tags.values()])
+            _emit_bytes(out, 4, self._encode_info(e, index))
+            lat = (self._deg_to_nano(e["lat"]) - self.lat_offset) // self.granularity
+            lon = (self._deg_to_nano(e["lon"]) - self.lon_offset) // self.granularity
+            _emit_varint(out, 8, _zigzag_encode(lat))
+            _emit_varint(out, 9, _zigzag_encode(lon))
+            _emit_bytes(group, 1, bytes(out))
         return bytes(group)
 
     def _encode_way(self, e: dict, index: dict[str, int]) -> bytes:
@@ -1697,9 +1738,13 @@ class PbfWriter:
 
     def _blob(self, kind: str, payload: bytes, out: bytearray) -> None:
         blob = bytearray()
-        compressed = zlib.compress(payload)
-        _emit_varint(blob, 2, len(payload))
-        _emit_bytes(blob, 3, compressed)
+        if self.compression == "raw":
+            _emit_bytes(blob, 1, payload)  # Blob.raw — legal, uncompressed
+        elif self.compression == "zlib":
+            _emit_varint(blob, 2, len(payload))
+            _emit_bytes(blob, 3, zlib.compress(payload))
+        else:
+            raise ValueError(f"unsupported compression: {self.compression!r}")
         header = bytearray()
         _emit_bytes(header, 1, kind.encode())
         _emit_varint(header, 3, len(blob))
@@ -1720,7 +1765,8 @@ class PbfWriter:
             _emit_varint(bbox, 4, _zigzag_encode(self._deg_to_nano(bottom)))
             _emit_bytes(hb, 1, bytes(bbox))
         _emit_bytes(hb, 4, b"OsmSchema-V0.6")
-        _emit_bytes(hb, 4, b"DenseNodes")
+        if not self.plain_nodes:  # required feature only when actually used
+            _emit_bytes(hb, 4, b"DenseNodes")
         self._blob("OSMHeader", bytes(hb), out)
 
         strings, index = self._build_strings()
@@ -1733,16 +1779,27 @@ class PbfWriter:
             _emit_bytes(pb, 1, bytes(st))
             for g in groups:
                 _emit_bytes(pb, 2, g)
+            # non-default grids are emitted explicitly (defaults omitted,
+            # like real producers)
+            if self.granularity != 100:
+                _emit_varint(pb, 17, self.granularity)
+            if self.date_granularity != 1000:
+                _emit_varint(pb, 18, self.date_granularity)
+            if self.lat_offset:
+                _emit_varint(pb, 19, self.lat_offset)
+            if self.lon_offset:
+                _emit_varint(pb, 20, self.lon_offset)
             return bytes(pb)
 
         nodes = [e for e in self._entities if e["type"] == "node"]
         ways = [e for e in self._entities if e["type"] == "way"]
         rels = [e for e in self._entities if e["type"] == "relation"]
         chunk = nodes_per_block or len(nodes) or 1
+        enc_nodes = self._encode_plain_nodes if self.plain_nodes else self._encode_dense
         for i in range(0, len(nodes), chunk):
             batch = nodes[i : i + chunk]
             if batch:
-                self._blob("OSMData", primitive_block([self._encode_dense(batch, index)]), out)
+                self._blob("OSMData", primitive_block([enc_nodes(batch, index)]), out)
         groups = [self._encode_way(w, index) for w in ways] + [
             self._encode_relation(r, index) for r in rels
         ]
