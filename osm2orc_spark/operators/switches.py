@@ -448,6 +448,22 @@ SWITCHED_QUERIES: dict[str, dict] = {
             "tests/test_switches.py::TestKnnJoin::test_composed_kscale_switch_identity[ann_knn_recall]",
         ),
     },
+    # r13: the recall-routed pair — k-scale switch inherited through the
+    # same registered dispatch; the recall ROUTE itself is a quality
+    # knob, not a cost switch (its pick is part of the value-hashed
+    # output, pinned by TestKnnTuned minimality/target tests)
+    "ann_knn_join_tuned": {
+        "probes": ("table_rows:embeddings",),
+        "identity_tests": (
+            "tests/test_switches.py::TestKnnJoin::test_composed_kscale_switch_identity[ann_knn_join_tuned]",
+        ),
+    },
+    "ann_knn_recall_tuned": {
+        "probes": ("table_rows:embeddings",),
+        "identity_tests": (
+            "tests/test_switches.py::TestKnnJoin::test_composed_kscale_switch_identity[ann_knn_recall_tuned]",
+        ),
+    },
     "dedup_components": {
         "probes": ("cc_n_edges",),
         "identity_tests": (

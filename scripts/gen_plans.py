@@ -292,6 +292,24 @@ NOTES = {
         "pattern; LEFT join + groupBy(q_id) count. The eval adds no "
         "unbounded operator to either subtree."
     ),
+    "ann_knn_join_tuned": (
+        "Recall-routed kNN join (r13): IDENTICAL plan shape to "
+        "ann_knn_join_prebuilt — assignment scan with centroids as "
+        "closure literals, cogrouped per-cell blocked matmul, bounded "
+        "per-vector window — only the probe fan-out constant differs "
+        "(nprobe* chosen by the exact recall curve; more probe rows "
+        "through the same linear pipeline). The routing measurement "
+        "itself is the exact batch ground-truth subtree plus a bounded "
+        "driver collect; it runs before this plan and adds no operator "
+        "to it."
+    ),
+    "osm_changeset_discussions": (
+        "Changeset discussion rollup (r13, the reference TODO surface): "
+        "parquet scan of the nested comments array -> posexplode "
+        "(narrow per-row generate, no shuffle) -> ONE hash aggregate on "
+        "commenter_uid with partial aggregation map-side. No join, no "
+        "window; ReadSchema prunes to id/uid/comments."
+    ),
 }
 
 

@@ -547,7 +547,13 @@ class TestKnnJoin:
                 assert (r["dup_of"], v) in edges
 
     @pytest.mark.parametrize(
-        "name", ["curation_semdedup_docs", "ann_knn_recall"]
+        "name",
+        [
+            "curation_semdedup_docs",
+            "ann_knn_recall",
+            "ann_knn_join_tuned",
+            "ann_knn_recall_tuned",
+        ],
     )
     def test_composed_kscale_switch_identity(
         self, spark, sf_correctness, name, monkeypatch
