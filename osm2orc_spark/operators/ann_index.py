@@ -168,8 +168,12 @@ _INDEX_CACHE: dict[tuple[str, str, int | None], AnnIndex] = {}
 
 
 def index_cache_clear() -> None:
-    """Drop memoized indexes (tests that rewrite a dir in place)."""
+    """Drop memoized indexes + routed fan-outs (tests that rewrite a dir
+    in place)."""
     _INDEX_CACHE.clear()
+    # module initialization order: the tuned cache is defined further
+    # down; guard for partially-imported states (circular-import safety)
+    globals().get("_TUNED_NPROBE_CACHE", {}).clear()
 
 
 def cached_index(
@@ -1103,12 +1107,26 @@ _register_knn_recall()
 KNN_RECALL_TARGET_PCT = 80
 
 
+#: (abspath(sf_dir), k_cells) -> routed nprobe.  The routing measurement
+#: is deterministic (exact ground truth, deterministic fit), so per-dir
+#: memoization is semantics-free — it spares the recall eval's SECOND
+#: exact batch scan and repeated gate calls.  Cleared together with the
+#: index memo (index_cache_clear) for tests that rewrite a dir in place.
+_TUNED_NPROBE_CACHE: dict[tuple[str, int], int] = {}
+
+
 def _tuned_nprobe(spark: SparkSession, sf_dir: str, index: AnnIndex) -> int:
     """The recall-routed probe fan-out: smallest r with eval recall@KNN_K
     >= KNN_RECALL_TARGET_PCT (pair-level, over the ann_topk_batch eval
     set), clamped to >= KNN_NPROBE.  Exact by the monotonicity argument
     in the section comment; bit-identical to the oracle's `chosen` CTE."""
+    import os
+
     import numpy as np
+
+    memo_key = (os.path.abspath(sf_dir), len(index.centroids))
+    if memo_key in _TUNED_NPROBE_CACHE:
+        return _TUNED_NPROBE_CACHE[memo_key]
     from pyspark.sql import Window
 
     from osm2orc_spark.operators.similarity import (
@@ -1155,7 +1173,9 @@ def _tuned_nprobe(spark: SparkSession, sf_dir: str, index: AnnIndex) -> int:
     minr = sorted(int(rank_of[p.q_id][cell_of[p.vec_id]]) for p in pairs)
     total = len(minr)
     need = -(-KNN_RECALL_TARGET_PCT * total // 100)  # ceil(pct*total/100)
-    return max(KNN_NPROBE, minr[need - 1])
+    chosen = max(KNN_NPROBE, minr[need - 1])
+    _TUNED_NPROBE_CACHE[memo_key] = chosen
+    return chosen
 
 
 def _knn_join_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:

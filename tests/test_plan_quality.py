@@ -734,3 +734,17 @@ def test_semdedup_plan_linear_tail(spark, sf_correctness):
     assert plan.count("[Window]") <= 1
     # the groupBy(vec_id) aggregate has a partial phase
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_changeset_discussions_pruned_scan_no_join(spark, sf_correctness):
+    """r13: the discussion rollup must read ONLY id/uid/comments from the
+    nested parquet (no full changeset schema), keep the explode a narrow
+    Generate (no join anywhere), and aggregate partially map-side."""
+    plan = plan_of(spark, sf_correctness, "osm_changeset_discussions")
+    read = [l for l in plan.splitlines() if "ReadSchema:" in l][0]
+    assert "comments" in read and "uid" in read
+    for absent in ("created_at", "min_lat", "num_changes", "tags"):
+        assert absent not in read, f"{absent} not pruned from scan"
+    assert "Join" not in plan
+    assert "Generate" in plan and "posexplode" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
