@@ -1531,7 +1531,12 @@ SEMDEDUP_TAU = NEAR_DUP_COS
 def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2orc_spark.operators.ann_index import _knn_join_registered
 
-    knn = _knn_join_registered(spark, sf_dir)
+    return _semdedup_tail(spark, sf_dir, _knn_join_registered(spark, sf_dir))
+
+
+def _semdedup_tail(spark: SparkSession, sf_dir: str, knn: DataFrame) -> DataFrame:
+    """The greedy keep rule over a kNN edge list — factored so the
+    recall-routed variant composes the IDENTICAL tail over its join."""
     edges = knn.filter(F.col("cosine") >= F.lit(SEMDEDUP_TAU)).select(
         "vec_id", "nb_id"
     )
@@ -1557,14 +1562,21 @@ def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_cte_sql() -> str:
+def _semdedup_cte_sql(tuned: bool = False) -> str:
     """The semdedup CTE chain (kNN graph + greedy tail), ending in
     ``sd_result``(vec_id, kept, n_near, dup_of) — factored so composed
-    consumers (curation_semdedup_docs) replay the identical graph the
-    registered oracle value-hashes instead of forking a spelling."""
-    from osm2orc_spark.operators.ann_index import _knn_cte_sql
+    consumers (curation_semdedup_docs, the recall-routed variant)
+    replay the identical graph the registered oracle value-hashes
+    instead of forking a spelling.  ``tuned`` swaps in the
+    recall-routed kNN CTE (identical spelling, fan-out chosen by the
+    exact recall curve)."""
+    from osm2orc_spark.operators.ann_index import (
+        _knn_cte_sql,
+        _knn_cte_tuned_sql,
+    )
 
-    return f"""{_knn_cte_sql()},
+    knn_cte = _knn_cte_tuned_sql() if tuned else _knn_cte_sql()
+    return f"""{knn_cte},
     sd_edges AS (
       SELECT vec_id, nb_id FROM knn WHERE cosine >= {SEMDEDUP_TAU!r}
     ),
@@ -1633,3 +1645,35 @@ def _assemble_semdedup_docs_oracle() -> None:
 
 
 _assemble_semdedup_docs_oracle()
+
+
+@register(
+    "curation_semdedup_tuned",
+    oracle=None,  # assembled below from the tuned semdedup CTE chain
+    doc="curation_semdedup over the RECALL-ROUTED kNN join (r13 — the "
+    "r12 verdict's stated reason for the recall fix: at the fixed "
+    "nprobe=2 config ~half of true near-dup pairs were invisible to "
+    "the greedy keep rule).  Identical greedy tail (shared "
+    "_semdedup_tail / _semdedup_cte_sql), edge list from "
+    "ann_knn_join_tuned; by candidate-set monotonicity the per-vector "
+    "above-threshold edge count can only grow vs the default route "
+    "(pinned in tests), so the tuned variant catches near-dups the "
+    "default provably missed.  Same linear post-kNN shape; inherits "
+    "both the k-scale switch and the recall route.",
+    tags=("curation", "similarity"),
+)
+def curation_semdedup_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators.ann_index import _knn_join_tuned
+
+    return _semdedup_tail(spark, sf_dir, _knn_join_tuned(spark, sf_dir))
+
+
+def _assemble_semdedup_tuned_oracle() -> None:
+    REGISTRY["curation_semdedup_tuned"].oracle = f"""
+    WITH {_semdedup_cte_sql(tuned=True)}
+    SELECT vec_id, kept, n_near, dup_of FROM sd_result
+    ORDER BY vec_id
+    """
+
+
+_assemble_semdedup_tuned_oracle()

@@ -464,6 +464,12 @@ SWITCHED_QUERIES: dict[str, dict] = {
             "tests/test_switches.py::TestKnnJoin::test_composed_kscale_switch_identity[ann_knn_recall_tuned]",
         ),
     },
+    "curation_semdedup_tuned": {
+        "probes": ("table_rows:embeddings",),
+        "identity_tests": (
+            "tests/test_switches.py::TestKnnJoin::test_composed_kscale_switch_identity[curation_semdedup_tuned]",
+        ),
+    },
     "dedup_components": {
         "probes": ("cc_n_edges",),
         "identity_tests": (
