@@ -111,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
     if len(args) != 2:
         print(__doc__, file=sys.stderr)
         return 2
+    if discussion and not changesets:
+        # refuse rather than silently ignore (r13 review): the flag only
+        # means something for the changeset source
+        print("--with-discussion requires --changesets", file=sys.stderr)
+        return 2
     inp, out = args
     if inp == "-":
         with tempfile.NamedTemporaryFile(delete=False, suffix=".stdin") as tmp:
@@ -126,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if watch:
             stream = (
-                read_changesets_stream(spark, inp)
+                read_changesets_stream(spark, inp, include_discussion=discussion)
                 if changesets
                 else read_pbf_stream(spark, inp)
             )

@@ -878,15 +878,13 @@ def _knn_join_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherent ceiling — and the hierarchical assignment path keeps the
     assignment stage at ~n*sqrt(k) flops."""
     from osm2orc_spark.operators import switches
-    from osm2orc_spark.operators.similarity import MAX_FIT_ROWS, N_CENTROIDS
 
+    # the rule itself lives in _scaled_k_cents (ONE spelling, shared
+    # with the tuned route — r13 review)
     n = switches.table_rows(spark, sf_dir, "embeddings")
-    k = (
-        min(MAX_FIT_ROWS // 4, max(N_CENTROIDS, n // 256))
-        if n > KNN_SCALE_ROWS_MAX
-        else None
+    return ann_knn_join(
+        spark, sf_dir, cached_index(spark, sf_dir, "ivf", _scaled_k_cents(n))
     )
-    return ann_knn_join(spark, sf_dir, cached_index(spark, sf_dir, "ivf", k))
 
 
 def _knn_cte_sql(nprobe_expr: str = str(KNN_NPROBE), pre: str = "") -> str:
@@ -1124,7 +1122,11 @@ def _tuned_nprobe(spark: SparkSession, sf_dir: str, index: AnnIndex) -> int:
 
     import numpy as np
 
-    memo_key = (os.path.abspath(sf_dir), len(index.centroids))
+    # keyed on the centroid CONTENTS, not just the count: two fits over
+    # the same dir with equal k but different centroids (different
+    # iters/caps, or a caller's manual AnnIndex) must route separately
+    # (r13 review finding)
+    memo_key = (os.path.abspath(sf_dir), hash(index.centroids))
     if memo_key in _TUNED_NPROBE_CACHE:
         return _TUNED_NPROBE_CACHE[memo_key]
     from pyspark.sql import Window
@@ -1144,6 +1146,9 @@ def _tuned_nprobe(spark: SparkSession, sf_dir: str, index: AnnIndex) -> int:
         .collect()
     )
     if not pairs:
+        # memoize the fallback too — the empty-eval case must not re-run
+        # the exact ground-truth scan on every call
+        _TUNED_NPROBE_CACHE[memo_key] = KNN_NPROBE
         return KNN_NPROBE
     ids = sorted({r.q_id for r in pairs} | {r.vec_id for r in pairs})
     # quantize with the ENGINE's own expression (floor(double * QUANT)),
@@ -1178,19 +1183,26 @@ def _tuned_nprobe(spark: SparkSession, sf_dir: str, index: AnnIndex) -> int:
     return chosen
 
 
+def _scaled_k_cents(n: int) -> int | None:
+    """THE k-scale rule, single spelling (r13 review: the tuned route
+    had copy-pasted it): above KNN_SCALE_ROWS_MAX fit
+    max(N_CENTROIDS, n/256) cells, capped at MAX_FIT_ROWS//4 (the r11
+    crash fix — k beyond a fraction of the bounded training sample is
+    meaningless); None below the bar = the fixed registered config."""
+    from osm2orc_spark.operators.similarity import MAX_FIT_ROWS, N_CENTROIDS
+
+    if n <= KNN_SCALE_ROWS_MAX:
+        return None
+    return min(MAX_FIT_ROWS // 4, max(N_CENTROIDS, n // 256))
+
+
 def _knn_join_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann_knn_join at the recall-routed fan-out, over the same k-scaled
     shared index as the registered default (byte-identical fit)."""
     from osm2orc_spark.operators import switches
-    from osm2orc_spark.operators.similarity import MAX_FIT_ROWS, N_CENTROIDS
 
     n = switches.table_rows(spark, sf_dir, "embeddings")
-    k = (
-        min(MAX_FIT_ROWS // 4, max(N_CENTROIDS, n // 256))
-        if n > KNN_SCALE_ROWS_MAX
-        else None
-    )
-    idx = cached_index(spark, sf_dir, "ivf", k)
+    idx = cached_index(spark, sf_dir, "ivf", _scaled_k_cents(n))
     return ann_knn_join(
         spark, sf_dir, idx, nprobe=_tuned_nprobe(spark, sf_dir, idx)
     )
@@ -1276,7 +1288,6 @@ _register_knn_tuned()
 
 def _register_knn_recall_tuned() -> None:
     from osm2orc_spark.operators.similarity import N_BATCH_QUERIES
-    from osm2orc_spark.registry import REGISTRY as _REG
     from osm2orc_spark.registry import register
 
     def ann_knn_recall_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1314,14 +1325,13 @@ def _register_knn_recall_tuned() -> None:
             .orderBy("q_id")
         )
 
-    batch_sql = _REG["ann_topk_batch"].oracle
+    # the ground truth is ALREADY in the tuned chain: the routing pre-CTEs
+    # define tbatch/texact (character-identical to the recall eval's
+    # batch/exact_k), so reuse texact instead of evaluating the exact
+    # cross-join top-k subtree a second time (r13 review finding — DuckDB
+    # does not dedupe textually distinct CTEs)
     oracle = f"""
     WITH {_knn_cte_tuned_sql()},
-    batch AS ({batch_sql}),
-    exact_k AS (
-      SELECT q_id, vec_id FROM batch
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= {KNN_K}
-    ),
     qids AS (
       SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id LIMIT {N_BATCH_QUERIES}
     ),
@@ -1331,7 +1341,7 @@ def _register_knn_recall_tuned() -> None:
     )
     SELECT e.q_id, CAST(COUNT(p.vec_id) AS BIGINT) AS n_overlap,
            CAST(COUNT(p.vec_id) AS DOUBLE) / {KNN_K} AS recall
-    FROM exact_k e
+    FROM texact e
     LEFT JOIN approx p ON p.q_id = e.q_id AND p.vec_id = e.vec_id
     GROUP BY e.q_id
     ORDER BY e.q_id

@@ -642,7 +642,7 @@ _DISCUSSION = f"read_parquet('{FIXTURES}/changesets_discussion.parquet/*.parquet
            MAX(comment.date) AS last_comment_at
     FROM x
     GROUP BY 1
-    ORDER BY n_comments DESC, commenter_uid
+    ORDER BY n_comments DESC, commenter_uid NULLS FIRST
     """,
     doc="Per-commenter discussion activity over the opt-in changeset "
     "comments array (reference TODO surface): posexplode WITH "
@@ -678,5 +678,9 @@ def osm_changeset_discussions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("comment.date").alias("first_comment_at"),
             F.max("comment.date").alias("last_comment_at"),
         )
-        .orderBy(F.desc("n_comments"), "commenter_uid")
+        # NULLS FIRST explicitly on BOTH sides: Spark's ascending default
+        # is nulls-first but DuckDB's is nulls-last — the anonymous
+        # (NULL-uid) group must not depend on engine defaults if it ever
+        # ties on n_comments (r13 review)
+        .orderBy(F.desc("n_comments"), F.col("commenter_uid").asc_nulls_first())
     )

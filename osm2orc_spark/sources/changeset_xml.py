@@ -187,7 +187,9 @@ def read_changesets(
     return _typed(raw)
 
 
-def read_changesets_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+def read_changesets_stream(
+    spark: SparkSession, dir_path: str, include_discussion: bool = False
+) -> DataFrame:
     """Streaming changeset ingestion: XML files landing in ``dir_path``
     are parsed incrementally — the reference's batch pipeline
     (OsmChangesetXml2Orc) as a continuous one. Same parse kernel and
@@ -201,7 +203,12 @@ def read_changesets_stream(spark: SparkSession, dir_path: str) -> DataFrame:
         .load(dir_path)
         .select("path", "content")
     )
-    raw = files.mapInArrow(_parse_file_batches(), CHANGESET_RAW_SCHEMA)
+    raw_schema = (
+        CHANGESET_DISCUSSION_RAW_SCHEMA
+        if include_discussion
+        else CHANGESET_RAW_SCHEMA
+    )
+    raw = files.mapInArrow(_parse_file_batches(include_discussion), raw_schema)
     return _typed(raw)
 
 

@@ -2954,7 +2954,13 @@ def main_knn_tuned() -> None:
                 emb_dir = builder(spark)
             finally:
                 EMB_REP = saved_rep
-            k_cents = max(N_CENTROIDS, n // 256)
+            # the REGISTERED tuned route's k rule (cap included): this
+            # micro prices that route, so it must fit the same k it
+            # would fit (r13 review — the uncapped spelling diverges
+            # silently above 256*MAX_FIT_ROWS/4 vectors)
+            from osm2orc_spark.operators.ann_index import _scaled_k_cents
+
+            k_cents = _scaled_k_cents(n) or N_CENTROIDS
             t0 = time.perf_counter()
             cents = _lloyd_fit_ints(spark, emb_dir, k_cents, IVF_KM_ITERS)
             fit_sec = time.perf_counter() - t0

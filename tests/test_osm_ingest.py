@@ -234,6 +234,26 @@ class TestChangesetDiscussion:
         ex = csd.select(F.explode("comments").alias("c"))
         assert ex.filter("c.uid is null and c.user is null").count() > 0
 
+    def test_stream_reader_carries_discussion_schema(self, spark, xml_path):
+        """--watch must honor --with-discussion (r13 review: the flag was
+        silently dropped on the streaming path)."""
+        import os
+
+        from osm2orc_spark.sources.changeset_xml import read_changesets_stream
+
+        sdf = read_changesets_stream(
+            spark, os.path.dirname(xml_path), include_discussion=True
+        )
+        assert "comments" in sdf.columns
+        assert read_changesets_stream(spark, os.path.dirname(xml_path)).columns.count(
+            "comments"
+        ) == 0
+
+    def test_cli_rejects_discussion_without_changesets(self):
+        from osm2orc_spark.cli import main
+
+        assert main(["--with-discussion", "in.pbf", "out"]) == 2
+
 
 class TestOrcSink:
     def test_roundtrip_with_metadata(self, spark, planet, tmp_path):

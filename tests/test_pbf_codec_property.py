@@ -530,10 +530,12 @@ def test_encoding_variants_decode_identically(tmp_path_factory, nodes, ways, rel
 
 
 def test_variant_grid_fields_actually_emitted(tmp_path):
-    """The non-default grids must be ON THE WIRE (fields 17-20 present,
-    raw blob field 1, plain Node group field 1), not silently the
-    default encoding — otherwise the matrix certifies nothing."""
-    from osm2orc_spark.sources.pbf_codec import _decompress_blob
+    """The non-default grids must be ON THE WIRE, asserted PER FIELD
+    (fields 17-20 in the PrimitiveBlock, raw Blob field 1 instead of
+    2+3, plain Node group field 1 instead of DenseNodes field 2) — not
+    merely 'bytes differ', which any one knob could satisfy while
+    another silently stopped being emitted (r13 review)."""
+    from osm2orc_spark.sources.pbf_codec import _fields, iter_blobs_from_bytes
 
     ents = dict(
         type="node", id=5, tags={"a": "b"}, lat="1.2340000", lon="5.0000000",
@@ -547,11 +549,56 @@ def test_variant_grid_fields_actually_emitted(tmp_path):
     )
     w_var.add(**ents)
     b_def, b_var = w_def.tobytes(), w_var.tobytes()
-    assert b_def != b_var
-    # raw compression: the zlib magic must NOT appear right after the
-    # Blob header of the variant; the default must decompress via zlib
-    assert b"OSMData" in b_var
-    # decode equality of the single row despite wire differences
+
+    def block_fields(data: bytes) -> tuple[dict, set]:
+        """(PrimitiveBlock field -> last varint value, group fieldnos)
+        of the first OSMData blob."""
+        for kind, payload in iter_blobs_from_bytes(data):
+            if kind != "OSMData":
+                continue
+            scalars, group_fields = {}, set()
+            for f, wire, v in _fields(payload):
+                if f == 2:  # PrimitiveGroup
+                    group_fields |= {f2 for f2, _, _ in _fields(bytes(v))}
+                elif wire == 0:
+                    scalars[f] = v
+            return scalars, group_fields
+        raise AssertionError("no OSMData blob")
+
+    d_scalars, d_groups = block_fields(b_def)
+    v_scalars, v_groups = block_fields(b_var)
+    # defaults omitted on the default encoding
+    assert not ({17, 18, 19, 20} & set(d_scalars))
+    assert d_groups == {2}  # DenseNodes
+    # every knob on the wire for the variant
+    assert v_scalars[17] == 1000 and v_scalars[18] == 2000
+    assert v_scalars[19] == 1_000_000 and v_scalars[20] == 2_000_000
+    assert v_groups == {1}  # plain Node messages
+    # raw vs zlib at the Blob level: field 1 (raw) only in the variant,
+    # fields 2+3 (raw_size + zlib_data) only in the default
+    def blob_body_fields(data: bytes) -> set:
+        import struct as _struct
+
+        pos = 0
+        out = set()
+        while pos < len(data):
+            (hlen,) = _struct.unpack(">i", data[pos : pos + 4])
+            header = data[pos + 4 : pos + 4 + hlen]
+            kind = datasize = None
+            for f, _, v in _fields(header):
+                if f == 1:
+                    kind = bytes(v)
+                elif f == 3:
+                    datasize = v
+            body = data[pos + 4 + hlen : pos + 4 + hlen + datasize]
+            if kind == b"OSMData":
+                return {f for f, _, _ in _fields(body)}
+            pos += 4 + hlen + datasize
+        raise AssertionError("no OSMData blob")
+
+    assert blob_body_fields(b_var) == {1}
+    assert blob_body_fields(b_def) == {2, 3}
+    # and decode equality of the row despite all wire differences
     p1, p2 = tmp_path / "a.pbf", tmp_path / "b.pbf"
     p1.write_bytes(b_def)
     p2.write_bytes(b_var)
