@@ -803,6 +803,8 @@ def _decode_block_arrow_fast(data: bytes, schema):
                 )
             elif fieldno in (3, 4):
                 way_rel.append((fieldno, gbuf))
+            elif fieldno == 5:  # ChangeSet entity: rare -> dict path
+                raise _ArrowFallback
     if way_rel:
         _emit_way_rel_arrow(
             way_rel,
@@ -1336,6 +1338,31 @@ def decode_primitive_block_columns(data: bytes) -> dict[str, list]:
                 c_user.append(info[4])
                 c_version.append(info[0])
                 c_visible.append(info[5])
+            elif fieldno == 5:  # ChangeSet entity (the OTHER reference
+                # TODO, OsmPbf2Orc.java:193: "TODO changeset, in which
+                # case lat/lon need to be zeroed out").  The osmformat
+                # ChangeSet message carries only {1: id}; per the
+                # reference's stated intent the coords are ZEROED (not
+                # NULL), collections empty, Info defaults (no Info field
+                # exists on the message).
+                cs_id = None
+                for f2, _, v2 in _fields(gbuf):
+                    if f2 == 1:
+                        cs_id = v2
+                info = _INFO_DEFAULT
+                c_id.append(cs_id)
+                c_type.append("changeset")
+                c_tags.append({})
+                c_lat.append(0)  # zeroed nanodegrees -> decimal 0E-7
+                c_lon.append(0)
+                c_nds.append([])
+                c_members.append([])
+                c_changeset.append(info[2])
+                c_ts.append(ts_ms(info[1]))
+                c_uid.append(info[3])
+                c_user.append(info[4])
+                c_version.append(info[0])
+                c_visible.append(info[5])
             elif fieldno == 2:  # DenseNodes
                 # Every packed field decodes vectorized; the delta encoding
                 # becomes one cumsum per array instead of per-row accumulators.
@@ -1736,6 +1763,15 @@ class PbfWriter:
         _emit_bytes(group, 4, bytes(out))
         return bytes(group)
 
+    def _encode_changeset_entity(self, e: dict) -> bytes:
+        """One PrimitiveGroup of a ChangeSet entity (group field 5) —
+        the osmformat message carries only {1: id}."""
+        out = bytearray()
+        _emit_varint(out, 1, e["id"])
+        group = bytearray()
+        _emit_bytes(group, 5, bytes(out))
+        return bytes(group)
+
     def _blob(self, kind: str, payload: bytes, out: bytearray) -> None:
         blob = bytearray()
         if self.compression == "raw":
@@ -1800,9 +1836,12 @@ class PbfWriter:
             batch = nodes[i : i + chunk]
             if batch:
                 self._blob("OSMData", primitive_block([enc_nodes(batch, index)]), out)
-        groups = [self._encode_way(w, index) for w in ways] + [
-            self._encode_relation(r, index) for r in rels
-        ]
+        changesets = [e for e in self._entities if e["type"] == "changeset"]
+        groups = (
+            [self._encode_way(w, index) for w in ways]
+            + [self._encode_relation(r, index) for r in rels]
+            + [self._encode_changeset_entity(c) for c in changesets]
+        )
         if groups:
             self._blob("OSMData", primitive_block(groups), out)
         return bytes(out)

@@ -611,3 +611,38 @@ def test_variant_grid_fields_actually_emitted(tmp_path):
         return out
 
     assert decode(p1) == decode(p2)
+
+
+# ---------------------------------------------------------------------------
+# ChangeSet entities in the entity table (the OTHER half of the reference
+# TODO, OsmPbf2Orc.java:193: "TODO changeset, in which case lat/lon need
+# to be zeroed out"): PrimitiveGroup field 5 carries ChangeSet{1: id}.
+# Decoded row: type='changeset', ZEROED (not NULL) coords per the
+# reference's stated intent, empty tags/nds/members, Info defaults.
+# ---------------------------------------------------------------------------
+@settings(max_examples=40, deadline=None)
+@given(
+    nodes=nodes_strategy(),
+    cs_ids=st.lists(
+        st.integers(min_value=0, max_value=2**45), max_size=6, unique=True
+    ),
+)
+def test_changeset_entities_roundtrip(tmp_path_factory, nodes, cs_ids):
+    tmp = tmp_path_factory.mktemp("csent")
+    w = PbfWriter()
+    for e in nodes:
+        w.add(type="node", **e)
+    for i in cs_ids:
+        w.add(type="changeset", id=i)
+    data = w.tobytes(nodes_per_block=7)
+    decoded = _decode_all(data, tmp)
+    got = {d["id"]: d for d in decoded if d["type"] == "changeset"}
+    assert set(got) == set(cs_ids)
+    for d in got.values():
+        assert float(d["lat"]) == 0.0 and float(d["lon"]) == 0.0  # zeroed
+        assert d["tags"] == {} and d["nds"] == [] and d["members"] == []
+        assert d["visible"] is True
+        assert d["uid"] is None and d["user"] is None
+    assert len(decoded) == len(nodes) + len(cs_ids)
+    # both decode routes agree (Arrow fast path falls back internally)
+    _assert_arrow_parity(data, tmp_path_factory.mktemp("csent_parity"))
