@@ -282,6 +282,32 @@ def write_pbf_fixture(path: str, seed: int = 42, nodes_per_block: int = 500) -> 
     return len(entities)
 
 
+def planet_cs_entities(seed: int = 7) -> list[dict]:
+    """Mixed-entity fixture for the ChangeSet-in-entity-table surface
+    (the reference TODO's other half, OsmPbf2Orc.java:193: changesets in
+    the entity table with zeroed lat/lon): a small planet history plus
+    ChangeSet entities (PrimitiveGroup field 5, message carries only the
+    id).  Ids are drawn deterministically and overlap the node-id range
+    on purpose — the entity table's key is (type, id), not id alone."""
+    ents = planet_history_entities(seed=seed, n_nodes=120, n_ways=8, n_rels=2)
+    rng = random.Random(seed + 1)
+    for i in sorted(rng.sample(range(1, 5_000), 25)):
+        ents.append({"id": i, "type": "changeset"})
+    return ents
+
+
+def write_pbf_cs_fixture(path: str, seed: int = 7, nodes_per_block: int = 64) -> int:
+    """Write fixtures/tiny_cs.osm.pbf (nodes+ways+relations+changesets)."""
+    from osm2orc_spark.sources.pbf_codec import PbfWriter
+
+    w = PbfWriter(bounds=tuple(float(v) for v in BBOX))
+    entities = planet_cs_entities(seed)
+    for e in entities:
+        w.add(**e)
+    w.write(path, nodes_per_block=nodes_per_block)
+    return len(entities)
+
+
 def write_xml_fixture(path: str, seed: int = 42) -> int:
     rows = changeset_rows(seed)
     with open(path, "w") as f:

@@ -684,3 +684,73 @@ def osm_changeset_discussions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ties on n_comments (r13 review)
         .orderBy(F.desc("n_comments"), F.col("commenter_uid").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# ChangeSet entities in the entity table (the reference TODO's OTHER
+# half, OsmPbf2Orc.java:193: "TODO changeset, in which case lat/lon need
+# to be zeroed out") — PrimitiveGroup field 5 rows decoded by the PBF
+# source with ZEROED (not NULL) coords, empty collections, and Info
+# defaults.  fixtures/planet_cs_history.parquet is tiny_cs.osm.pbf
+# (nodes+ways+relations+changesets) THROUGH read_pbf, so oracle
+# agreement certifies the decode semantics end-to-end.
+# ---------------------------------------------------------------------------
+_CS_HISTORY = f"read_parquet('{FIXTURES}/planet_cs_history.parquet/*.parquet')"
+
+
+@register(
+    "osm_changeset_entities",
+    oracle=f"""
+    SELECT type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids,
+           CAST(SUM(CASE WHEN lat = 0 AND lon = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_coord,
+           CAST(SUM(CASE WHEN lat IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_coord,
+           CAST(SUM(CASE WHEN uid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_anon,
+           CAST(SUM(CASE WHEN cardinality(tags) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_untagged,
+           CAST(SUM(CASE WHEN version < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_default_version,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM {_CS_HISTORY}
+    GROUP BY type
+    ORDER BY type
+    """,
+    doc="Per-entity-type profile of the mixed history table that "
+    "includes ChangeSet entities (reference TODO surface, "
+    "OsmPbf2Orc.java:193): changeset rows must show zeroed (not NULL) "
+    "coords, empty tags, NULL uid, and default version; ways/relations "
+    "NULL coords; the fixture's one deliberate (0,0) node lands in the "
+    "node row's n_zero_coord. ONE hash aggregate on the type "
+    "discriminator — map-side partials, no join, no window; at scale "
+    "this is a scan-shaped rollup that never shuffles more than "
+    "|types| x partial rows.",
+    tags=("osm", "ingest"),
+)
+def osm_changeset_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = spark.read.parquet(f"{FIXTURES}/planet_cs_history.parquet")
+    zero = F.when(
+        (F.col("lat") == 0) & (F.col("lon") == 0), 1
+    ).otherwise(0)
+    return (
+        h.groupBy("type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("id").cast("bigint").alias("n_ids"),
+            F.sum(zero).cast("bigint").alias("n_zero_coord"),
+            F.sum(F.when(F.col("lat").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_coord"),
+            F.sum(F.when(F.col("uid").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anon"),
+            F.sum(F.when(F.size("tags") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_untagged"),
+            F.sum(F.when(F.col("version") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_default_version"),
+            F.min("id").cast("bigint").alias("min_id"),
+            F.max("id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("type")
+    )

@@ -19,7 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from osm2orc_spark.fixtures import write_pbf_fixture, write_xml_fixture
+from osm2orc_spark.fixtures import (
+    write_pbf_cs_fixture,
+    write_pbf_fixture,
+    write_xml_fixture,
+)
 from osm2orc_spark.session import get_spark
 from osm2orc_spark.sources.changeset_xml import read_changesets
 from osm2orc_spark.sources.pbf import read_pbf
@@ -50,6 +54,16 @@ def main() -> None:
         os.path.join(FIXTURES, "planet.parquet")
     )
 
+    # mixed-entity history incl. ChangeSet entities (reference TODO's
+    # entity-table half): separate small PBF so tiny.osm.pbf's row
+    # counts (goldens, CLI 1788-row contract) stay untouched
+    pbf_cs = os.path.join(FIXTURES, "tiny_cs.osm.pbf")
+    n_cs_entities = write_pbf_cs_fixture(pbf_cs)
+    cs_history = read_pbf(spark, pbf_cs)
+    cs_history.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(FIXTURES, "planet_cs_history.parquet")
+    )
+
     changesets = read_changesets(spark, xml)
     changesets.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(FIXTURES, "changesets.parquet")
@@ -62,6 +76,7 @@ def main() -> None:
     )
     print(
         f"fixtures: {n_entities} history rows, {planet.count()} snapshot rows, "
+        f"{n_cs_entities} mixed-entity rows, "
         f"{n_changesets} changesets "
         f"({discussion.selectExpr('sum(size(comments))').collect()[0][0]} comments)"
     )

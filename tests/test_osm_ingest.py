@@ -517,3 +517,44 @@ class TestTailAppendR9:
         assert _strip_file_scheme("file:///tmp/x") == "/tmp/x"
         assert _strip_file_scheme("file:/tmp/x") == "/tmp/x"
         assert _strip_file_scheme("/tmp/x") == "/tmp/x"
+
+
+def test_changeset_entity_through_spark_and_orc(spark, tmp_path):
+    """ChangeSet entities (PrimitiveGroup field 5 — the entity-table half
+    of the reference TODO, OsmPbf2Orc.java:193) survive the FULL pipeline:
+    PBF -> read_pbf -> write_orc -> spark.read.orc, with zeroed (not
+    NULL) decimal coords and the uniform entity schema."""
+    from osm2orc_spark.sources.pbf_codec import PbfWriter
+
+    w = PbfWriter()
+    w.add(
+        type="node",
+        id=1,
+        lat="1.0",
+        lon="2.0",
+        tags={},
+        version=1,
+        timestamp_ms=1_000,
+        changeset=7,
+        uid=3,
+        user="a",
+        visible=True,
+    )
+    w.add(type="changeset", id=99)
+    pbf = tmp_path / "cs.osm.pbf"
+    pbf.write_bytes(w.tobytes())
+
+    df = read_pbf(spark, str(pbf))
+    out = str(tmp_path / "cs.orc")
+    write_orc(df, out)
+    back = spark.read.orc(out)
+    # ORC read-back relaxes nullability; names+types must be preserved
+    assert back.schema.simpleString() == df.schema.simpleString()
+    row = back.filter("type = 'changeset'").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.id == 99
+    assert r.lat == Decimal("0E-7") and r.lon == Decimal("0E-7")
+    assert r.tags == {} and r.nds == [] and r.members == []
+    assert r.visible is True and r.uid is None and r.user is None
+    assert back.count() == 2
