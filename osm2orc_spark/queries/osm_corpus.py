@@ -720,10 +720,13 @@ _CS_HISTORY = f"read_parquet('{FIXTURES}/planet_cs_history.parquet/*.parquet')"
     "OsmPbf2Orc.java:193): changeset rows must show zeroed (not NULL) "
     "coords, empty tags, NULL uid, and default version; ways/relations "
     "NULL coords; the fixture's one deliberate (0,0) node lands in the "
-    "node row's n_zero_coord. ONE hash aggregate on the type "
-    "discriminator — map-side partials, no join, no window; at scale "
-    "this is a scan-shaped rollup that never shuffles more than "
-    "|types| x partial rows.",
+    "node row's n_zero_coord. No join, no window; COUNT(DISTINCT id) "
+    "makes Spark plan the standard distinct-aggregate rewrite — "
+    "partial-distinct on (type, id) map-side, then an exchange "
+    "proportional to the number of DISTINCT (type, id) pairs (not raw "
+    "rows), then the per-type rollup. At planet scale that distinct "
+    "exchange is the cost driver; every other measure rides the "
+    "map-side partials.",
     tags=("osm", "ingest"),
 )
 def osm_changeset_entities(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1346,10 +1346,12 @@ def decode_primitive_block_columns(data: bytes) -> dict[str, list]:
                 # NULL), collections empty, Info defaults (no Info field
                 # exists on the message).
                 cs_id = None
-                for f2, _, v2 in _fields(gbuf):
-                    if f2 == 1:
+                for f2, w2, v2 in _fields(gbuf):
+                    # id only from a wire-0 varint, like the way/relation
+                    # walk — a length-delimited field 1 must not leak
+                    # bytes into the int64 id column
+                    if f2 == 1 and w2 == 0:
                         cs_id = v2
-                info = _INFO_DEFAULT
                 c_id.append(cs_id)
                 c_type.append("changeset")
                 c_tags.append({})
@@ -1357,12 +1359,12 @@ def decode_primitive_block_columns(data: bytes) -> dict[str, list]:
                 c_lon.append(0)
                 c_nds.append([])
                 c_members.append([])
-                c_changeset.append(info[2])
-                c_ts.append(ts_ms(info[1]))
-                c_uid.append(info[3])
-                c_user.append(info[4])
-                c_version.append(info[0])
-                c_visible.append(info[5])
+                c_changeset.append(None)  # Info defaults, spelled out:
+                c_ts.append(None)  # the message has no Info field
+                c_uid.append(None)
+                c_user.append(None)
+                c_version.append(-1)
+                c_visible.append(True)
             elif fieldno == 2:  # DenseNodes
                 # Every packed field decodes vectorized; the delta encoding
                 # becomes one cumsum per array instead of per-row accumulators.

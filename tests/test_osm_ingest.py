@@ -558,3 +558,64 @@ def test_changeset_entity_through_spark_and_orc(spark, tmp_path):
     assert r.tags == {} and r.nds == [] and r.members == []
     assert r.visible is True and r.uid is None and r.user is None
     assert back.count() == 2
+
+
+def test_planet_cs_history_fixture_pinned(spark):
+    """The committed mixed-entity fixture cannot drift from its
+    generator (FIXTURES.md §2c's certification claim): tiny_cs.osm.pbf
+    is byte-identical to write_pbf_cs_fixture's output, the committed
+    planet_cs_history.parquet row-matches read_pbf over it, and the
+    wire bytes really carry changesets as PrimitiveGroup field 5
+    {1: id} varints (a matched writer+reader field-number mistake
+    would survive self-roundtrip tests; the wire assertion breaks the
+    symmetry)."""
+    import tempfile
+
+    from osm2orc_spark.fixtures import planet_cs_entities, write_pbf_cs_fixture
+    from osm2orc_spark.sources.pbf_codec import _fields, iter_blobs_from_bytes
+
+    fixtures = pathlib.Path(__file__).resolve().parents[1] / "fixtures"
+    committed = (fixtures / "tiny_cs.osm.pbf").read_bytes()
+    with tempfile.TemporaryDirectory() as td:
+        p = pathlib.Path(td) / "regen.osm.pbf"
+        write_pbf_cs_fixture(str(p))
+        assert p.read_bytes() == committed  # deterministic writer, no drift
+
+    # committed parquet == read_pbf over the committed PBF, row for row
+    def rows(df):
+        return sorted(
+            (
+                r.type,
+                r.id,
+                r.version,
+                str(r.lat),
+                str(r.lon),
+                tuple(sorted((r.tags or {}).items())),
+                tuple(r.nds or []),
+                r.uid,
+                r.user,
+                r.visible,
+            )
+            for r in df.collect()
+        )
+
+    live = read_pbf(spark, str(fixtures / "tiny_cs.osm.pbf"))
+    parq = spark.read.parquet(str(fixtures / "planet_cs_history.parquet"))
+    assert rows(live) == rows(parq)
+
+    # wire-level: PrimitiveGroup field 5, inner field 1 wire-0 varints,
+    # and the id set matches the generator exactly
+    want_ids = {e["id"] for e in planet_cs_entities() if e["type"] == "changeset"}
+    got_ids = set()
+    for kind, payload in iter_blobs_from_bytes(committed):
+        if kind != "OSMData":
+            continue
+        for f, _, v in _fields(payload):
+            if f != 2:  # PrimitiveGroup
+                continue
+            for f2, _, g in _fields(bytes(v)):
+                if f2 == 5:  # ChangeSet message
+                    inner = list(_fields(bytes(g)))
+                    assert [(fld, wire) for fld, wire, _ in inner] == [(1, 0)]
+                    got_ids.add(inner[0][2])
+    assert got_ids == want_ids and len(want_ids) == 25
