@@ -748,3 +748,21 @@ def test_changeset_discussions_pruned_scan_no_join(spark, sf_correctness):
     assert "Join" not in plan
     assert "Generate" in plan and "posexplode" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_changeset_entities_pruned_scan_distinct_rewrite(spark, sf_correctness):
+    """r13: the mixed-entity rollup must prune the scan to the seven
+    consumed columns (nds/members/changeset/timestamp/user stay out of
+    ReadSchema), stay join-free, and plan COUNT(DISTINCT id) as the
+    standard distinct-aggregate rewrite (partial-distinct on (type,id)
+    map-side — the doc's stated scale story)."""
+    plan = plan_of(spark, sf_correctness, "osm_changeset_entities")
+    read = [l for l in plan.splitlines() if "ReadSchema:" in l][0]
+    for needed in ("type", "id", "lat", "lon", "uid", "tags", "version"):
+        assert needed in read
+    for absent in ("nds", "members", "changeset:", "timestamp", "user"):
+        assert absent not in read, f"{absent} not pruned from scan"
+    assert "Join" not in plan
+    # distinct rewrite: partial on (type,id), merge, then per-type final
+    assert plan.count("HashAggregate") >= 3
+    assert "partial_" in plan
