@@ -482,3 +482,35 @@ def test_tws_backend_identity_or_documented_unavailability(spark, sf_smoke):
         extra_conf=rocksdb_state_conf(),
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pbf_stream_carries_changeset_entities(spark, tmp_path):
+    """ChangeSet entities (PrimitiveGroup field 5, the reference TODO's
+    entity-table half) flow through the STREAMING ingest path too — the
+    landing-dir reader shares decode_primitive_block_arrow with batch,
+    whose Arrow fast path falls back to the dict route for this entity
+    kind."""
+    import shutil
+    from decimal import Decimal
+
+    from osm2orc_spark.sources.changeset_xml import stream_changesets_to_orc
+    from osm2orc_spark.sources.pbf import read_pbf_stream
+
+    src = tmp_path / "pbf_in"
+    src.mkdir()
+    shutil.copy("fixtures/tiny_cs.osm.pbf", src / "mixed1.pbf")
+    out = str(tmp_path / "planet_cs_orc")
+    q = stream_changesets_to_orc(
+        read_pbf_stream(spark, str(src)), out, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.orc(out).drop("_batch_id")
+    assert got.count() == 213
+    cs = got.filter("type = 'changeset'").collect()
+    assert len(cs) == 25
+    for r in cs:
+        assert r.lat == Decimal("0E-7") and r.lon == Decimal("0E-7")
+        assert r.tags == {} and r.uid is None and r.visible is True
