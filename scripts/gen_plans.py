@@ -310,6 +310,15 @@ NOTES = {
         "commenter_uid with partial aggregation map-side. No join, no "
         "window; ReadSchema prunes to id/uid/comments."
     ),
+    "osm_changeset_entities": (
+        "Mixed-entity per-type rollup (r13, the reference TODO's "
+        "entity-table half): parquet scan pruned to the seven consumed "
+        "columns; COUNT(DISTINCT id) plans as the standard "
+        "distinct-aggregate rewrite — partial-distinct on (type, id) "
+        "map-side, an exchange proportional to distinct (type, id) "
+        "pairs, then the per-type final. No join, no window; the "
+        "distinct exchange is the scale cost driver."
+    ),
 }
 
 
