@@ -1,0 +1,73 @@
+"""Run the test suite as N concurrent pytest processes (no pytest-xdist
+in this container; see tests/conftest.py::pytest_collection_modifyitems
+for the SUITE_SHARD hook).
+
+Run from the repo root: ``python scripts/run_suite_sharded.py [N]``
+(default N=4).
+
+Each shard is a full pytest process with its own session-scoped Spark
+(SPARK_GRAFT_CPUS is divided across shards so the host is not
+oversubscribed); crc32-hash sharding over nodeids makes the slices
+disjoint and exhaustive, so N green shards == a green ``pytest tests/``.
+The per-shard Spark startup and module-fixture rebuilds are the price;
+measured 2.2-2.6x wall-clock win at N=4 on this 32-cpu host (499s/432s
+across two runs vs the 1119s single-process run at the same HEAD),
+bounded by the slowest shard — crc32 spreads the oracle-sweep items
+evenly, so shard walls sit within ~2x of each other.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+import time
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    host_cpus = os.cpu_count() or 8
+    per_shard = max(4, host_cpus // n)
+    t0 = time.monotonic()
+    procs = []
+    for i in range(n):
+        env = dict(os.environ)
+        env["SUITE_SHARD"] = f"{i}/{n}"
+        env.setdefault("SPARK_GRAFT_CPUS", str(per_shard))
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "pytest", "tests/", "-q"],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+            )
+        )
+    rc = 0
+    totals = {"passed": 0, "failed": 0, "skipped": 0, "deselected": 0, "error": 0}
+    for i, p in enumerate(procs):
+        out, _ = p.communicate()
+        tail = out.strip().splitlines()[-1] if out.strip() else ""
+        print(f"[shard {i}/{n}] rc={p.returncode} {tail}", flush=True)
+        if p.returncode != 0:
+            rc = p.returncode
+            # surface the failing tests, not just the count
+            for line in out.splitlines():
+                if line.startswith(("FAILED", "ERROR")):
+                    print(f"[shard {i}/{n}] {line}", flush=True)
+        for k in totals:
+            m = re.search(rf"(\d+) {k}", tail)
+            if m:
+                totals[k] += int(m.group(1))
+    wall = time.monotonic() - t0
+    print(
+        f"total: {totals['passed']} passed, {totals['failed']} failed, "
+        f"{totals['error']} errors, {totals['skipped']} skipped "
+        f"in {wall:.0f}s across {n} shards"
+    )
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

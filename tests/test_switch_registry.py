@@ -20,6 +20,7 @@ Three invariants over switches.SWITCHED_QUERIES:
 
 from __future__ import annotations
 
+import os
 import re
 import subprocess
 import sys
@@ -89,11 +90,16 @@ def test_switch_registry_identity_tests_exist():
         for node_id in spec["identity_tests"]
     }
     files = sorted({node_id.split("::")[0] for node_id in wanted})
+    # scrub the shard filter (scripts/run_suite_sharded.py) — the child
+    # collection must be UNFILTERED or referenced tests in other shards
+    # read as missing
+    env = {k: v for k, v in os.environ.items() if k != "SUITE_SHARD"}
     out = subprocess.run(
         [sys.executable, "-m", "pytest", "--collect-only", "-q", *files],
         capture_output=True,
         text=True,
         cwd="/root/repo",
+        env=env,
     )
     collected = set(out.stdout.splitlines())
     missing = wanted - collected
