@@ -33,6 +33,7 @@ values, which is everything the default granularity=100 can encode).
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from collections.abc import Iterator
@@ -303,26 +304,62 @@ class BlobRef:
     kind: str  # 'OSMHeader' | 'OSMData'
 
 
+# PBF spec hard limits (https://wiki.openstreetmap.org/wiki/PBF_Format):
+# BlobHeader must be < 64 KiB, Blob must be < 32 MiB.  Enforcing them
+# turns structural corruption (truncated files, garbage length words)
+# into LOUD errors instead of a silently-empty or silently-partial scan
+# — at planet scale a quiet drop of trailing blobs is unrecoverable
+# data loss, so every task must fail visibly instead.
+_BLOBHEADER_MAX = 64 * 1024
+_BLOB_MAX = 32 * 1024 * 1024
+
+
+def _checked_blob_header(header: bytes, header_len: int, where: str) -> tuple[str, int]:
+    if not 0 < header_len < _BLOBHEADER_MAX:
+        raise ValueError(
+            f"BlobHeader length {header_len} outside (0, 64KiB) at {where} — not a PBF file?"
+        )
+    if len(header) != header_len:
+        raise ValueError(f"truncated BlobHeader at {where}: {len(header)}/{header_len} bytes")
+    kind, datasize = "", 0
+    for fieldno, _, val in _fields(header):
+        if fieldno == 1:
+            kind = bytes(val).decode("utf-8")
+        elif fieldno == 3:
+            datasize = val
+    if not kind:
+        raise ValueError(f"BlobHeader without a type string at {where}")
+    if not 0 < datasize < _BLOB_MAX:
+        raise ValueError(f"Blob datasize {datasize} outside (0, 32MiB) at {where}")
+    return kind, datasize
+
+
 def scan_blob_index(path: str) -> list[BlobRef]:
     """Driver-side index scan: reads only the 4-byte lengths and
     BlobHeaders (a few hundred bytes per ~8 MB blob), never blob payloads.
     This is what makes PBF ingestion embarrassingly parallel: each BlobRef
-    becomes an independent task that seeks straight to its payload."""
+    becomes an independent task that seeks straight to its payload.
+    Structural corruption (truncated length/header/body) raises ValueError
+    — see _checked_blob_header."""
     refs: list[BlobRef] = []
+    filesize = os.path.getsize(path)
     with open(path, "rb") as f:
         while True:
+            at = f.tell()
             lenbuf = f.read(4)
+            if not lenbuf:
+                break  # clean EOF on a blob boundary
             if len(lenbuf) < 4:
-                break
+                raise ValueError(f"truncated blob length word at offset {at} of {path}")
             header_len = struct.unpack(">i", lenbuf)[0]
-            header = f.read(header_len)
-            kind, datasize = "", 0
-            for fieldno, _, val in _fields(header):
-                if fieldno == 1:
-                    kind = bytes(val).decode("utf-8")
-                elif fieldno == 3:
-                    datasize = val
+            header = f.read(max(header_len, 0))
+            kind, datasize = _checked_blob_header(header, header_len, f"offset {at} of {path}")
             offset = f.tell()
+            if offset + datasize > filesize:
+                raise ValueError(
+                    f"Blob at offset {at} of {path} extends past EOF "
+                    f"({offset + datasize} > {filesize}): truncated file"
+                )
             refs.append(BlobRef(path, offset, datasize, kind))
             f.seek(offset + datasize)
     return refs
@@ -333,6 +370,11 @@ def read_blob(ref: BlobRef) -> bytes:
     with open(ref.path, "rb") as f:
         f.seek(ref.offset)
         blob = f.read(ref.size)
+    if len(blob) != ref.size:
+        raise ValueError(
+            f"short read at offset {ref.offset} of {ref.path}: "
+            f"{len(blob)}/{ref.size} bytes — file truncated since indexing?"
+        )
     raw = None
     for fieldno, _, val in _fields(blob):
         if fieldno == 1:
@@ -363,20 +405,24 @@ def _decompress_blob(blob: bytes) -> bytes:
 def iter_blobs_from_bytes(data: bytes):
     """Yield (kind, decompressed_payload) for every blob in an in-memory
     PBF file — the streaming-source twin of scan_blob_index+read_blob,
-    for paths where the whole file arrives as one binary value."""
+    for paths where the whole file arrives as one binary value.  Applies
+    the same structural checks (truncation is a LOUD ValueError, never a
+    silently-shorter stream)."""
     pos = 0
     n = len(data)
-    while pos + 4 <= n:
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError(f"truncated blob length word at offset {pos}")
         header_len = struct.unpack(">i", data[pos : pos + 4])[0]
         pos += 4
-        header = data[pos : pos + header_len]
-        pos += header_len
-        kind, datasize = "", 0
-        for fieldno, _, val in _fields(header):
-            if fieldno == 1:
-                kind = bytes(val).decode("utf-8")
-            elif fieldno == 3:
-                datasize = val
+        header = data[pos : pos + max(header_len, 0)]
+        pos += max(header_len, 0)
+        kind, datasize = _checked_blob_header(header, header_len, f"offset {pos - 4 - len(header)}")
+        if pos + datasize > n:
+            raise ValueError(
+                f"Blob at offset {pos} extends past end of stream "
+                f"({pos + datasize} > {n}): truncated file"
+            )
         yield kind, _decompress_blob(data[pos : pos + datasize])
         pos += datasize
 

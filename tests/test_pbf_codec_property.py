@@ -646,3 +646,68 @@ def test_changeset_entities_roundtrip(tmp_path_factory, nodes, cs_ids):
     assert len(decoded) == len(nodes) + len(cs_ids)
     # both decode routes agree (Arrow fast path falls back internally)
     _assert_arrow_parity(data, tmp_path_factory.mktemp("csent_parity"))
+
+
+# ---------------------------------------------------------------------------
+# Hostile-input matrix (r13): structural corruption must be a LOUD
+# located ValueError, never a silently-empty or silently-partial scan —
+# at planet scale a quiet drop of trailing blobs is unrecoverable data
+# loss.  Spec hard limits enforced: BlobHeader < 64 KiB, Blob < 32 MiB
+# (https://wiki.openstreetmap.org/wiki/PBF_Format).
+# ---------------------------------------------------------------------------
+def test_corrupt_inputs_raise_loudly(tmp_path):
+    import struct
+    import zlib as _zlib
+
+    import pytest
+
+    from osm2orc_spark.sources.pbf_codec import iter_blobs_from_bytes, read_blob
+
+    w = PbfWriter()
+    for i in range(1, 40):
+        w.add(type="node", id=i, lat="1.0", lon="2.0", tags={}, version=1,
+              visible=True, timestamp_ms=0, changeset=1, uid=1, user="u")
+    data = w.tobytes(nodes_per_block=7)
+
+    def scan_all(blob: bytes):
+        p = tmp_path / "case.pbf"
+        p.write_bytes(blob)
+        refs = list(scan_blob_index(str(p)))
+        for r in refs:
+            if r.kind == "OSMData":
+                decode_primitive_block(read_blob(r))
+        return refs
+
+    # intact file and its in-memory twin both scan clean
+    n_blobs = len(scan_all(data))
+    assert n_blobs >= 3  # header + several data blobs
+    assert sum(1 for _ in iter_blobs_from_bytes(data)) == n_blobs
+
+    cases = {
+        "truncated mid-blob": data[: len(data) // 2],
+        "partial length word": data[:2],
+        "trailing garbage": data + b"\x01\x02",
+        "not a pbf": b"hello world, definitely not protobuf " * 20,
+        "absurd header length": struct.pack(">i", 2**30) + b"\x00" * 100,
+        "negative header length": struct.pack(">i", -5) + b"\x00" * 100,
+    }
+    for name, blob in cases.items():
+        with pytest.raises(ValueError, match="truncated|outside|BlobHeader"):
+            scan_all(blob)
+        with pytest.raises(ValueError, match="truncated|outside|BlobHeader"):
+            list(iter_blobs_from_bytes(blob))
+
+    # corrupt zlib payload: loud too (zlib.error from the decompressor)
+    flipped = bytearray(data)
+    flipped[len(flipped) // 2] ^= 0xFF
+    with pytest.raises((ValueError, _zlib.error)):
+        scan_all(bytes(flipped))
+
+    # a file that shrinks AFTER indexing fails the ranged read, not
+    # silently returns fewer entities
+    p = tmp_path / "shrink.pbf"
+    p.write_bytes(data)
+    refs = [r for r in scan_blob_index(str(p)) if r.kind == "OSMData"]
+    p.write_bytes(data[: refs[-1].offset + refs[-1].size // 2])
+    with pytest.raises(ValueError, match="short read"):
+        read_blob(refs[-1])
