@@ -167,6 +167,18 @@ class TestChangesetXml:
         with pytest.raises(NotAChangesetFileError):
             list(parse_changeset_stream("bad.xml", bad))
 
+    def test_truncated_xml_raises_not_partial(self):
+        """A truncated changeset file must fail LOUDLY (iterparse
+        ParseError at end-of-stream), never yield a silently-shorter
+        row set — the XML twin of the PBF corruption matrix."""
+        import xml.etree.ElementTree as ET
+
+        from osm2orc_spark.fixtures import changeset_rows, changesets_xml
+
+        xml = changesets_xml(changeset_rows(n=50)).encode()
+        with pytest.raises(ET.ParseError):
+            list(parse_changeset_stream("trunc.xml", xml[: len(xml) // 2]))
+
 
 class TestChangesetDiscussion:
     """Opt-in discussion ingest (the reference's TODO,
