@@ -365,6 +365,24 @@ def scan_blob_index(path: str) -> list[BlobRef]:
     return refs
 
 
+def _bounded_inflate(data: bytes) -> bytes:
+    """zlib-decompress with the spec's 32 MiB uncompressed hard limit —
+    a zip-bomb blob fails loudly instead of exhausting task memory."""
+    d = zlib.decompressobj()
+    raw = d.decompress(data, _BLOB_MAX)
+    # eof False == the stream did not END within the cap: either a bomb
+    # (output cap hit with input left) or a truncated stream (input
+    # exhausted mid-stream — zlib.decompress raised here; decompressobj
+    # does not, so check explicitly)
+    if not d.eof:
+        raise ValueError(
+            f"Blob zlib stream did not terminate within the spec's 32MiB "
+            f"hard limit ({len(raw)} bytes out, "
+            f"{len(d.unconsumed_tail)} in unconsumed): bomb or truncated"
+        )
+    return raw
+
+
 def read_blob(ref: BlobRef) -> bytes:
     """Fetch + decompress one blob's payload (ranged read)."""
     with open(ref.path, "rb") as f:
@@ -375,17 +393,7 @@ def read_blob(ref: BlobRef) -> bytes:
             f"short read at offset {ref.offset} of {ref.path}: "
             f"{len(blob)}/{ref.size} bytes — file truncated since indexing?"
         )
-    raw = None
-    for fieldno, _, val in _fields(blob):
-        if fieldno == 1:
-            raw = bytes(val)
-        elif fieldno == 3:
-            raw = zlib.decompress(bytes(val))
-        elif fieldno in (4, 5, 6, 7):
-            raise ValueError("unsupported PBF compression (only raw/zlib)")
-    if raw is None:
-        raise ValueError("empty Blob")
-    return raw
+    return _decompress_blob(blob)
 
 
 def _decompress_blob(blob: bytes) -> bytes:
@@ -394,7 +402,7 @@ def _decompress_blob(blob: bytes) -> bytes:
         if fieldno == 1:
             raw = bytes(val)
         elif fieldno == 3:
-            raw = zlib.decompress(bytes(val))
+            raw = _bounded_inflate(bytes(val))
         elif fieldno in (4, 5, 6, 7):
             raise ValueError("unsupported PBF compression (only raw/zlib)")
     if raw is None:

@@ -703,6 +703,20 @@ def test_corrupt_inputs_raise_loudly(tmp_path):
     with pytest.raises((ValueError, _zlib.error)):
         scan_all(bytes(flipped))
 
+    # zip bomb: a blob whose zlib stream expands past the spec's 32 MiB
+    # uncompressed hard limit is refused, not inflated into task memory;
+    # a truncated zlib stream is equally loud (decompressobj, unlike
+    # zlib.decompress, does not raise on its own — _bounded_inflate
+    # checks stream termination explicitly)
+    from osm2orc_spark.sources.pbf_codec import _bounded_inflate
+
+    bomb = _zlib.compress(b"\x00" * (64 * 1024 * 1024))
+    assert len(bomb) < 100_000  # the attack: tiny on the wire
+    with pytest.raises(ValueError, match="32MiB"):
+        _bounded_inflate(bomb)
+    with pytest.raises(ValueError, match="32MiB"):
+        _bounded_inflate(_zlib.compress(b"y" * 100_000)[:50])
+
     # a file that shrinks AFTER indexing fails the ranged read, not
     # silently returns fewer entities
     p = tmp_path / "shrink.pbf"
