@@ -40,6 +40,10 @@ FRAME_STRIDE = 100  # bytes per synthetic "frame"
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+# decoder cap on the reconstructed pixel buffer (128 MiB ~ a 6500x6500
+# RGBA frame): a bomb PNG claiming absurd IHDR dims is refused before
+# its IDAT stream is ever inflated
+_PNG_RAW_MAX = 128 * 1024 * 1024
 
 
 def decode_png(blob: bytes) -> dict:
@@ -74,8 +78,18 @@ def decode_png(blob: bytes) -> dict:
         raise ValueError("unsupported PNG variant (need 8-bit non-interlaced non-palette)")
     channels = _PNG_CHANNELS[color_type]
     stride = width * channels
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
+    # bound BEFORE inflating: the expected pixel-buffer size follows from
+    # IHDR alone, so a bomb PNG (tiny IDAT, huge claimed dims) is refused
+    # without expanding it into memory
+    expected = height * (stride + 1)
+    if expected > _PNG_RAW_MAX:
+        raise ValueError(
+            f"PNG pixel buffer {expected} bytes exceeds the decoder cap "
+            f"({_PNG_RAW_MAX}): refusing"
+        )
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if not d.eof or len(raw) != expected:
         raise ValueError("IDAT length mismatch")
     img = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

@@ -232,3 +232,32 @@ class TestJpegHeader:
         padded = blob[:2] + b"\xff\xff\xff" + blob[2:]
         m = decode_jpeg_header(padded)
         assert (m["width"], m["height"]) == (640, 480)
+
+
+class TestPngHostileInputs:
+    """Bomb/truncation guards (r13): the expected pixel-buffer size
+    follows from IHDR alone, so a bomb PNG (tiny IDAT, absurd claimed
+    dims) is refused BEFORE its stream is inflated into memory, and a
+    stream that ends short of the expected size stays a loud error."""
+
+    def test_bomb_png_refused_before_inflate(self):
+        ihdr = struct.pack(">IIBBBBB", 50_000, 50_000, 8, 6, 0, 0, 0)
+        bomb = (
+            PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="decoder cap"):
+            decode_png(bomb)
+
+    def test_short_idat_stream_loud(self):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
+        short = (
+            PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="IDAT length mismatch"):
+            decode_png(short)
