@@ -148,6 +148,13 @@ def decode_wav(blob: bytes) -> dict:
         cid = blob[pos : pos + 4]
         ln = int.from_bytes(blob[pos + 4 : pos + 8], "little")
         body = blob[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            # the chunk header declares its byte length — a short body is
+            # a truncated file and must be LOUD, not a silently-shorter
+            # sample stream (quiet data loss in an audio pipeline)
+            raise ValueError(
+                f"truncated {cid!r} chunk: {len(body)}/{ln} bytes"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

@@ -261,3 +261,24 @@ class TestPngHostileInputs:
         )
         with pytest.raises(ValueError, match="IDAT length mismatch"):
             decode_png(short)
+
+
+def test_truncated_wav_data_chunk_loud():
+    """A data chunk shorter than its declared length is a truncated file
+    and must raise, never decode as a silently-shorter sample stream."""
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    w = _wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(16_000)
+    w.writeframes(np.zeros(16_000, dtype="<i2").tobytes())
+    w.close()
+    data = buf.getvalue()
+    from osm2orc_spark.operators.multimodal import decode_wav
+
+    assert decode_wav(data)["n_frames"] == 16_000  # intact file unchanged
+    with pytest.raises(ValueError, match="truncated b'data' chunk"):
+        decode_wav(data[: len(data) // 2])
