@@ -1105,7 +1105,9 @@ _register_knn_recall()
 KNN_RECALL_TARGET_PCT = 80
 
 
-#: (abspath(sf_dir), k_cells) -> routed nprobe.  The routing measurement
+#: (abspath(sf_dir), hash(index.centroids)) -> routed nprobe — keyed on
+#: centroid CONTENTS so two equal-k fits with different centroids route
+#: separately (r13 review).  The routing measurement
 #: is deterministic (exact ground truth, deterministic fit), so per-dir
 #: memoization is semantics-free — it spares the recall eval's SECOND
 #: exact batch scan and repeated gate calls.  Cleared together with the

@@ -81,6 +81,11 @@ def decode_png(blob: bytes) -> dict:
     # bound BEFORE inflating: the expected pixel-buffer size follows from
     # IHDR alone, so a bomb PNG (tiny IDAT, huge claimed dims) is refused
     # without expanding it into memory
+    if not width or not height:
+        # PNG requires nonzero dims; rejecting here also keeps expected>0
+        # below — d.decompress(data, 0) would mean UNLIMITED, silently
+        # bypassing the bomb cap
+        raise ValueError("zero-dimension PNG")
     expected = height * (stride + 1)
     if expected > _PNG_RAW_MAX:
         raise ValueError(

@@ -419,16 +419,17 @@ def iter_blobs_from_bytes(data: bytes):
     pos = 0
     n = len(data)
     while pos < n:
+        at = pos  # blob start (the length word), for located errors
         if pos + 4 > n:
-            raise ValueError(f"truncated blob length word at offset {pos}")
+            raise ValueError(f"truncated blob length word at offset {at}")
         header_len = struct.unpack(">i", data[pos : pos + 4])[0]
         pos += 4
         header = data[pos : pos + max(header_len, 0)]
         pos += max(header_len, 0)
-        kind, datasize = _checked_blob_header(header, header_len, f"offset {pos - 4 - len(header)}")
+        kind, datasize = _checked_blob_header(header, header_len, f"offset {at}")
         if pos + datasize > n:
             raise ValueError(
-                f"Blob at offset {pos} extends past end of stream "
+                f"Blob at offset {at} extends past end of stream "
                 f"({pos + datasize} > {n}): truncated file"
             )
         yield kind, _decompress_blob(data[pos : pos + datasize])

@@ -22,6 +22,7 @@ import os
 import re
 import subprocess
 import sys
+import tempfile
 import time
 
 
@@ -30,15 +31,23 @@ def main() -> int:
     host_cpus = os.cpu_count() or 8
     per_shard = max(4, host_cpus // n)
     t0 = time.monotonic()
-    procs = []
+    procs, logs = [], []
     for i in range(n):
         env = dict(os.environ)
         env["SUITE_SHARD"] = f"{i}/{n}"
         env.setdefault("SPARK_GRAFT_CPUS", str(per_shard))
+        # each shard writes to its own temp file, NOT a pipe: pipes are
+        # drained sequentially below, so a shard spewing >64 KB of
+        # failure tracebacks would block on a full pipe buffer and
+        # serialize the run exactly when it is red
+        log = tempfile.NamedTemporaryFile(
+            "w+", suffix=f".shard{i}.log", delete=False
+        )
+        logs.append(log)
         procs.append(
             subprocess.Popen(
                 [sys.executable, "-m", "pytest", "tests/", "-q"],
-                stdout=subprocess.PIPE,
+                stdout=log,
                 stderr=subprocess.STDOUT,
                 text=True,
                 env=env,
@@ -47,7 +56,11 @@ def main() -> int:
     rc = 0
     totals = {"passed": 0, "failed": 0, "skipped": 0, "deselected": 0, "error": 0}
     for i, p in enumerate(procs):
-        out, _ = p.communicate()
+        p.wait()
+        logs[i].close()
+        with open(logs[i].name) as f:
+            out = f.read()
+        os.unlink(logs[i].name)
         tail = out.strip().splitlines()[-1] if out.strip() else ""
         print(f"[shard {i}/{n}] rc={p.returncode} {tail}", flush=True)
         if p.returncode != 0:

@@ -282,3 +282,19 @@ def test_truncated_wav_data_chunk_loud():
     assert decode_wav(data)["n_frames"] == 16_000  # intact file unchanged
     with pytest.raises(ValueError, match="truncated b'data' chunk"):
         decode_wav(data[: len(data) // 2])
+
+
+def test_zero_dimension_png_rejected_before_inflate():
+    """height=0 would make the bounded-inflate cap 0, which zlib treats
+    as UNLIMITED — the bomb-guard bypass found in review. Zero dims are
+    invalid PNG and must be rejected before any decompression."""
+    for w, h in ((1, 0), (0, 1), (0, 0)):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        blob = (
+            PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * (1024 * 1024)))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="zero-dimension"):
+            decode_png(blob)
