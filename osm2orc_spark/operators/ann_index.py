@@ -1105,14 +1105,17 @@ _register_knn_recall()
 KNN_RECALL_TARGET_PCT = 80
 
 
-#: (abspath(sf_dir), hash(index.centroids)) -> routed nprobe — keyed on
-#: centroid CONTENTS so two equal-k fits with different centroids route
-#: separately (r13 review).  The routing measurement
+#: (abspath(sf_dir), index.centroids) -> routed nprobe — keyed on the
+#: centroid tuple ITSELF, not hash(centroids) (r13 advice: tuple hashing
+#: is not injective, so two different centroid sets over the same dir
+#: could collide and silently reuse the wrong routed fan-out; dict
+#: lookup falls back to full equality on hash collision at no extra
+#: memory cost beyond a reference).  The routing measurement
 #: is deterministic (exact ground truth, deterministic fit), so per-dir
 #: memoization is semantics-free — it spares the recall eval's SECOND
 #: exact batch scan and repeated gate calls.  Cleared together with the
 #: index memo (index_cache_clear) for tests that rewrite a dir in place.
-_TUNED_NPROBE_CACHE: dict[tuple[str, int], int] = {}
+_TUNED_NPROBE_CACHE: dict[tuple[str, tuple[tuple[int, ...], ...]], int] = {}
 
 
 def _tuned_nprobe(spark: SparkSession, sf_dir: str, index: AnnIndex) -> int:
@@ -1127,8 +1130,8 @@ def _tuned_nprobe(spark: SparkSession, sf_dir: str, index: AnnIndex) -> int:
     # keyed on the centroid CONTENTS, not just the count: two fits over
     # the same dir with equal k but different centroids (different
     # iters/caps, or a caller's manual AnnIndex) must route separately
-    # (r13 review finding)
-    memo_key = (os.path.abspath(sf_dir), hash(index.centroids))
+    # (r13 review finding; r13 advice: the tuple itself, not its hash)
+    memo_key = (os.path.abspath(sf_dir), index.centroids)
     if memo_key in _TUNED_NPROBE_CACHE:
         return _TUNED_NPROBE_CACHE[memo_key]
     from pyspark.sql import Window

@@ -165,6 +165,15 @@ def decode_wav(blob: bytes) -> dict:
         elif cid == b"data":
             data = body
         pos += 8 + ln + (ln & 1)  # chunks are 2-byte aligned
+    # A file truncated INSIDE a chunk header leaves 1-7 trailing bytes the
+    # walk cannot parse — as loud as a truncated body (r13 advice; pos may
+    # legitimately overshoot len(blob) by 1 when the final odd chunk's pad
+    # byte is absent at EOF, so only pos < len(blob) is an error).
+    if pos < len(blob):
+        raise ValueError(
+            f"trailing partial chunk header: {len(blob) - pos} bytes after "
+            "last complete chunk"
+        )
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     channels = int.from_bytes(fmt[2:4], "little")

@@ -83,6 +83,7 @@ def parse_changeset_stream(
     tags: dict[str, str] = {}
     comments: list[dict] = []
     pending_text: str | None = None
+    in_comment = False
     for event, elem in iterparse(stream, events=("start", "end")):
         tag = elem.tag.rsplit("}", 1)[-1]
         if event == "start":
@@ -96,14 +97,23 @@ def parse_changeset_stream(
                 cs_attrs = dict(elem.attrib)
                 tags = {}
                 comments = []
+                in_comment = False
+                pending_text = None
+            elif tag == "comment":
+                # reset at comment START (r13 advice): a stray <text>
+                # outside any <comment> (malformed input) must not leak
+                # into the next comment, possibly in a later changeset
+                in_comment = True
+                pending_text = None
         else:  # end
             if tag == "tag" and cs_attrs is not None:
                 k, v = elem.get("k"), elem.get("v")
                 if k is not None:
                     tags[k] = v if v is not None else ""
-            elif tag == "text" and cs_attrs is not None:
+            elif tag == "text" and cs_attrs is not None and in_comment:
                 pending_text = elem.text if elem.text is not None else ""
             elif tag == "comment" and cs_attrs is not None:
+                in_comment = False
                 if include_discussion:
                     comments.append(
                         {

@@ -284,6 +284,29 @@ def test_truncated_wav_data_chunk_loud():
         decode_wav(data[: len(data) // 2])
 
 
+def test_wav_trailing_partial_chunk_header_loud():
+    """A file truncated INSIDE a chunk header leaves 1-7 trailing bytes
+    the walk silently skipped before r14 — header-level truncation must
+    be as loud as body-level truncation (r13 advice)."""
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    w = _wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8_000)
+    w.writeframes(np.zeros(800, dtype="<i2").tobytes())
+    w.close()
+    data = buf.getvalue()
+    from osm2orc_spark.operators.multimodal import decode_wav
+
+    assert decode_wav(data)["n_frames"] == 800  # intact file unchanged
+    for extra in (1, 3, 7):
+        with pytest.raises(ValueError, match="trailing partial chunk header"):
+            decode_wav(data + b"LIST"[:extra])
+
+
 def test_zero_dimension_png_rejected_before_inflate():
     """height=0 would make the bounded-inflate cap 0, which zlib treats
     as UNLIMITED — the bomb-guard bypass found in review. Zero dims are

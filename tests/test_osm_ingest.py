@@ -179,6 +179,29 @@ class TestChangesetXml:
         with pytest.raises(ET.ParseError):
             list(parse_changeset_stream("trunc.xml", xml[: len(xml) // 2]))
 
+    def test_stray_text_outside_comment_does_not_leak(self):
+        """A <text> element outside any <comment> (malformed input) must
+        not leak into a later comment's text (r13 advice: pending_text
+        was only cleared at <comment> END, so a stray capture survived
+        into the next comment, potentially in a later changeset)."""
+        xml = (
+            b'<?xml version="1.0"?><osm>'
+            b'<changeset id="1" created_at="2015-01-01T00:00:00Z" open="false">'
+            b"<text>stray</text>"
+            b"</changeset>"
+            b'<changeset id="2" created_at="2015-01-01T00:00:00Z" open="false">'
+            b"<discussion><comment date=\"2015-01-02T00:00:00Z\" uid=\"7\" "
+            b'user="u"><text>real</text></comment>'
+            b'<comment date="2015-01-03T00:00:00Z" uid="8" user="v"/>'
+            b"</discussion></changeset></osm>"
+        )
+        rows = list(
+            parse_changeset_stream("stray.xml", xml, include_discussion=True)
+        )
+        assert rows[0]["comments"] == []
+        texts = [c["text"] for c in rows[1]["comments"]]
+        assert texts == ["real", None]
+
 
 class TestChangesetDiscussion:
     """Opt-in discussion ingest (the reference's TODO,
