@@ -204,7 +204,22 @@ def _pair_intersections(cand: DataFrame, arrs: DataFrame) -> DataFrame:
     AQE-splittable equi-joins shuffling |cand| rows plus the arrays.
     Hot docs (many candidate pairs) are ordinary join skew, which AQE
     splits; the intersection work itself is the same O(|A|+|B|) per pair
-    either way, just without the exchange between."""
+    either way, just without the exchange between.
+
+    The candidate stream is re-distributed by doc_a BEFORE the joins
+    (r14): the pair-distinct exchange upstream carries ~16 BYTES per
+    pair, so AQE's byte-based coalescing packs it into one or two
+    partitions — and the verify (two joins + an array_intersect over
+    the full shingle arrays, the expensive per-ROW work of this whole
+    family) then runs single-task (measured: a 1.5 s one-task stage in
+    dedup_containment_ppjoin at sf0.1, ~40% of its wall).  Hashing by
+    doc_a restores task parallelism at byte-blind cost, and at corpus
+    scale it is the SAME doc_a distribution the first equi-join needs
+    anyway (where arrs is too big to broadcast), so the exchange is
+    repurposed, not added."""
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "doc_a"
+    )
     a = arrs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("arr").alias("arr_a"),
