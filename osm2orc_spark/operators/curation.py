@@ -601,6 +601,39 @@ MIN_QUALITY = 0.45
 MAX_DUP_BIGRAM = 0.2
 
 
+def _doc_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE documents scan + tokenize computing BOTH the quality and the
+    repetition metric sets (r14, guide §2.3 'project before you pay the
+    pass twice'): the composed consumers (quality filter, training mix,
+    mix report) previously evaluated two separate scan+tokenize subtrees
+    and joined them on doc_id — this frame carries the identical columns
+    off a single pass, with dup_bigram_ratio NULL for docs under 2
+    tokens exactly as the composed LEFT join yields (F.when guard; the
+    registered primitives and their oracles are untouched)."""
+    from osm2orc_spark.operators.text import (
+        _grams_col,
+        _quality_cols,
+        _repetition_cols,
+        _toks,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", _toks().alias("t")
+    )
+    with_grams = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "t",
+        F.when(F.size("t") >= 2, _grams_col("t")).alias("grams"),
+    )
+    rep = _repetition_cols("grams")
+    guard = [F.when(F.col("grams").isNotNull(), c).alias(n) for c, n in
+             zip(rep, ("n_bigrams", "n_unique_bigrams", "dup_bigram_ratio", "flagged"))]
+    return with_grams.select("doc_id", "lang", *_quality_cols(), *guard)
+
+
+
 @register(
     "curation_quality_filter",
     oracle=None,  # assembled below from the quality + repetition oracles
@@ -616,16 +649,25 @@ MAX_DUP_BIGRAM = 0.2
 def curation_quality_filter(
     spark: SparkSession, sf_dir: str, *, quality: DataFrame | None = None
 ) -> DataFrame:
-    from osm2orc_spark.operators.text import (
-        text_quality_scores,
-        text_repetition_scores,
-    )
+    from osm2orc_spark.operators.text import text_repetition_scores
 
     if quality is None:
-        quality = text_quality_scores(spark, sf_dir)
-    q = quality.select("doc_id", "n_tokens", "quality_score")
-    r = text_repetition_scores(spark, sf_dir).select("doc_id", "dup_bigram_ratio")
-    j = q.join(r, "doc_id", "left")
+        # One-scan spelling (r14): quality + repetition columns off a
+        # single tokenize — no join at all.
+        j = _doc_quality_repetition(spark, sf_dir).select(
+            "doc_id", "n_tokens", "quality_score", "dup_bigram_ratio"
+        )
+    elif "dup_bigram_ratio" in quality.columns:
+        # A composing pipeline shared the FUSED frame — already joined.
+        j = quality.select(
+            "doc_id", "n_tokens", "quality_score", "dup_bigram_ratio"
+        )
+    else:
+        q = quality.select("doc_id", "n_tokens", "quality_score")
+        r = text_repetition_scores(spark, sf_dir).select(
+            "doc_id", "dup_bigram_ratio"
+        )
+        j = q.join(r, "doc_id", "left")
     reason = (
         F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
         .when(F.col("quality_score") < MIN_QUALITY, "low_quality")
@@ -754,38 +796,37 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "dedup", "split", "iterative"),
 )
 def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osm2orc_spark.operators.text import text_quality_scores
-
-    # ONE materialized quality frame feeds both the keep-gate and the
-    # canonical ranking: without sharing, the documents scan+tokenize
-    # subtree executes once per consumer (Catalyst plans identical
-    # subtrees independently).
-    quality = text_quality_scores(spark, sf_dir).persist()
-    try:
-        keep = (
-            curation_quality_filter(spark, sf_dir, quality=quality)
-            .filter("keep")
-            .select("doc_id")
-        )
-        cano = curation_canonical_docs(spark, sf_dir, quality=quality).select("doc_id")
-        surv = (
-            load(spark, sf_dir, "documents")
-            .select("doc_id", "lang")
-            .join(keep, "doc_id", "left_semi")
-            .join(cano, "doc_id", "left_semi")
-            # surv feeds BOTH the per-lang quota aggregate and the final
-            # quota join -- persist the survivor set (which embeds the
-            # quality-filter and canonical-docs subtrees) instead of
-            # evaluating that lineage twice. The survivor cache is a
-            # narrow two-column frame the returned plan reads twice, so
-            # it stays cached; the HEAVY cache (quality: text-derived
-            # columns over the full corpus) is released below once surv
-            # is materialized past it.
-            .persist()
-        )
-        surv.count()
-    finally:
-        safe_unpersist(quality)
+    # ONE materialized quality+repetition frame (r14: the fused one-scan
+    # spelling) feeds the keep-gate AND the canonical ranking: without
+    # sharing, the documents scan+tokenize subtree executes once per
+    # consumer (Catalyst plans identical subtrees independently), and
+    # before the fusion the keep-gate additionally joined a SECOND
+    # tokenize pass for the repetition columns.
+    quality = _doc_quality_repetition(spark, sf_dir).persist()
+    keep = (
+        curation_quality_filter(spark, sf_dir, quality=quality)
+        .filter("keep")
+        .select("doc_id")
+    )
+    cano = curation_canonical_docs(spark, sf_dir, quality=quality).select("doc_id")
+    surv = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .join(keep, "doc_id", "left_semi")
+        .join(cano, "doc_id", "left_semi")
+        # surv feeds BOTH the per-lang quota aggregate and the final
+        # quota join -- persist the survivor set (which embeds the
+        # quality-filter and canonical-docs subtrees) instead of
+        # evaluating that lineage twice.  The r13 spelling ran an EAGER
+        # surv.count() here so the quality cache could release before
+        # the tail; r14 drops that barrier (one fewer job + no
+        # serialization point — measured win at gate SFs) and scopes
+        # BOTH caches to the result via release_with: the quality frame
+        # is a NARROW per-doc scalar row (never the text), so holding
+        # it through the tail costs bounded memory at any corpus size
+        # (MEMORY_AND_DISK spill beyond).
+        .persist()
+    )
     w = surv.groupBy("lang").agg(
         F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * MIX_QUANT)
         .cast("bigint")
@@ -811,6 +852,7 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             cap_bound=MIX_TARGET,
         ).select("doc_id", "lang", "quota"),
         surv,
+        quality,
     )
 
 
@@ -832,9 +874,10 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "eval"),
 )
 def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osm2orc_spark.operators.text import text_quality_scores
-
-    quality = text_quality_scores(spark, sf_dir).persist()
+    # Fused one-scan quality+repetition frame (r14) — same sharing as
+    # curation_training_mix; the keep-gate no longer joins a second
+    # tokenize pass.
+    quality = _doc_quality_repetition(spark, sf_dir).persist()
     try:
         keep = curation_quality_filter(spark, sf_dir, quality=quality).select(
             "doc_id", "keep"
@@ -1178,8 +1221,17 @@ DSIR_RQ = 1_000_000  # ratio quantization
     tags=("curation", "split", "text"),
 )
 def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", _text_toks().alias("t")
+    # Repartition BEFORE the ngram fan-out (r14, the _shingle_arrays
+    # rule): the documents file is one parquet split at gate SFs, so
+    # without this the tokenize+explode+bucket pipeline — and the
+    # persisted feats cache it fills — lives on ONE task/partition
+    # (measured: two 0.8 s single-task stages, ~80% of the query's
+    # executor time).  At 100 TB the scan is many splits and this
+    # repartition is a no-op cost-wise.
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "source", _text_toks().alias("t"))
     )
     feats = docs.select(
         "doc_id",

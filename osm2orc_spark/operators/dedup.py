@@ -1554,7 +1554,14 @@ SPAN_N = 8
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    docs = load(spark, sf_dir, "documents")
+    # Repartition BEFORE the span fan-out (r14, the _shingle_arrays
+    # rule): a single-split documents file otherwise puts the whole
+    # tokenize+posexplode pipeline — and the persisted span cache —
+    # on ONE task/partition (measured: ~1.3 s of single-task stages at
+    # sf0.1, most of the query's executor time).
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select(
         "doc_id",
         F.split(
@@ -1862,7 +1869,11 @@ def dedup_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = dedup_duplicate_spans(spark, sf_dir).select(
         "doc_id", "start_tok", "end_tok"
     )
-    docs = load(spark, sf_dir, "documents")
+    # Repartition before the token-position fan-out (r14 — the
+    # _shingle_arrays rule; single-split file otherwise = one task).
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select(
         "doc_id",
         F.split(

@@ -87,6 +87,33 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_cols() -> list:
+    """The text_quality_scores metric columns over a frame carrying
+    (n_chars, t) — factored (r14) so fused internal consumers
+    (operators/curation.py's one-scan quality+repetition frame) compute
+    them off a single tokenize with arithmetic IDENTICAL to the
+    registered query (same expressions, same oracle)."""
+    toks = F.col("t")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("bigint")
+    n_unique = F.size(F.array_distinct(toks)).cast("bigint")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    diversity = n_unique.cast("double") / n_tokens
+    length_term = (
+        F.when(F.col("n_chars").between(100, 400), F.lit(0.4)).otherwise(F.lit(0.1))
+    )
+    return [
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        diversity.alias("diversity"),
+        (length_term + F.lit(0.3) * stop_ratio + F.lit(0.3) * diversity).alias(
+            "quality_score"
+        ),
+    ]
+
+
+
 @register(
     "text_quality_scores",
     oracle=f"""
@@ -119,26 +146,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", _toks().alias("t")
     )
-    toks = F.col("t")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tokens = F.size(toks).cast("bigint")
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("bigint")
-    n_unique = F.size(F.array_distinct(toks)).cast("bigint")
-    stop_ratio = n_stop.cast("double") / n_tokens
-    diversity = n_unique.cast("double") / n_tokens
-    length_term = (
-        F.when(F.col("n_chars").between(100, 400), F.lit(0.4)).otherwise(F.lit(0.1))
-    )
-    return docs.select(
-        "doc_id",
-        "lang",
-        n_tokens.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        diversity.alias("diversity"),
-        (length_term + F.lit(0.3) * stop_ratio + F.lit(0.3) * diversity).alias(
-            "quality_score"
-        ),
-    )
+    return docs.select("doc_id", "lang", *_quality_cols())
 
 
 def _lang_scores_sql() -> str:
@@ -474,7 +482,12 @@ TFIDF_TOPK = 5
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    # Repartition before the token fan-out (r14, the _shingle_arrays
+    # rule): a single-split documents file otherwise runs the whole
+    # tokenize+explode on one task.  No-op at scale (many splits).
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select("doc_id", F.explode(_toks()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -495,6 +508,37 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REPETITION_MAX_RATIO = 0.2  # flag docs whose duplicate-bigram share exceeds this
+
+
+def _grams_col(tok_col: str):
+    """Word-bigram array over a token-array column (the
+    text_repetition_scores fan) — factored (r14) for the one-scan
+    fusion with ``_quality_cols``.  Callers materialize it into a named
+    column FIRST (inlining it into each metric re-runs the transform
+    per metric)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tok_col) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tok_col, i), F.element_at(tok_col, i + 1)
+        ),
+    )
+
+
+def _repetition_cols(grams_col: str = "grams") -> list:
+    """The text_repetition_scores metric columns over a materialized
+    grams column (identical expressions to the registered query; a
+    NULL grams array — a doc under 2 tokens in the fused spelling —
+    yields NULLs, matching the composed left-join semantics)."""
+    n_bi = F.size(grams_col)
+    n_uni = F.size(F.array_distinct(grams_col))
+    dup_ratio = 1.0 - n_uni.cast("double") / n_bi
+    return [
+        n_bi.cast("bigint").alias("n_bigrams"),
+        n_uni.cast("bigint").alias("n_unique_bigrams"),
+        dup_ratio.alias("dup_bigram_ratio"),
+        (dup_ratio > REPETITION_MAX_RATIO).alias("flagged"),
+    ]
+
 
 
 @register(
@@ -529,18 +573,8 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", _toks().alias("tk")
     ).filter(F.size("tk") >= 2)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("tk") - 1),
-        lambda i: F.concat_ws(" ", F.element_at("tk", i), F.element_at("tk", i + 1)),
-    )
-    g = docs.select("doc_id", grams.alias("grams"))
-    dup_ratio = 1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
-    return g.select(
-        "doc_id",
-        F.size("grams").cast("bigint").alias("n_bigrams"),
-        F.size(F.array_distinct("grams")).cast("bigint").alias("n_unique_bigrams"),
-        dup_ratio.alias("dup_bigram_ratio"),
-        (dup_ratio > REPETITION_MAX_RATIO).alias("flagged"),
+    return docs.select("doc_id", _grams_col("tk").alias("grams")).select(
+        "doc_id", *_repetition_cols("grams")
     )
 
 
@@ -603,8 +637,12 @@ BM25_TOPK = 20
     tags=("text",),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(_toks()).alias("term")
+    # Repartition before the token fan-out (r14, the _shingle_arrays
+    # rule — see text_tfidf_topk).
+    toks = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(_toks()).alias("term"))
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
     g = dl.agg(
@@ -748,7 +786,12 @@ NGRAM_VOCAB_K = 100  # vocabulary candidates kept
     tags=("text",),
 )
 def text_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", _toks().alias("t"))
+    # Repartition before the bigram fan-out (r14 — see text_tfidf_topk).
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _toks().alias("t"))
+    )
     bigrams = docs.select(
         "doc_id",
         F.explode(
@@ -821,7 +864,10 @@ BIGRAM_MIN_DF = 3
     tags=("text",),
 )
 def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # Repartition before the bigram fan-out (r14 — see text_tfidf_topk).
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select("doc_id", _toks().alias("t"))
     bigrams = toks.select(
         "doc_id",
@@ -1004,8 +1050,11 @@ CLS_WEIGHT_RANGE = 2001  # weights in [-1000, 1000]
     tags=("text", "curation"),
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", _toks().alias("t")
+    # Repartition before the ngram fan-out (r14 — see text_tfidf_topk).
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _toks().alias("t"))
     )
     ex = docs.select("doc_id", F.explode(_ngrams_uni_bi("t")).alias("ngram"))
     b = feature_bucket(F.col("ngram"), "qcls")
