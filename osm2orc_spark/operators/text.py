@@ -482,12 +482,11 @@ TFIDF_TOPK = 5
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    # Repartition before the token fan-out (r14, the _shingle_arrays
-    # rule): a single-split documents file otherwise runs the whole
-    # tokenize+explode on one task.  No-op at scale (many splits).
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # NOTE(r14): repartition-before-fan-out was tried here and reverted —
+    # this plan replicates the toks subtree once per consumer (tf, df,
+    # n_docs; no ReusedExchange), so the repartition exchange multiplied
+    # instead of helping (measured wash-to-worse at sf0.1).
+    docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_toks()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -637,12 +636,12 @@ BM25_TOPK = 20
     tags=("text",),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Repartition before the token fan-out (r14, the _shingle_arrays
-    # rule — see text_tfidf_topk).
-    toks = (
-        load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(_toks()).alias("term"))
+    # NOTE(r14): repartition-before-fan-out tried and reverted — the toks
+    # subtree is replicated per consumer (dl, g, tf), so the added
+    # exchange multiplied (measured +0.2-0.3 s at sf0.1; see
+    # text_tfidf_topk).
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_toks()).alias("term")
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
     g = dl.agg(
@@ -864,10 +863,10 @@ BIGRAM_MIN_DF = 3
     tags=("text",),
 )
 def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Repartition before the bigram fan-out (r14 — see text_tfidf_topk).
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # NOTE(r14): repartition-before-fan-out tried and reverted — bigrams
+    # feeds three consumer subtrees (df, cov, final join) with no
+    # ReusedExchange, so the exchange multiplied (see text_tfidf_topk).
+    docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _toks().alias("t"))
     bigrams = toks.select(
         "doc_id",
