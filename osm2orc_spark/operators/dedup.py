@@ -416,6 +416,13 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     oarr, arrs = _df_ordered_shingle_arrays(spark, sf_dir)
     arrs = arrs.persist()
     oarr = oarr.persist()
+    # NOTE(r14): an eager oarr.count() cache build was tried here and
+    # measured WORSE (in-session alternating A/B at sf0.1: lazy min
+    # 1.98s vs eager 2.51s on containment, similar on the others) — the
+    # consumers share the shingle exchange, so the cold-cache race
+    # recomputes little, while the count() barrier kills stage overlap.
+    # Contrast embedding_near_dup_lsh, where the racing consumers each
+    # recompute the 64-plane projection and the eager build wins.
     # p = n - ceil(t*n) + 1 with t = 4/5, all-integer so the bound is
     # safe; rn == idx + 1 is the PPJoin global rank, free from the cache.
     pos = oarr.select("doc_id", "n", F.posexplode("arr").alias("idx", "shingle"))
