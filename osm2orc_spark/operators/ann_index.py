@@ -50,19 +50,28 @@ def ann_build_index(spark: SparkSession, sf_dir: str, kind: str = "ivf") -> AnnI
     memory is capped by MAX_FIT_ROWS regardless of corpus size."""
     from osm2orc_spark.operators.similarity import (
         IVF_KM_ITERS,
+        MAX_FIT_ROWS,
         N_CENTROIDS,
+        PQ_K,
+        _fit_sample_rows,
         _lloyd_fit_ints,
         _pq_lloyd_fit,
     )
 
     if kind not in ("ivf", "ivfpq"):
         raise ValueError(f"unknown index kind: {kind}")
-    cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS)
+    # Both fits train on the identical md5-ranked sample — collect once.
+    sample = _fit_sample_rows(
+        spark, sf_dir, max(N_CENTROIDS, PQ_K), 1.0, MAX_FIT_ROWS
+    )
+    cents = _lloyd_fit_ints(
+        spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS, sample_rows=sample
+    )
     books = None
     if kind == "ivfpq":
         books = tuple(
             tuple(tuple(int(v) for v in code) for code in book)
-            for book in _pq_lloyd_fit(spark, sf_dir, IVF_KM_ITERS)
+            for book in _pq_lloyd_fit(spark, sf_dir, IVF_KM_ITERS, sample_rows=sample)
         )
     return AnnIndex(
         kind=kind,

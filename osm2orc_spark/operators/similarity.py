@@ -444,8 +444,15 @@ def _lloyd_fit_ints(
     iters: int,
     fit_fraction: float = 1.0,
     max_fit_rows: int | None = MAX_FIT_ROWS,
+    sample_rows: list | None = None,
 ) -> list[list[int]]:
     """Fit k integer centroids over the quantized embeddings.
+
+    ``sample_rows`` lets a caller that fits BOTH coarse centroids and PQ
+    codebooks (ann_ivfpq_probe/_recall) hand in one already-collected
+    ``_fit_sample_rows`` result: the two fits train on the identical
+    md5-ranked sample, so collecting it twice was one whole Spark job of
+    pure duplicate work (r14, guide §1.2 'don't compute things twice').
 
     Per round: assignment is a narrow map with the k centroid vectors
     baked in as literals (broadcast-by-literal — zero shuffle), the
@@ -475,7 +482,11 @@ def _lloyd_fit_ints(
     FULL corpus stays a distributed literal-argmin scan."""
     import numpy as np
 
-    ranked = _fit_sample_rows(spark, sf_dir, k, fit_fraction, max_fit_rows)
+    ranked = (
+        sample_rows
+        if sample_rows is not None
+        else _fit_sample_rows(spark, sf_dir, k, fit_fraction, max_fit_rows)
+    )
     X = np.array([qv for _, _, qv in ranked], dtype=np.int64)
     cents = X[:k].copy()  # md5-ranked seeds, identical to the SQL twin
     for _ in range(iters):
@@ -1560,6 +1571,7 @@ def _pq_lloyd_fit(
     iters: int,
     fit_fraction: float = 1.0,
     max_fit_rows: int | None = MAX_FIT_ROWS,
+    sample_rows: list | None = None,
 ) -> list[list[list[int]]]:
     """Per-subspace deterministic integer Lloyd's: books[m][cid] is the
     PQ_D-int centroid of code cid in subspace m.
@@ -1578,7 +1590,11 @@ def _pq_lloyd_fit(
     default), replayable by _pq_lloyd_cte_sql(fit_m)."""
     import numpy as np
 
-    ranked = _fit_sample_rows(spark, sf_dir, PQ_K, fit_fraction, max_fit_rows)
+    ranked = (
+        sample_rows
+        if sample_rows is not None
+        else _fit_sample_rows(spark, sf_dir, PQ_K, fit_fraction, max_fit_rows)
+    )
     X = np.array([qv for _, _, qv in ranked], dtype=np.int64)
     # books[m][cid] seeds from the md5-ranked first PQ_K vectors' subvectors
     books = [X[:PQ_K, m * PQ_D : (m + 1) * PQ_D].copy() for m in range(PQ_M)]
@@ -1865,8 +1881,10 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
 )
 def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS)
-    books = _pq_lloyd_fit(spark, sf_dir, IVF_KM_ITERS)
+    # One sample collect shared by both fits (identical md5 ranking).
+    sample = _fit_sample_rows(spark, sf_dir, max(N_CENTROIDS, PQ_K), 1.0, MAX_FIT_ROWS)
+    cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS, sample_rows=sample)
+    books = _pq_lloyd_fit(spark, sf_dir, IVF_KM_ITERS, sample_rows=sample)
     return _ivfpq_topk(spark, sf_dir, cents, books, N_PROBE, PQ_SHORTLIST)
 
 
@@ -1932,8 +1950,9 @@ IVFPQ_CONFIGS: tuple[tuple[int, int], ...] = ((N_PROBE, PQ_SHORTLIST), (4, 100),
     tags=("similarity", "eval"),
 )
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS)
-    books = _pq_lloyd_fit(spark, sf_dir, IVF_KM_ITERS)
+    sample = _fit_sample_rows(spark, sf_dir, max(N_CENTROIDS, PQ_K), 1.0, MAX_FIT_ROWS)
+    cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS, sample_rows=sample)
+    books = _pq_lloyd_fit(spark, sf_dir, IVF_KM_ITERS, sample_rows=sample)
     exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
     out = None
     for nprobe, sl in IVFPQ_CONFIGS:

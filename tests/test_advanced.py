@@ -471,6 +471,33 @@ def test_fit_sample_absolute_cap(spark, sf_correctness):
         )
 
 
+def test_fit_shared_sample_identical(spark, sf_correctness):
+    """A caller that hands both fit entry points one pre-collected
+    ``_fit_sample_rows`` result (the r14 shared-sample path of
+    ann_ivfpq_probe / ann_build_index) must get centroids and codebooks
+    identical to each fit collecting its own sample — the shared sample
+    is pure duplicate-work elimination, never a semantic knob."""
+    from osm2orc_spark.operators.similarity import (
+        IVF_KM_ITERS,
+        MAX_FIT_ROWS,
+        N_CENTROIDS,
+        PQ_K,
+        _fit_sample_rows,
+        _lloyd_fit_ints,
+        _pq_lloyd_fit,
+    )
+
+    sample = _fit_sample_rows(
+        spark, sf_correctness, max(N_CENTROIDS, PQ_K), 1.0, MAX_FIT_ROWS
+    )
+    assert _lloyd_fit_ints(
+        spark, sf_correctness, N_CENTROIDS, IVF_KM_ITERS, sample_rows=sample
+    ) == _lloyd_fit_ints(spark, sf_correctness, N_CENTROIDS, IVF_KM_ITERS)
+    assert _pq_lloyd_fit(
+        spark, sf_correctness, IVF_KM_ITERS, sample_rows=sample
+    ) == _pq_lloyd_fit(spark, sf_correctness, IVF_KM_ITERS)
+
+
 def test_lloyd_fit_max_rows_oracle_replay(spark, sf_correctness):
     """A cap below the corpus size must replay bit-for-bit in the DuckDB
     twin via fit_m — the same contract as fit_fraction, now for the
