@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from osm2orc_spark.operators.cache import release_with
 from osm2orc_spark.registry import register
 from osm2orc_spark.tables import load
 
@@ -636,61 +637,74 @@ BM25_TOPK = 20
     tags=("text",),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOTE(r14): repartition-before-fan-out tried and reverted — the toks
-    # subtree is replicated per consumer (dl, g, tf), so the added
-    # exchange multiplied (measured +0.2-0.3 s at sf0.1; see
-    # text_tfidf_topk).
+    # ONE tokenize pass (r14, guide §2.3/§2.4): the r13 spelling built
+    # dl and tf off separate toks subtrees and joined them back on
+    # doc_id, replicating the scan+explode once per consumer (Catalyst
+    # plans identical subtrees independently) and paying two doc_id
+    # join exchanges.  One groupBy(doc_id) computes dl AND the three
+    # per-term tfs; everything downstream is a 1-row broadcast
+    # aggregate, so the whole query is one tokenize + one exchange.
+    # Score arithmetic is expression-identical per term (same casts,
+    # same fixed + order), so results match the registered oracle
+    # bit-for-bit.
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(_toks()).alias("term")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-    g = dl.agg(
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    # per_doc feeds the global aggregate AND the scored rows — persist
+    # the narrow (doc_id, 4 ints) frame or the tokenize runs twice.
+    per_doc = per_doc.persist()
+    g = per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
     )
-    tf = (
-        toks.filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    tfd, dfd, dld = (
-        F.col("tf").cast("double"),
-        F.col("df").cast("double"),
-        (F.col("dl") * F.col("n_docs")).cast("double"),
-    )
-    s = (
-        ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
-        / (dfd + F.lit(0.5))
-    ) * (
-        (tfd * F.lit(BM25_K1 + 1.0))
-        / (
-            tfd
-            + F.lit(BM25_K1)
-            * (
-                F.lit(1.0 - BM25_B)
-                + (F.lit(BM25_B) * dld) / F.col("sum_dl").cast("double")
+
+    def term_score(i: int):
+        tfd = F.col(f"tf_{i}").cast("double")
+        dfd = F.col(f"df_{i}").cast("double")
+        dld = (F.col("dl") * F.col("n_docs")).cast("double")
+        s = (
+            ((F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5))
+            / (dfd + F.lit(0.5))
+        ) * (
+            (tfd * F.lit(BM25_K1 + 1.0))
+            / (
+                tfd
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + (F.lit(BM25_B) * dld) / F.col("sum_dl").cast("double")
+                )
             )
         )
+        return F.when(F.col(f"tf_{i}") > 0, s).otherwise(F.lit(0.0))
+
+    matched = per_doc.filter(
+        " OR ".join(f"tf_{i} > 0" for i in range(len(BM25_TERMS)))
     )
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-        .select("doc_id", "term", s.alias("s"))
-    )
-    term_score = lambda t: F.coalesce(
-        F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            (
-                term_score("spark") + term_score("window") + term_score("merge")
-            ).alias("score")
+    return release_with(
+        matched.crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            (term_score(0) + term_score(1) + term_score(2)).alias("score"),
         )
         .orderBy(F.desc("score"), "doc_id")
-        .limit(BM25_TOPK)
+        .limit(BM25_TOPK),
+        per_doc,
     )
 
 
