@@ -14,6 +14,7 @@ integer arithmetic before any double, total-order tie-breaks.
 
 from __future__ import annotations
 
+from pyspark import InheritableThread
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -808,7 +809,22 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("keep")
         .select("doc_id")
     )
-    cano = curation_canonical_docs(spark, sf_dir, quality=quality).select("doc_id")
+    # Overlap the quality-cache build with the components phase (guide
+    # §2.6): curation_canonical_docs runs the whole LSH pipeline plus an
+    # EAGER driver union-find collect before this function returns, and
+    # during the collect/driver phase every executor idles.  Kicking the
+    # quality materialization onto a concurrent driver thread lets the
+    # FIFO scheduler back-fill those idle cores — the thread is joined
+    # before returning, so callers still get one fully-built cache and
+    # no job escapes the query call.
+    warm = InheritableThread(target=lambda: quality.count())
+    warm.start()
+    try:
+        cano = curation_canonical_docs(spark, sf_dir, quality=quality).select(
+            "doc_id"
+        )
+    finally:
+        warm.join()
     surv = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang")

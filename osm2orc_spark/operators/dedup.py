@@ -1321,12 +1321,21 @@ def dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("t", i * k + 1, k)).alias("chunk_text"),
         ),
     )
+    # NOTE(r14): persisting the chunk stream (the repeated-subtree rule
+    # dedup_duplicate_spans applies to its span stream) was A/B-measured
+    # WORSE here — 1.06 vs 0.91s min at sf0.1, value-identical: the
+    # 2-token chunk explode is cheap enough that the cold-cache
+    # consumer race + cache write cost more than the saved recompute
+    # (same outcome as the containment shingle caches).
     chunks = tokd.select("doc_id", F.explode(chunk_arr).alias("c")).select(
         "doc_id", "c.chunk_idx", "c.chunk_text"
     )
     # n_docs as a broadcast scalar, not an eager .count(): keeps the
     # whole operator one lazy plan (no extra driver-blocking job; the
-    # one-row aggregate broadcasts into the threshold filter).
+    # one-row aggregate broadcasts into the threshold filter).  Counting
+    # off the raw scan instead (metadata count, no repartition exchange)
+    # was also A/B-measured: wash-to-worse at sf0.1 (1.10 vs 0.87s min)
+    # — the pruned-column exchange count is cheap and overlaps; kept.
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     common = (
         chunks.groupBy("chunk_text")
