@@ -488,6 +488,13 @@ def hourly_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # NOTE(r14): the distinct (user, hr, type) frame feeds five
+    # consumers and the scan+distinct subtree replays per consumer —
+    # persisting it was A/B-measured WORSE (1.38 vs 1.13s min at sf0.1,
+    # value-identical): the five replayed leaf stages overlap on idle
+    # cores while the cache build serializes them behind one pass (the
+    # same outcome as the shingle and boilerplate-chunk caches; persist
+    # only pays here when the recomputed subtree is provably expensive).
     g = ev.select(
         "user_id", F.date_trunc("hour", "ts").alias("hr"), "event_type"
     ).distinct()
@@ -506,7 +513,7 @@ def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (F.lit(1e6) * (dec("n_ab") * dec("n_groups")).cast("double"))
     den = (dec("na") * dec("nb")).cast("double")
-    return (
+    return release_with(
         pairs.join(
             F.broadcast(singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))),
             "type_a",
