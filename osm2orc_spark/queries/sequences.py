@@ -513,7 +513,7 @@ def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (F.lit(1e6) * (dec("n_ab") * dec("n_groups")).cast("double"))
     den = (dec("na") * dec("nb")).cast("double")
-    return release_with(
+    return (
         pairs.join(
             F.broadcast(singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))),
             "type_a",
