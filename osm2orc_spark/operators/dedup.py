@@ -612,6 +612,12 @@ def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the ARRAY base (r8): signatures explode it narrowly, the
     # verify intersects the arrays in-task (no fan-out/agg exchanges).
+    # NOTE(r14): an eager arrs.count() build (the RP-LSH racing-consumer
+    # fix) was A/B-measured WORSE here too — 2.79 vs 1.99s min at
+    # sf0.1, value-identical: the verify side's leaf scan races the
+    # signature chain but shingle arrays are cheap to recompute, so the
+    # barrier costs more than the duplicated work (same verdict as the
+    # ordered-arr and chunk caches).
     arrs = _shingle_arrays(spark, sf_dir).persist()
     sh = arrs.select("doc_id", F.explode("arr").alias("shingle"))
     cand = _band_candidates(_minhash_signatures(sh))
