@@ -631,9 +631,10 @@ BM25_TOPK = 20
     "per-row score is a fixed-order IEEE expression, and avgdl division "
     "is rewritten b*dl*N/sum_dl so no intermediate average is "
     "materialized. Per-doc term scores combine via fixed-order "
-    "conditional-max addition, never an unordered double SUM. The "
-    "query-term filter prunes the tf explode before its groupBy; "
-    "the tiny df table broadcasts.",
+    "conditional addition, never an unordered double SUM. One tokenize "
+    "pass (r14): a single groupBy(doc_id) computes dl and the per-term "
+    "tfs together, df and the globals collapse into a 1-row broadcast "
+    "aggregate — one exchange, no doc_id joins.",
     tags=("text",),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
