@@ -362,9 +362,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_year
     """,
     doc="TPC-H Q8 shape: a nation's share of a region's market for one "
-    "part type, by order year. Five-table star join where every dim "
-    "(part after the type filter, supplier, customer, nation x2, region) "
-    "broadcasts against the lineitem fact; the share is a conditional/"
+    "part type, by order year. Five-table star join against the lineitem "
+    "fact: nation x2/region carry bounded-dimension broadcast hints, while "
+    "part/supplier/customer scale with SF so their strategy is left to "
+    "AQE (runtime broadcast at small SFs, shuffle join at scale — r14: a "
+    "hint must never force an unbounded build side); the share is a conditional/"
     "total ratio of DECIMAL-exact sums divided once in double.",
     tags=("relational", "join", "agg"),
 )
@@ -388,8 +390,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
@@ -428,7 +430,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partsupp, so cost = p_retailprice * l_quantity (reference parity is "
     "the operator shape — fact/dim star + signed DECIMAL arithmetic — "
     "not the missing table). '%red%' cannot push to parquet stats but "
-    "prunes the broadcast part dim before the join.",
+    "prunes the part side before the join; part/supplier strategy is "
+    "AQE-decided (r14: both scale with SF, no forced broadcast).",
     tags=("relational", "join", "agg"),
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,8 +444,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * _dec("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -584,7 +587,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact: quantities quantized to cents, and qty < 0.2*avg rewritten "
     "as 5*qty*cnt < sum — no double division inside the predicate. The "
     "per-part aggregate and the join share the l_partkey shuffle; the "
-    "brand/size slice broadcasts.",
+    "brand/size part slice is AQE-decided (r14: part scales with SF, no "
+    "forced broadcast; size-based planning still broadcasts it at gate SFs).",
     tags=("relational", "join", "subquery", "agg"),
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,7 +603,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(per_part, li.l_partkey == F.col("pp_key"))
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .filter(F.lit(5) * F.col("qty_c") * F.col("cnt") < F.col("sum_c"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
@@ -626,8 +630,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q19 shape: three-way disjunction of (brand, size, "
     "quantity) conjuncts spanning both join sides. Catalyst derives the "
-    "per-side implications — brand IN (...) prunes the broadcast part "
-    "dim and quantity BETWEEN 1 AND 30 pushes to the lineitem scan — "
+    "per-side implications — brand IN (...) prunes the AQE-joined part "
+    "side and quantity BETWEEN 1 AND 30 pushes to the lineitem scan — "
     "while the full residual evaluates after the join.",
     tags=("relational", "join", "agg"),
 )
@@ -640,7 +644,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(qlo, qhi)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20) | arm("Brand#3", 15, 20, 30))
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
