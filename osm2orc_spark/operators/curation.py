@@ -804,72 +804,83 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the fusion the keep-gate additionally joined a SECOND
     # tokenize pass for the repetition columns.
     quality = _doc_quality_repetition(spark, sf_dir).persist()
-    keep = (
-        curation_quality_filter(spark, sf_dir, quality=quality)
-        .filter("keep")
-        .select("doc_id")
-    )
-    # Overlap the quality-cache build with the components phase (guide
-    # §2.6): curation_canonical_docs runs the whole LSH pipeline plus an
-    # EAGER driver union-find collect before this function returns, and
-    # during the collect/driver phase every executor idles.  Kicking the
-    # quality materialization onto a concurrent driver thread lets the
-    # FIFO scheduler back-fill those idle cores — the thread is joined
-    # before returning, so callers still get one fully-built cache and
-    # no job escapes the query call.
-    warm = InheritableThread(target=lambda: quality.count())
-    warm.start()
+    surv = None
+    # Everything until release_with() attaches the caches to the RESULT;
+    # if plan construction raises before that, unpersist here (r15,
+    # ADVICE): otherwise the persisted frames — and the warm count job's
+    # cache blocks — leak for the rest of the session.
     try:
-        cano = curation_canonical_docs(spark, sf_dir, quality=quality).select(
-            "doc_id"
+        keep = (
+            curation_quality_filter(spark, sf_dir, quality=quality)
+            .filter("keep")
+            .select("doc_id")
         )
-    finally:
-        warm.join()
-    surv = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "lang")
-        .join(keep, "doc_id", "left_semi")
-        .join(cano, "doc_id", "left_semi")
-        # surv feeds BOTH the per-lang quota aggregate and the final
-        # quota join -- persist the survivor set (which embeds the
-        # quality-filter and canonical-docs subtrees) instead of
-        # evaluating that lineage twice.  The r13 spelling ran an EAGER
-        # surv.count() here so the quality cache could release before
-        # the tail; r14 drops that barrier (one fewer job + no
-        # serialization point — measured win at gate SFs) and scopes
-        # BOTH caches to the result via release_with: the quality frame
-        # is a NARROW per-doc scalar row (never the text), so holding
-        # it through the tail costs bounded memory at any corpus size
-        # (MEMORY_AND_DISK spill beyond).
-        .persist()
-    )
-    w = surv.groupBy("lang").agg(
-        F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * MIX_QUANT)
-        .cast("bigint")
-        .alias("q")
-    )
-    quota = (
-        w.crossJoin(F.broadcast(w.agg(F.sum("q").alias("sum_q"))))
-        .select(
-            "lang",
-            F.expr(f"CAST(({MIX_TARGET} * q) DIV sum_q AS BIGINT)").alias("quota"),
+        # Overlap the quality-cache build with the components phase (guide
+        # §2.6): curation_canonical_docs runs the whole LSH pipeline plus an
+        # EAGER driver union-find collect before this function returns, and
+        # during the collect/driver phase every executor idles.  Kicking the
+        # quality materialization onto a concurrent driver thread lets the
+        # FIFO scheduler back-fill those idle cores — the thread is joined
+        # before returning, so callers still get one fully-built cache and
+        # no job escapes the query call.
+        warm = InheritableThread(target=lambda: quality.count())
+        warm.start()
+        try:
+            cano = curation_canonical_docs(spark, sf_dir, quality=quality).select(
+                "doc_id"
+            )
+        finally:
+            warm.join()
+        surv = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "lang")
+            .join(keep, "doc_id", "left_semi")
+            .join(cano, "doc_id", "left_semi")
+            # surv feeds BOTH the per-lang quota aggregate and the final
+            # quota join -- persist the survivor set (which embeds the
+            # quality-filter and canonical-docs subtrees) instead of
+            # evaluating that lineage twice.  The r13 spelling ran an EAGER
+            # surv.count() here so the quality cache could release before
+            # the tail; r14 drops that barrier (one fewer job + no
+            # serialization point — measured win at gate SFs) and scopes
+            # BOTH caches to the result via release_with: the quality frame
+            # is a NARROW per-doc scalar row (never the text), so holding
+            # it through the tail costs bounded memory at any corpus size
+            # (MEMORY_AND_DISK spill beyond).
+            .persist()
         )
-    )
-    order_cols = (
-        F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))),
-        F.asc("doc_id"),
-    )
-    return release_with(
-        _rank_cap(
-            surv.join(F.broadcast(quota), "lang"),
-            "lang",
-            order_cols,
-            F.col("quota"),
-            cap_bound=MIX_TARGET,
-        ).select("doc_id", "lang", "quota"),
-        surv,
-        quality,
-    )
+        w = surv.groupBy("lang").agg(
+            F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * MIX_QUANT)
+            .cast("bigint")
+            .alias("q")
+        )
+        quota = (
+            w.crossJoin(F.broadcast(w.agg(F.sum("q").alias("sum_q"))))
+            .select(
+                "lang",
+                F.expr(f"CAST(({MIX_TARGET} * q) DIV sum_q AS BIGINT)").alias("quota"),
+            )
+        )
+        order_cols = (
+            F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))),
+            F.asc("doc_id"),
+        )
+        return release_with(
+            _rank_cap(
+                surv.join(F.broadcast(quota), "lang"),
+                "lang",
+                order_cols,
+                F.col("quota"),
+                cap_bound=MIX_TARGET,
+            ).select("doc_id", "lang", "quota"),
+            surv,
+            quality,
+        )
+    except BaseException:
+        safe_unpersist(quality)
+        if surv is not None:
+            safe_unpersist(surv)
+        raise
 
 
 @register(

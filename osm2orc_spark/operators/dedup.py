@@ -962,24 +962,46 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v"),
     )
-    # NOTE(r14): a branchless bitsum twin (sum((v>>b)&1), bit set iff
-    # 2*ones > count) was A/B-measured value-identical but ~8% SLOWER
-    # than this when-form (1.61 vs 1.49 s min at sf0.1) — codegen
-    # handles the branch fine; the extra count column cost more.
+    # Packed-lane bit sums (r15, guide §2.3 "narrower aggregation" +
+    # §7.3 planning cost).  The r14 shape ran one ±1 conditional sum per
+    # bit (48 aggregate columns); each per-bit sum s_b equals
+    # 2*ones_b - n, so `bit set iff s_b > 0 iff 2*ones_b > n` needs only
+    # the ones-counts and one count(*).  Two 32-bit ones-counters pack
+    # into each 64-bit sum lane (bits j and j+24), halving the aggregate
+    # width to 24 packed sums + n: half the hash-agg update columns and
+    # half the partial-agg bytes per doc on the exchange.  Overflow-free
+    # BY CONSTRUCTION at any corpus: ones per lane <= tokens/doc < 2^30
+    # (a Spark string caps at ~2^31 bytes, tokens are space-separated),
+    # so lane sums stay < 2^32 (no carry between lanes) and the packed
+    # row values are <= 2^32+1 with total < 2^30*(2^32+1) < 2^63.
+    # NOTE(r14): an UNPACKED branchless twin (48 separate ones-sums +
+    # count) measured ~8% slower than the ±1 when-form — the win here is
+    # the 2x lane packing, not the ones-count rewrite alone.
+    # Expressions are built as parsed SQL strings, not per-node Column
+    # calls: the r14 ±1 spelling spent 1.5-3.6 s of DRIVER time per call
+    # in py4j round-trips constructing 48 agg + 48 CASE columns (the
+    # similarity.py RP_BITS=64 lesson; guide §7.3 — planning time is
+    # real time).
+    packed = [
+        F.expr(
+            f"sum((shiftright(v, {j}) & 1) + "
+            f"shiftleft(shiftright(v, {j + 24}) & 1, 32))"
+        ).alias(f"p{j}")
+        for j in range(24)
+    ]
     bit_sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(48)
-        ]
+        *packed, F.count(F.lit(1)).alias("n")
     )
-    sig = None
-    for b in range(48):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return bit_sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+    ones = [
+        f"(p{b} & 4294967295)" if b < 24 else f"shiftright(p{b - 24}, 32)"
+        for b in range(48)
+    ]
+    sig_sql = " + ".join(
+        f"(CASE WHEN 2 * {ones[b]} > n THEN {2**b} ELSE 0 END)" for b in range(48)
+    )
+    return bit_sums.select(
+        "doc_id", F.expr(f"CAST({sig_sql} AS BIGINT)").alias("simhash")
+    )
 
 
 @register(

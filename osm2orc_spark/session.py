@@ -59,7 +59,7 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED_APP_IDS.add(app_id)
 
 
-def _scratch_local_dir() -> str | None:
+def _scratch_local_dir(master: str) -> str | None:
     """Fastest available scratch for shuffle files (r14, guide §2.1:
     'local disk bandwidth for shuffle files can be the tighter limit').
 
@@ -72,15 +72,29 @@ def _scratch_local_dir() -> str | None:
     NVMe on a real cluster — at 100 TB shuffle exceeds RAM and tmpfs is
     the wrong answer; the transferable rule is 'never put shuffle
     scratch behind fsync-expensive storage').  SPARK_LOCAL_DIRS, if
-    set, wins over spark.local.dir inside Spark itself — honored."""
+    set, wins over spark.local.dir inside Spark itself — honored.
+
+    r15 guards: the tmpfs DEFAULT applies only under a local[*] master —
+    on a cluster, 'disk' spill (external sort, MEMORY_AND_DISK caches,
+    shuffle) landing in RAM-backed tmpfs competes with executor memory
+    until the node dies, so cluster scratch must be named explicitly via
+    the env vars.  The directory is per-user (uid suffix), created 0700,
+    and ownership-verified: /dev/shm is world-writable, so a fixed
+    shared path would let another local user pre-own it and read or
+    interfere with shuffle scratch."""
     cand = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if cand:
         return cand
+    if not master.startswith("local"):
+        return None
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        d = os.path.join(shm, "osm2orc_spark_local")
+        d = os.path.join(shm, f"osm2orc_spark_local_{os.getuid()}")
         try:
-            os.makedirs(d, exist_ok=True)
+            os.makedirs(d, mode=0o700, exist_ok=True)
+            if os.stat(d).st_uid != os.getuid():
+                return None
+            os.chmod(d, 0o700)
         except OSError:
             return None
         return d
@@ -93,8 +107,9 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    master_str = master or f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(master or f"local[{cpus}]")
+        SparkSession.builder.master(master_str)
         .appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -111,7 +126,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
-    _local = _scratch_local_dir()
+    _local = _scratch_local_dir(master_str)
     if _local:
         builder = builder.config("spark.local.dir", _local)
     for k, v in (extra_conf or {}).items():

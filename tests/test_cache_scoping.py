@@ -164,3 +164,26 @@ def test_safe_unpersist_skips_refcounted_plan(spark, sf_correctness):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() >= 1
     safe_unpersist(again)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_training_mix_unpersists_on_construction_failure(
+    spark, sf_correctness, monkeypatch
+):
+    """r15 (ADVICE): if plan construction raises after the quality frame
+    is persisted (e.g. canonical docs fails mid-build), the except path
+    must unpersist it — otherwise the cache (and the warm count job's
+    blocks) leaks for the rest of the session."""
+    from osm2orc_spark.operators import curation
+
+    spark.catalog.clearCache()
+
+    def boom(*a, **k):
+        raise RuntimeError("canonical boom")
+
+    monkeypatch.setattr(curation, "curation_canonical_docs", boom)
+    with pytest.raises(RuntimeError, match="canonical boom"):
+        curation.curation_training_mix(spark, sf_correctness)
+    gc.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0, (
+        "construction failure leaked the persisted quality frame"
+    )
