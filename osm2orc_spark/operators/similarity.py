@@ -907,15 +907,16 @@ def _rp_sigs_and_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs, cand = _rp_sigs_and_candidates(spark, sf_dir)
     sigs = sigs.persist()
-    # Materialize the signature cache BEFORE the consumers launch (r14):
-    # the candidate join's two sides and the verify all read sigs, and
-    # AQE submits their leaf stages concurrently — on a cold cache each
-    # racing stage recomputes the 64-plane signature expression (the
-    # most expensive per-row work in this query) before any of them
-    # publishes cache blocks.  One count() job serializes the build;
-    # measured interleaved at sf0.1: 0.75-1.17 s lazy vs 0.49-0.57 s
-    # eager for the full query.
-    sigs.count()
+    # NOTE(r15): r14 added an eager sigs.count() here to serialize the
+    # cache build before the racing candidate/verify consumers, on an
+    # interleaved A/B reading 0.49-0.57 s eager vs 0.75-1.17 s lazy.
+    # Neither the driver (PERF_r14: 0.77x) nor a quiet-window
+    # bench-style re-measure reproduced it — with caches cleared per
+    # pass the count() is a pure serialization barrier (lazy won 6/6
+    # runs, med 1.31 vs 1.50 s; the r14 numbers came from a warm-cache
+    # protocol where the count was nearly free).  Reverted to the lazy
+    # r13 spelling, matching every other dedup-family cache site where
+    # eager builds measured worse (the §5 NOTEs).
     # r9 (r8 verdict #1a): a cheap memoized probe — the max level-1
     # bucket size, an agg over at most RP_CHUNKS * 2^RP_CHUNK_BITS =
     # 2,048 groups of the (already persisted) signature frame — decides
