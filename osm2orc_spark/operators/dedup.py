@@ -99,24 +99,22 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Inlining the split(...) expression into each element_at re-evaluates
     # the tokenization per shingle element (O(n_tokens^2) per doc) —
     # measured 10x slower at sf0.1.
-    tokd = docs.select("doc_id", F.split(_norm_text(), " ").alias("t")).filter(
-        F.size("t") >= N_SHINGLE
-    )
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size("t") - (N_SHINGLE - 1)),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at("t", i),
-            F.element_at("t", i + 1),
-            F.element_at("t", i + 2),
-        ),
-    )
+    # Expressions ride ONE selectExpr parse each (r15, guide §7.3): the
+    # per-node Column construction of the HOF lambda alone cost ~0.26 s
+    # of driver py4j time per plan build, once per consumer query.
+    tokd = docs.selectExpr(
+        "doc_id",
+        r"split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ') AS t",
+    ).filter(F.size("t") >= N_SHINGLE)
     # array_distinct here (not after an explode): per-doc shingle dedup
     # is a per-row operation, so doing it inside the array removes the
     # explode+distinct shuffle while producing the same distinct sets.
-    return tokd.select("doc_id", F.array_distinct(sh).alias("arr")).withColumn(
-        "n", F.size("arr")
-    )
+    return tokd.selectExpr(
+        "doc_id",
+        f"array_distinct(transform(sequence(1, size(t) - {N_SHINGLE - 1}), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+        "element_at(t, i + 2)))) AS arr",
+    ).selectExpr("doc_id", "arr", "size(arr) AS n")
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,11 +166,9 @@ def _df_ordered_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     oarr = (
         sh.join(dfs, "shingle")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ds"))
-        .select(
-            "doc_id",
-            F.transform("ds", lambda s: s["shingle"]).alias("arr"),
-            F.size("ds").alias("n"),
+        .agg(F.expr("array_sort(collect_list(struct(df, shingle)))").alias("ds"))
+        .selectExpr(
+            "doc_id", "transform(ds, s -> s.shingle) AS arr", "size(ds) AS n"
         )
     )
     return oarr, arrs
@@ -220,20 +216,12 @@ def _pair_intersections(cand: DataFrame, arrs: DataFrame) -> DataFrame:
     cand = cand.repartition(
         cand.sparkSession.sparkContext.defaultParallelism, "doc_a"
     )
-    a = arrs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("arr").alias("arr_a"),
-        F.col("n").alias("na"),
-    )
-    b = arrs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("arr").alias("arr_b"),
-        F.col("n").alias("nb"),
-    )
+    a = arrs.selectExpr("doc_id AS doc_a", "arr AS arr_a", "n AS na")
+    b = arrs.selectExpr("doc_id AS doc_b", "arr AS arr_b", "n AS nb")
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .selectExpr("*", "size(array_intersect(arr_a, arr_b)) AS n_inter")
     )
 
 
@@ -244,13 +232,12 @@ def _jaccard_pairs_arrays(
     against per-doc shingle arrays (see ``_pair_intersections``)."""
     return (
         _pair_intersections(cand, arrs)
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(n_inter AS DOUBLE) / ((na + nb) - n_inter) AS jaccard",
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -425,21 +412,15 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute the 64-plane projection and the eager build wins.
     # p = n - ceil(t*n) + 1 with t = 4/5, all-integer so the bound is
     # safe; rn == idx + 1 is the PPJoin global rank, free from the cache.
-    pos = oarr.select("doc_id", "n", F.posexplode("arr").alias("idx", "shingle"))
+    pos = oarr.selectExpr("doc_id", "n", "posexplode(arr) AS (idx, shingle)")
     prefix = pos.filter(
-        F.col("idx") + 1 <= F.col("n") - F.expr("(4*n + 4) div 5") + F.lit(1)
-    ).withColumn("rn", F.col("idx") + 1)
-    a = prefix.select(
-        F.col("doc_id").alias("doc_a"),
-        "shingle",
-        F.col("n").alias("na"),
-        F.col("rn").alias("rna"),
+        F.expr("(idx + 1) <= ((n - ((4*n + 4) div 5)) + 1)")
+    ).selectExpr("*", "idx + 1 AS rn")
+    a = prefix.selectExpr(
+        "doc_id AS doc_a", "shingle", "n AS na", "rn AS rna"
     )
-    b = prefix.select(
-        F.col("doc_id").alias("doc_b"),
-        "shingle",
-        F.col("n").alias("nb"),
-        F.col("rn").alias("rnb"),
+    b = prefix.selectExpr(
+        "doc_id AS doc_b", "shingle", "n AS nb", "rn AS rnb"
     )
     # Length filter (the second PPJoin bound): jaccard >= t forces
     # min(na,nb)/max(na,nb) >= t (intersection <= min, union >= max), so
@@ -538,15 +519,17 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     permutation columns and ONE groupBy(doc_id) with 12 min() aggregates.
     Compared to a (doc, seed) row explosion this shuffles 12x fewer rows;
     compared to md5-per-seed it does 12x less hashing."""
-    v = (
-        F.conv(F.substring(F.md5(F.encode("shingle", "utf-8")), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("v")
-    )
-    hashed = sh.select("doc_id", v).select(
+    # Batched parsed-SQL construction (r15, guide §7.3): the per-node
+    # Column loop for the 12 permutation exprs cost ~0.2 s of driver
+    # py4j per plan build; one selectExpr call parses them all JVM-side.
+    hashed = sh.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(encode(shingle, 'utf-8')), 1, 8), 16, 10) "
+        "AS BIGINT) AS v",
+    ).selectExpr(
         "doc_id",
         *[
-            ((F.lit(a) * F.col("v") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{s}")
+            f"(({a} * v) + {b}) % {MINHASH_P} AS h{s}"
             for s, (a, b) in enumerate(MINHASH_PERMS)
         ],
     )
@@ -560,21 +543,16 @@ def _band_candidates(minhash: DataFrame) -> DataFrame:
     bands computed in-row (no second shuffle), equi-join on
     (band, band_val) buckets."""
     n_bands = MINHASH_SEEDS // LSH_BAND_ROWS
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    f"mh{s}"
-                    for s in range(b * LSH_BAND_ROWS, (b + 1) * LSH_BAND_ROWS)
-                ],
-            ).alias("band_val"),
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'band_val', concat_ws(',', "
+        + ", ".join(
+            f"mh{s}" for s in range(b * LSH_BAND_ROWS, (b + 1) * LSH_BAND_ROWS)
         )
+        + "))"
         for b in range(n_bands)
-    ]
-    bands = minhash.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bv")
+    )
+    bands = minhash.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bv"
     ).select("doc_id", "bv.band", "bv.band_val")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
@@ -1790,23 +1768,17 @@ def dedup_containment_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     oarr, arrs = _df_ordered_shingle_arrays(spark, sf_dir)
     arrs = arrs.persist()
     oarr = oarr.persist()
-    pos = oarr.select("doc_id", "n", F.posexplode("arr").alias("idx", "shingle"))
+    pos = oarr.selectExpr("doc_id", "n", "posexplode(arr) AS (idx, shingle)")
     # p = n - ceil(t*n) + 1 with t = 9/10, all-integer so the bound is safe.
     prefix = pos.filter(
-        F.col("idx") + 1 <= F.col("n") - F.expr("(9*n + 9) div 10") + F.lit(1)
-    ).select(
-        F.col("doc_id").alias("doc_p"),
-        "shingle",
-        F.col("n").alias("np"),
-        (F.col("idx") + 1).alias("rnp"),
+        F.expr("(idx + 1) <= ((n - ((9*n + 9) div 10)) + 1)")
+    ).selectExpr(
+        "doc_id AS doc_p", "shingle", "n AS np", "idx + 1 AS rnp"
     )
     # Indexing prefix x probing FULL list: sound for either containment
     # direction (the qualifying side's prefix hits the intersection).
-    full = pos.select(
-        F.col("doc_id").alias("doc_f"),
-        "shingle",
-        F.col("n").alias("nf"),
-        (F.col("idx") + 1).alias("rnf"),
+    full = pos.selectExpr(
+        "doc_id AS doc_f", "shingle", "n AS nf", "idx + 1 AS rnf"
     )
     # POSITIONAL filter (late r8): containment >= t in either direction
     # means n_inter >= t * min(np, nf) (the easier direction is the
@@ -1840,11 +1812,11 @@ def dedup_containment_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    scored = _pair_intersections(cand, oarr).select(
+    scored = _pair_intersections(cand, oarr).selectExpr(
         "doc_a",
         "doc_b",
-        (F.col("n_inter").cast("double") / F.col("na")).alias("contain_a"),
-        (F.col("n_inter").cast("double") / F.col("nb")).alias("contain_b"),
+        "CAST(n_inter AS DOUBLE) / na AS contain_a",
+        "CAST(n_inter AS DOUBLE) / nb AS contain_b",
     )
     return release_with(
         scored.filter(
