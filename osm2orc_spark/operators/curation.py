@@ -14,7 +14,6 @@ integer arithmetic before any double, total-order tie-breaks.
 
 from __future__ import annotations
 
-from pyspark import InheritableThread
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -815,22 +814,19 @@ def curation_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter("keep")
             .select("doc_id")
         )
-        # Overlap the quality-cache build with the components phase (guide
-        # §2.6): curation_canonical_docs runs the whole LSH pipeline plus an
-        # EAGER driver union-find collect before this function returns, and
-        # during the collect/driver phase every executor idles.  Kicking the
-        # quality materialization onto a concurrent driver thread lets the
-        # FIFO scheduler back-fill those idle cores — the thread is joined
-        # before returning, so callers still get one fully-built cache and
-        # no job escapes the query call.
-        warm = InheritableThread(target=lambda: quality.count())
-        warm.start()
-        try:
-            cano = curation_canonical_docs(spark, sf_dir, quality=quality).select(
-                "doc_id"
-            )
-        finally:
-            warm.join()
+        # NOTE(r15): r14 overlapped the quality-cache build with the
+        # components phase on a concurrent InheritableThread (guide
+        # §2.6), on 2-of-3 A/Bs at the noise floor.  The VERDICT asked
+        # for a 5-of-5 quiet-window re-A/B; it came back a wash (thread
+        # min 4.06/med 4.14 vs no-thread 3.47/4.51 under drift), so the
+        # thread is removed — the driver phase it back-fills is ~0.3 s
+        # at gate SFs, and one less moving part in the flagship
+        # composition.  At cluster scale the overlap idea belongs to the
+        # distributed-fixpoint components path, where the per-round
+        # driver phases are long enough to matter.
+        cano = curation_canonical_docs(spark, sf_dir, quality=quality).select(
+            "doc_id"
+        )
         surv = (
             load(spark, sf_dir, "documents")
             .select("doc_id", "lang")
