@@ -104,6 +104,40 @@ def _cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
     )
 
 
+# SQL-string twins of _quant/_dot/_cosine (r15, guide §7.3): a cosine
+# built from per-node Column calls costs ~200 py4j round trips (three
+# HOF aggregates over two HOF transforms); the string form is ONE parsed
+# expression with the identical tree.  Callers pass column NAMES (or any
+# SQL fragment, e.g. "slice(embedding, 1, 16)").
+def _quant_s(col: str) -> str:
+    return (
+        f"transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) "
+        "AS BIGINT))"
+    )
+
+
+def _dot_s(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _cosine_s(dot: str, n2a: str, n2b: str) -> str:
+    return (
+        f"try_divide(CAST({dot} AS DOUBLE), "
+        f"sqrt(CAST({n2a} AS DOUBLE)) * sqrt(CAST({n2b} AS DOUBLE)))"
+    )
+
+
+def _cosine_expr(a: str, b: str) -> Column:
+    """cosine(quant(a), quant(b)) as ONE parsed SQL expression."""
+    qa, qb = _quant_s(a), _quant_s(b)
+    return F.expr(
+        _cosine_s(_dot_s(qa, qb), _dot_s(qa, qa), _dot_s(qb, qb))
+    )
+
+
 # DuckDB building block: quantized (vec_id, i, v) elements + norms.
 _DUCK_QE = f"""
   qe AS (
@@ -148,14 +182,13 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     )
-    qa, qb = _quant(F.col("embedding")), _quant(F.col("q_emb"))
     return (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "vec_id",
             "label",
-            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+            _cosine_expr("embedding", "q_emb").alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
@@ -200,14 +233,13 @@ def embedding_near_dup_pairs(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    qa, qb = _quant(F.col("ea")), _quant(F.col("eb"))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+            _cosine_expr("ea", "eb").alias("cosine"),
         )
         .filter(F.col("cosine") >= NEAR_DUP_COS)
     )
@@ -256,7 +288,6 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_BATCH_QUERIES)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     )
-    qa, qb = _quant(F.col("embedding")), _quant(F.col("q_emb"))
     scored = (
         emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .crossJoin(F.broadcast(queries))
@@ -264,7 +295,7 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+            _cosine_expr("embedding", "q_emb").alias("cosine"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
@@ -345,7 +376,7 @@ def _fit_sample_rows(
     sel = emb.select(
         "vec_id",
         F.md5(F.col("vec_id").cast("string")).alias("h"),
-        _quant(F.col("embedding")).alias("qv"),
+        F.expr(_quant_s("embedding")).alias("qv"),
     )
     n = emb.count() if fit_fraction < 1.0 else 0  # n only matters for fractions
     m = effective_fit_m(n, k_min, fit_fraction, max_fit_rows)
@@ -850,7 +881,7 @@ def _rp_sigs_and_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
     # matches by logical plan, so cand (built below from the unpersisted
     # object) still reads the cache once the caller persists.
     sigs = (
-        emb.select("vec_id", _quant(F.col("embedding")).alias("q"))
+        emb.select("vec_id", F.expr(_quant_s("embedding")).alias("q"))
         .select("vec_id", "q", F.expr("array(" + ", ".join(struct_sqls) + ")").alias("chs"))
     )
     chunks = sigs.select("vec_id", F.explode("chs").alias("ch")).select(
@@ -957,15 +988,15 @@ def _lsh_cosine_verify(sigs: DataFrame, cand: DataFrame) -> DataFrame:
     near-dup spellings."""
     ea = sigs.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
     eb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
-    qa, qb = F.col("qa"), F.col("qb")
+    # qa/qb are ALREADY quantized (the cached sigs.q column) — cosine
+    # over the raw arrays, no re-quantization.
+    cos = F.expr(
+        _cosine_s(_dot_s("qa", "qb"), _dot_s("qa", "qa"), _dot_s("qb", "qb"))
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
-        )
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
     )
 
@@ -1119,15 +1150,14 @@ def embedding_lsh_calibration(
     sigs = sigs.persist()
     a = sigs.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
     b = sigs.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
-    qa, qb = F.col("qa"), F.col("qb")
+    # qa/qb are already quantized — cosine over the raw arrays.
+    truth_cos = F.expr(
+        _cosine_s(_dot_s("qa", "qb"), _dot_s("qa", "qa"), _dot_s("qb", "qb"))
+    )
     truth = (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
-        )
+        .select("vec_a", "vec_b", truth_cos.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
         .select("vec_a", "vec_b")
         .persist()
@@ -1269,11 +1299,10 @@ def _ann_ivf_probe_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    ev, cv = _quant(F.col("embedding")), _quant(F.col("c_emb"))
     ccos = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cid",
-        _cosine(_dot(ev, cv), _dot(ev, ev), _dot(cv, cv)).alias("cos"),
+        _cosine_expr("embedding", "c_emb").alias("cos"),
     ).persist()
     # max_by struct (cos, -cid) == (cos DESC, cid ASC) argmax, NULLs
     # included (verified vs the window form in tests/test_advanced.py).
@@ -1294,7 +1323,6 @@ def _ann_ivf_probe_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= N_PROBE)
         .select("cid")
     )
-    qa, qb = _quant(F.col("embedding")), _quant(F.col("q_emb"))
     return release_with(
         assign.join(F.broadcast(probe), "cid")
         .join(emb, "vec_id")
@@ -1304,7 +1332,7 @@ def _ann_ivf_probe_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "cid",
-            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+            _cosine_expr("embedding", "q_emb").alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K),
@@ -1354,17 +1382,12 @@ INT8_MAX = 127
 )
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    qv = _quant(F.col("embedding"))
-    m = emb.select("vec_id", "label", qv.alias("qv")).withColumn(
-        "max_abs", F.array_max(F.transform("qv", lambda v: F.abs(v)))
-    )
-    q8 = F.when(F.col("max_abs") == 0, F.col("qv")).otherwise(
-        F.transform(
-            "qv",
-            lambda v: F.floor(v * F.lit(float(INT8_MAX)) / F.col("max_abs")).cast(
-                "bigint"
-            ),
-        )
+    m = emb.selectExpr(
+        "vec_id", "label", f"{_quant_s('embedding')} AS qv"
+    ).selectExpr("*", "array_max(transform(qv, v -> abs(v))) AS max_abs")
+    q8 = F.expr(
+        "CASE WHEN max_abs = 0 THEN qv ELSE transform(qv, "
+        f"v -> CAST(floor(v * {float(INT8_MAX)!r}D / max_abs) AS BIGINT)) END"
     )
     i8 = m.withColumn("q8", q8)
     return i8.select(
@@ -1430,7 +1453,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    qe = emb.select(F.posexplode(_quant(F.col("embedding"))).alias("pos", "v"))
+    qe = emb.select(F.posexplode(F.expr(_quant_s("embedding"))).alias("pos", "v"))
     g = qe.groupBy((F.col("pos") + 1).cast("bigint").alias("dim")).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
@@ -1470,17 +1493,12 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _int8_codes(emb: DataFrame) -> DataFrame:
     """(vec_id, label, q8 array<bigint>) int8 code vectors — the shared
     front-end of embedding_int8_quantize and the int8 ANN probe."""
-    qv = _quant(F.col("embedding"))
-    m = emb.select("vec_id", "label", qv.alias("qv")).withColumn(
-        "max_abs", F.array_max(F.transform("qv", lambda v: F.abs(v)))
-    )
-    q8 = F.when(F.col("max_abs") == 0, F.col("qv")).otherwise(
-        F.transform(
-            "qv",
-            lambda v: F.floor(v * F.lit(float(INT8_MAX)) / F.col("max_abs")).cast(
-                "bigint"
-            ),
-        )
+    m = emb.selectExpr(
+        "vec_id", "label", f"{_quant_s('embedding')} AS qv"
+    ).selectExpr("*", "array_max(transform(qv, v -> abs(v))) AS max_abs")
+    q8 = F.expr(
+        "CASE WHEN max_abs = 0 THEN qv ELSE transform(qv, "
+        f"v -> CAST(floor(v * {float(INT8_MAX)!r}D / max_abs) AS BIGINT)) END"
     )
     return m.withColumn("q8", q8).select("vec_id", "label", "q8")
 
@@ -1785,15 +1803,13 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("approx_dot"), "vec_id")
         .limit(PQ_SHORTLIST)
     )
-    qb = _int_array_lit(qq)
-    qa = _quant(F.col("embedding"))
+    # qb is the query's quantized-literal array; qa quantizes the row.
+    qa_s, qb_s = _quant_s("embedding"), _arr_sql(qq)
+    cos = F.expr(
+        _cosine_s(_dot_s(qa_s, qb_s), _dot_s(qa_s, qa_s), _dot_s(qb_s, qb_s))
+    )
     return (
-        shortlist.select(
-            "vec_id",
-            "label",
-            "approx_dot",
-            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
-        )
+        shortlist.select("vec_id", "label", "approx_dot", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
     )
@@ -2129,9 +2145,8 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     )
-    pa_, pb = (
-        _quant(F.slice(F.col("embedding"), 1, MRL_DIMS)),
-        _quant(F.slice(F.col("q_emb"), 1, MRL_DIMS)),
+    pre_cos = _cosine_expr(
+        f"slice(embedding, 1, {MRL_DIMS})", f"slice(q_emb, 1, {MRL_DIMS})"
     )
     shortlist = (
         emb.crossJoin(F.broadcast(q))
@@ -2141,17 +2156,16 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "embedding",
             "q_emb",
-            _cosine(_dot(pa_, pb), _dot(pa_, pa_), _dot(pb, pb)).alias("pre_cosine"),
+            pre_cos.alias("pre_cosine"),
         )
         .orderBy(F.desc("pre_cosine"), "vec_id")
         .limit(MRL_SHORTLIST)
     )
-    qa, qb = _quant(F.col("embedding")), _quant(F.col("q_emb"))
     return (
         shortlist.select(
             "vec_id",
             "label",
-            _cosine(_dot(qa, qb), _dot(qa, qa), _dot(qb, qb)).alias("cosine"),
+            _cosine_expr("embedding", "q_emb").alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
@@ -2252,11 +2266,10 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    ev, cv = _quant(F.col("embedding")), _quant(F.col("c_emb"))
     ccos = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cid",
-        _cosine(_dot(ev, cv), _dot(ev, ev), _dot(cv, cv)).alias("cos"),
+        _cosine_expr("embedding", "c_emb").alias("cos"),
     )
     # Same max_by rewrite as ann_ivf_probe (r7 verdict #6): one partial
     # row per vector per task instead of an n x k window shuffle; the
@@ -2343,7 +2356,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _semantic_kmeans_kscaled(spark, sf_dir, n)
     cents = _lloyd_fit_ints(spark, sf_dir, N_CENTROIDS, IVF_KM_ITERS)
     emb = load(spark, sf_dir, "embeddings")
-    qe = emb.select("vec_id", _quant(F.col("embedding")).alias("qv"))
+    qe = emb.select("vec_id", F.expr(_quant_s("embedding")).alias("qv"))
     # Distance array in its own projection (evaluated once, argmin reads
     # it twice), literals as parsed SQL text.  NOT persisted: the r5
     # measurement showed caching the wide qv frame COSTS more than it
@@ -2535,35 +2548,25 @@ PRUNE_NUM, PRUNE_DEN = 1, 5  # prune the top 1/5 most-prototypical per label
 )
 def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _quant(F.col("embedding")).alias("q")
+        "vec_id", "label", F.expr(_quant_s("embedding")).alias("q")
     )
     el = emb.select("vec_id", "label", F.posexplode("q").alias("i", "v"))
     cent_elems = el.groupBy("label", "i").agg(
         F.expr("CAST(SUM(v) DIV COUNT(1) AS BIGINT)").alias("c")
     )
     cent = cent_elems.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, c))), s -> s.c)"
         ).alias("cvec")
     )
-    scored = emb.join(F.broadcast(cent), "label").select(
+    cos_sql = _cosine_s(
+        _dot_s("q", "cvec"), _dot_s("q", "q"), _dot_s("cvec", "cvec")
+    )
+    scored = emb.join(F.broadcast(cent), "label").selectExpr(
         "vec_id",
         "label",
-        _cosine(
-            _dot(F.col("q"), F.col("cvec")),
-            _dot(F.col("q"), F.col("q")),
-            _dot(F.col("cvec"), F.col("cvec")),
-        ).alias("cos"),
-        F.floor(
-            _cosine(
-                _dot(F.col("q"), F.col("cvec")),
-                _dot(F.col("q"), F.col("q")),
-                _dot(F.col("cvec"), F.col("cvec")),
-            )
-            * QUANT
-        )
-        .cast("bigint")
-        .alias("cos_q6"),
+        f"{cos_sql} AS cos",
+        f"CAST(floor({cos_sql} * {QUANT}) AS BIGINT) AS cos_q6",
     )
     # Null-safe bucket key (r7 advice): a zero-norm quantized vector
     # makes Spark's divide return NULL cos -> NULL cos_q6, and a plain
@@ -2693,7 +2696,7 @@ def _pack_word(q: str, offset: int) -> str:
 )
 def ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _quant(F.col("embedding")).alias("q")
+        "vec_id", "label", F.expr(_quant_s("embedding")).alias("q")
     )
     words = emb.select(
         "vec_id",

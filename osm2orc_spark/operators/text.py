@@ -651,12 +651,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(_toks()).alias("term")
     )
+    # Aggregate and score expressions ride parsed SQL (r15, guide §7.3):
+    # the per-node Column spelling cost ~1.7k py4j round trips per plan
+    # build.  Double literals carry the D suffix — a bare 0.5 parses as
+    # DECIMAL and would change the score arithmetic.
     per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        F.expr("CAST(count(1) AS BIGINT)").alias("dl"),
         *[
-            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"tf_{i}")
+            F.expr(
+                f"CAST(sum(CASE WHEN (term = '{t}') THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias(f"tf_{i}")
             for i, t in enumerate(BM25_TERMS)
         ],
     )
@@ -664,44 +668,36 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the narrow (doc_id, 4 ints) frame or the tokenize runs twice.
     per_doc = per_doc.persist()
     g = per_doc.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_dl"),
+        F.expr("CAST(count(1) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(sum(dl) AS BIGINT)").alias("sum_dl"),
         *[
-            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"df_{i}")
+            F.expr(
+                f"CAST(sum(CASE WHEN (tf_{i} > 0) THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias(f"df_{i}")
             for i in range(len(BM25_TERMS))
         ],
     )
 
-    def term_score(i: int):
-        tfd = F.col(f"tf_{i}").cast("double")
-        dfd = F.col(f"df_{i}").cast("double")
-        dld = (F.col("dl") * F.col("n_docs")).cast("double")
+    def term_score(i: int) -> str:
+        tfd = f"CAST(tf_{i} AS DOUBLE)"
         s = (
-            ((F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5))
-            / (dfd + F.lit(0.5))
-        ) * (
-            (tfd * F.lit(BM25_K1 + 1.0))
-            / (
-                tfd
-                + F.lit(BM25_K1)
-                * (
-                    F.lit(1.0 - BM25_B)
-                    + (F.lit(BM25_B) * dld) / F.col("sum_dl").cast("double")
-                )
-            )
+            f"(((CAST(n_docs - df_{i} AS DOUBLE) + 0.5D) / "
+            f"(CAST(df_{i} AS DOUBLE) + 0.5D)) * "
+            f"(({tfd} * {BM25_K1 + 1.0!r}D) / "
+            f"({tfd} + {BM25_K1!r}D * ({1.0 - BM25_B!r}D + "
+            f"({BM25_B!r}D * CAST(dl * n_docs AS DOUBLE)) / "
+            f"CAST(sum_dl AS DOUBLE)))))"
         )
-        return F.when(F.col(f"tf_{i}") > 0, s).otherwise(F.lit(0.0))
+        return f"(CASE WHEN (tf_{i} > 0) THEN {s} ELSE 0.0D END)"
 
     matched = per_doc.filter(
         " OR ".join(f"tf_{i} > 0" for i in range(len(BM25_TERMS)))
     )
     return release_with(
         matched.crossJoin(F.broadcast(g))
-        .select(
+        .selectExpr(
             "doc_id",
-            (term_score(0) + term_score(1) + term_score(2)).alias("score"),
+            f"{term_score(0)} + {term_score(1)} + {term_score(2)} AS score",
         )
         .orderBy(F.desc("score"), "doc_id")
         .limit(BM25_TOPK),
