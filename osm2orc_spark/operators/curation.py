@@ -1249,13 +1249,14 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without this the tokenize+explode+bucket pipeline — and the
     # persisted feats cache it fills — lives on ONE task/partition
     # (measured: two 0.8 s single-task stages, ~80% of the query's
-    # executor time).  At 100 TB the scan is many splits and this
-    # repartition is a no-op cost-wise.
-    docs = (
-        load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", "source", _text_toks().alias("t"))
-    )
+    # executor time).  Gated on the scan's split count (r15, VERDICT
+    # #2): a many-split scan is already parallel and must NOT pay a
+    # full-text shuffle.
+    from osm2orc_spark.operators import switches
+
+    docs = switches.fanout_repartition(
+        spark, sf_dir, load(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "source", _text_toks().alias("t"))
     feats = docs.select(
         "doc_id",
         "source",

@@ -1580,13 +1580,17 @@ SPAN_N = 8
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
+    from osm2orc_spark.operators import switches
+
     # Repartition BEFORE the span fan-out (r14, the _shingle_arrays
     # rule): a single-split documents file otherwise puts the whole
     # tokenize+posexplode pipeline — and the persisted span cache —
     # on ONE task/partition (measured: ~1.3 s of single-task stages at
-    # sf0.1, most of the query's executor time).
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    # sf0.1, most of the query's executor time).  Gated on the scan's
+    # split count (r15, VERDICT #2): a many-split scan is already
+    # parallel and must NOT pay a full-text shuffle.
+    docs = switches.fanout_repartition(
+        spark, sf_dir, load(spark, sf_dir, "documents"), "doc_id"
     )
     toks = docs.select(
         "doc_id",
@@ -1886,13 +1890,16 @@ def _assemble_spans_clean_oracle() -> None:
     tags=("dedup", "text"),
 )
 def dedup_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2orc_spark.operators import switches
+
     spans = dedup_duplicate_spans(spark, sf_dir).select(
         "doc_id", "start_tok", "end_tok"
     )
     # Repartition before the token-position fan-out (r14 — the
-    # _shingle_arrays rule; single-split file otherwise = one task).
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    # _shingle_arrays rule; single-split file otherwise = one task),
+    # gated on the scan's split count (r15, VERDICT #2).
+    docs = switches.fanout_repartition(
+        spark, sf_dir, load(spark, sf_dir, "documents"), "doc_id"
     )
     toks = docs.select(
         "doc_id",

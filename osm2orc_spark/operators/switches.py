@@ -251,6 +251,49 @@ def table_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
     )
 
 
+# Under-split-scan repartition gate (r15, VERDICT r14 #2).  The r14
+# repartition-before-fan-out fixed a real gate-SF pathology — the
+# documents file is ONE parquet split locally, so the tokenize/explode
+# fan-out (and any cache it fills) ran on one task — but the r14
+# spelling was UNCONDITIONAL, and an explicit-N repartition is a real
+# Exchange that AQE can neither elide nor coalesce: at 100 TB it would
+# shuffle the full document text once per query while the scan is
+# already thousands of splits wide.  Gate it on the actual scan split
+# count: repartition only when the scan cannot fill the cores by
+# itself.  The probe is driver-only metadata (the planned scan's
+# partition count — file listing + split arithmetic, no job), memoized
+# per (dir, table).  Cost of a borderline pick is bounded by CLUSTER
+# size, not data size: the repartition only ever fires when the scan
+# holds fewer than FANOUT_SPLIT_FACTOR x defaultParallelism splits,
+# i.e. at most ~parallelism x maxPartitionBytes bytes move.  Routing
+# is cost-only (a keyed repartition never changes values) and the gate
+# SFs sit on the repartition side, so driver plans are unchanged.
+FANOUT_SPLIT_FACTOR = 1
+
+
+def scan_splits(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Partition count of the planned parquet scan of ``table`` —
+    driver-side split arithmetic only, no Spark job."""
+    return cached_probe(
+        sf_dir,
+        f"scan_splits:{table}",
+        lambda: load(spark, sf_dir, table).rdd.getNumPartitions(),
+    )
+
+
+def fanout_repartition(
+    spark: SparkSession, sf_dir: str, df, key: str, table: str = "documents"
+):
+    """``df.repartition(defaultParallelism, key)`` IF the ``table`` scan
+    is too few splits to fill the cores, else ``df`` unchanged (the scan
+    is already parallel; adding an Exchange would only move the payload
+    again).  ``df`` must be a plain projection of ``table``'s scan."""
+    par = spark.sparkContext.defaultParallelism
+    if scan_splits(spark, sf_dir, table) < FANOUT_SPLIT_FACTOR * par:
+        return df.repartition(par, key)
+    return df
+
+
 # Unpartitioned-window straggler switch (r10 scale-killer #11 — the N=1
 # case of the fixed-shard window class #8/#9): NTILE/running-sum windows
 # with NO partition key sort their whole input frame in ONE WindowExec
@@ -486,6 +529,22 @@ SWITCHED_QUERIES: dict[str, dict] = {
         for name in (
             "curation_canonical_docs", "curation_training_mix",
             "curation_mix_report",
+        )
+    },
+    # r15 (VERDICT #2): the repartition-before-fan-out trio — the
+    # repartition only fires when the documents scan cannot fill the
+    # cores (the gate-SF single-split pathology); many-split scans keep
+    # their native parallelism and pay no full-text shuffle.
+    **{
+        name: {
+            "probes": ("scan_splits:documents",),
+            "identity_tests": (
+                f"tests/test_switches.py::test_fanout_repart_gate_identity[{name}]",
+            ),
+        }
+        for name in (
+            "curation_dsir_select", "dedup_duplicate_spans",
+            "dedup_spans_clean",
         )
     },
     "curation_decontaminate": {

@@ -111,6 +111,8 @@ def _normalize_plan(s: str) -> str:
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     # HOF lambda-variable counters are a global per-session sequence
     s = re.sub(r"\blambda [a-z]+_\d+", "lambda v_", s)
+    # ... as are with-expression common-subexpression aliases
+    s = re.sub(r"_common_expr_\d+", "_common_expr_", s)
     return s
 
 
@@ -154,6 +156,7 @@ def test_below_threshold_plan_pin(spark, sf_correctness, name, monkeypatch):
         monkeypatch.setattr(switches, "SIMHASH_FLAT_PAIRS_MAX", big)
         monkeypatch.setattr(switches, "DECON_FLAT_PAIRS_MAX", big)
         monkeypatch.setattr(switches, "DIM_WINDOW_ROWS_MAX", big)
+        monkeypatch.setattr(switches, "FANOUT_SPLIT_FACTOR", big)
         monkeypatch.setattr(similarity, "LSH_BUCKET_CAP", big)
         monkeypatch.setattr(ann_index, "KNN_SCALE_ROWS_MAX", big)
         cold = _normalize_plan(

@@ -978,3 +978,50 @@ def test_burst_chunk_ms_same_ts_floor(spark, tmp_path, monkeypatch):
     df.write.mode("overwrite").parquet(f"{d}/events.parquet")
     monkeypatch.setattr(switches, "HOT_KEY_ROWS", 2)
     assert switches.burst_chunk_ms(spark, d, DEFAULT_CHUNK_MS) == switches.MIN_CHUNK_MS
+
+
+# --------------------------------------------------------------------------
+# r15 (VERDICT #2): repartition-before-fan-out gated on scan split count
+# --------------------------------------------------------------------------
+FANOUT_GATED = [
+    "curation_dsir_select",
+    "dedup_duplicate_spans",
+    "dedup_spans_clean",
+]
+
+
+def test_scan_splits_probe(spark, sf_smoke):
+    """The probe reports the planned scan's split count (driver-side
+    metadata, memoized) — the gate-SF documents file is one split."""
+    n = switches.scan_splits(spark, sf_smoke, "documents")
+    assert n >= 1
+    import os
+
+    key = (os.path.abspath(sf_smoke), "scan_splits:documents")
+    assert switches._PROBE_CACHE[key] == n
+
+
+@pytest.mark.parametrize("name", FANOUT_GATED)
+def test_fanout_repart_gate_identity(spark, sf_correctness, name, monkeypatch):
+    """Registered query with the gate FORCED CLOSED (factor 0 — the
+    many-split regime where the scan already fills the cores) equals the
+    default gate-open result, and the closed plan carries NO explicit
+    repartition exchange (the VERDICT #2 'no added Exchange at a
+    multi-split input' criterion)."""
+    from osm2orc_spark.registry import all_queries
+
+    fn = all_queries()[name].fn
+    base = fn(spark, sf_correctness)
+    n_base = base.count()
+    assert n_base > 0
+    open_plan = (
+        fn(spark, sf_correctness)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "REPARTITION_BY_NUM" in open_plan  # gate open at the gate SF
+    monkeypatch.setattr(switches, "FANOUT_SPLIT_FACTOR", 0)
+    gated = fn(spark, sf_correctness)
+    closed_plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" not in closed_plan
+    assert n_base == gated.count()
+    assert base.exceptAll(gated.select(*base.columns)).count() == 0
+    assert gated.select(*base.columns).exceptAll(base).count() == 0
