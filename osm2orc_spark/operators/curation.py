@@ -1613,6 +1613,21 @@ def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_tail(spark: SparkSession, sf_dir: str, knn: DataFrame) -> DataFrame:
     """The greedy keep rule over a kNN edge list — factored so the
     recall-routed variant composes the IDENTICAL tail over its join."""
+    # NOTE(r15, VERDICT #8): ``edges ∪ reversed(edges)`` IS two identical
+    # kNN subtrees to Catalyst (no CSE across a union; executed plan:
+    # 6 rank windows, 0 ReusedExchange) — the dedup_components mirror
+    # precedent suggested persisting the directed list once.  MEASURED
+    # WORSE both ways at sf0.1 (interleaved A/B, min-of-6): lazy
+    # replicated 1.55/1.80 (min/med) vs eager persist+count 1.89/2.38 vs
+    # lazy persist 4.96+ (cold-cache race, both branches compute AND
+    # fight over block writes).  Same verdict as the r14 shingle-cache
+    # family: the replicated branches overlap on idle cores while a
+    # persist serializes every consumer behind one build.  Components'
+    # pairs persist differs because ITS count is also the strategy probe
+    # (the job is not optional).  At cluster scale (no idle cores) the
+    # 2x kNN compute is the bigger cost — revisit with an XL twin if
+    # semdedup becomes the tail; the mechanism, not just the verdict,
+    # is what transfers.
     edges = knn.filter(F.col("cosine") >= F.lit(SEMDEDUP_TAU)).select(
         "vec_id", "nb_id"
     )
