@@ -495,6 +495,67 @@ def e2e_x100_metric(spark, one: float) -> dict:
     }
 
 
+# Opt-in XL scaling tier (r15, VERDICT r14 #5/#8: every 8-vs-32-core
+# ratio at sf0.1 is ~1 because sub-second queries are fixed-overhead
+# bound, so the driver's scaling block cannot see serial operators).
+# When SPARK_GRAFT_XL_DIR points at a directory holding documents.parquet
+# + events.parquet (e.g. the salted xl_base twin from
+# scripts/build_bench_xl.py — replicas share zero shingles, so dedup
+# work scales ~linearly instead of quadratically in true pairs), the
+# shuffle-heavy queries below are ALSO timed there and reported under a
+# SEPARATE "xl_queries" payload key.  The headline "queries"/"value"
+# contract is untouched: with the env var unset (every driver run)
+# nothing changes, and xl timings never join the headline total, so
+# round-over-round totals stay comparable either way.
+XL_TIER = (
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ppjoin",
+    "simhash_near_dup",
+    "text_bm25_topk",
+    "sessionize_events",
+    "salted_hot_key_agg",
+    "tumbling_window_hourly",
+)
+
+
+def xl_tier_metric(spark, qs) -> dict:
+    """min-of-2 interleaved timed passes per XL query after one untimed
+    warm pass (same protocol shape as the headline loop, fewer passes —
+    XL walls are tens of seconds, so co-tenant spikes average out less
+    but a 5-pass tier would double the bench wall)."""
+    xl_dir = os.environ.get("SPARK_GRAFT_XL_DIR", "")
+    if not xl_dir or not os.path.isdir(xl_dir):
+        return {}
+    names = [n for n in XL_TIER if n in qs]
+    for name in names:  # untimed warm: probes, codegen, footers
+        try:
+            qs[name].fn(spark, xl_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+    walls: dict[str, list[float]] = {}
+    xl_errors: dict[str, str] = {}
+    for p in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            try:
+                df = qs[name].fn(spark, xl_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                xl_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                continue
+            walls.setdefault(name, []).append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    out = {
+        "xl_dir": xl_dir,
+        "xl_queries": {n: round(min(ts), 3) for n, ts in walls.items()},
+    }
+    if xl_errors:
+        out["xl_errors"] = xl_errors
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -638,6 +699,19 @@ def main() -> None:
         "n_errors": len(errors),
         "value": total,
     }
+    # Opt-in XL scaling tier (guarded like every post-loop section: a
+    # failure must not cost the contract line).  Runs AFTER the timed
+    # loop so XL jobs cannot perturb the headline walls.
+    try:
+        xl = xl_tier_metric(spark, qs)
+        if xl.get("xl_queries"):
+            stdout_payload["xl_queries"] = xl["xl_queries"]
+            stdout_payload["value"] = stdout_payload.pop("value")  # keep last
+            full_payload_xl = xl
+        else:
+            full_payload_xl = {}
+    except Exception as exc:  # noqa: BLE001
+        full_payload_xl = {"xl_error": f"{type(exc).__name__}: {exc}"[:200]}
     # e2e ingest AFTER the timed query loop so its jobs cannot perturb
     # the per-query walls.  GUARDED (r6 advice, medium): an exception in
     # the PBF->ORC round-trip or the parallel-decode pass must not abort
@@ -676,6 +750,7 @@ def main() -> None:
             "ingest": ingest,
         }
     )
+    full_payload.update(full_payload_xl)
     if errors:
         full_payload["errors"] = errors
     if late_errors:

@@ -71,3 +71,39 @@ def test_bench_headline_names_all_registered():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, f"bench HEADLINE names not in registry: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dupes
+
+
+def test_xl_tier_names_registered():
+    import bench
+    from osm2orc_spark.registry import all_queries
+
+    qs = all_queries()
+    missing = [n for n in bench.XL_TIER if n not in qs]
+    assert not missing, f"XL_TIER names not in registry: {missing}"
+    assert len(set(bench.XL_TIER)) == len(bench.XL_TIER)
+
+
+def test_xl_tier_off_without_env(monkeypatch):
+    """With SPARK_GRAFT_XL_DIR unset (every driver run) the tier must be
+    a no-op — the headline contract is untouched."""
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_XL_DIR", raising=False)
+    assert bench.xl_tier_metric(None, {}) == {}
+    monkeypatch.setenv("SPARK_GRAFT_XL_DIR", "/nonexistent/path")
+    assert bench.xl_tier_metric(None, {}) == {}
+
+
+def test_xl_tier_times_queries(spark, monkeypatch):
+    """Opt-in path: point the tier at any directory holding the standard
+    tables (the smoke SF here) and it times the tier queries there."""
+    import bench
+    from osm2orc_spark.registry import all_queries
+
+    monkeypatch.setenv("SPARK_GRAFT_XL_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr(bench, "XL_TIER", ("dedup_exact", "tumbling_window_hourly"))
+    qs = all_queries()
+    out = bench.xl_tier_metric(spark, {n: qs[n] for n in bench.XL_TIER})
+    assert set(out["xl_queries"]) == {"dedup_exact", "tumbling_window_hourly"}
+    assert all(v > 0 for v in out["xl_queries"].values())
+    assert "xl_errors" not in out
