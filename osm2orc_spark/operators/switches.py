@@ -294,6 +294,41 @@ def fanout_repartition(
     return df
 
 
+# Multi-consumer tokenize cutover (r15, VERDICT r14 #6).  text_tfidf_topk
+# consumes its tf fan twice (the term join AND the df aggregate), and
+# Catalyst plans identical subtrees independently — so the REGISTERED
+# spelling re-runs the scan+tokenize+groupBy once per consumer.  At gate
+# SFs that replication is the measured-right shape (r14, 6-datapoint
+# rule: replicated narrow subtrees overlap on idle cores while a persist
+# serializes every consumer behind one cache build).  At corpus scale the
+# balance flips: cores are not idle, each replicated pass is a full
+# documents scan + tokenize, and the persisted tf fan is the NARROW
+# post-aggregate (doc_id, term, count) frame — and with the subtree
+# planned once, the repartition-before-fan-out rule applies again.  The
+# probe is the documents parquet row count (footer statistics, free);
+# routing is cost-only (a persist never changes values; forced-on
+# identity is A/B-parity-proven and pinned by
+# tests/test_switches.py::test_tokenize_persist_identity).  Measured
+# (interleaved in-session A/B, x64 salted twin, 320k docs): persist min
+# 4.08 vs 5.37s and 4.71 vs 6.55s across two sessions (1.31-1.39x), med
+# 9.15 vs 16.95s under drift; the x16 twin (80k docs) was a wash, and
+# the gate SFs (50-5,000 docs) favor replicate (r14 rule).  2^17 puts
+# the wash zone and the gate SFs on the replicate side and the
+# measured-win decade on the persist side.  text_bigram_coverage was
+# tried at the same cutover and REJECTED both ways (see the NOTE at its
+# site): its fan does not reduce under aggregation, so the persist only
+# adds an exchange and a corpus-sized cache.
+TOKENIZE_PERSIST_MIN_DOCS = 1 << 17
+
+
+def tokenize_persist(spark: SparkSession, sf_dir: str) -> bool:
+    """True when the corpus is big enough that re-running the tokenize
+    fan once per consumer costs more than one persisted pass."""
+    return (
+        table_rows(spark, sf_dir, "documents") > TOKENIZE_PERSIST_MIN_DOCS
+    )
+
+
 # Unpartitioned-window straggler switch (r10 scale-killer #11 — the N=1
 # case of the fixed-shard window class #8/#9): NTILE/running-sum windows
 # with NO partition key sort their whole input frame in ONE WindowExec
@@ -546,6 +581,15 @@ SWITCHED_QUERIES: dict[str, dict] = {
             "curation_dsir_select", "dedup_duplicate_spans",
             "dedup_spans_clean",
         )
+    },
+    # r15 (VERDICT #6): the multi-consumer tokenize cutover — persist
+    # the narrow tf fan (and repartition before the now-single tokenize)
+    # only when the corpus outgrows the replicated-subtree regime.
+    "text_tfidf_topk": {
+        "probes": ("table_rows:documents",),
+        "identity_tests": (
+            "tests/test_switches.py::test_tokenize_persist_identity",
+        ),
     },
     "curation_decontaminate": {
         "probes": ("decon_flat_pairs",),

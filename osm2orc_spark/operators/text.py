@@ -483,13 +483,29 @@ TFIDF_TOPK = 5
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from osm2orc_spark.operators import switches
+
     # NOTE(r14): repartition-before-fan-out was tried here and reverted —
-    # this plan replicates the toks subtree once per consumer (tf, df,
-    # n_docs; no ReusedExchange), so the repartition exchange multiplied
+    # the REPLICATED plan re-runs the toks subtree once per consumer (tf,
+    # df; no ReusedExchange), so the repartition exchange multiplied
     # instead of helping (measured wash-to-worse at sf0.1).
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_toks()).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    persisted = None
+    if switches.tokenize_persist(spark, sf_dir):
+        # Corpus-scale cutover (r15, VERDICT r14 #6): persist the tf fan
+        # so the tokenize runs ONCE, and — since the subtree is now
+        # planned once — the repartition-before-fan-out rule applies
+        # again (the r14 objection was per-copy multiplication).  tf is
+        # the narrow post-aggregate frame (doc_id, term, count), far
+        # smaller than the raw token stream it replaces.
+        toks = switches.fanout_repartition(spark, sf_dir, docs, "doc_id").select(
+            "doc_id", F.explode(_toks()).alias("term")
+        )
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        tf = persisted = tf.persist()
+    else:
+        toks = docs.select("doc_id", F.explode(_toks()).alias("term"))
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -500,11 +516,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     )
-    return (
+    out = (
         scored.withColumn("rn", rn)
         .filter(F.col("rn") <= TFIDF_TOPK)
         .select("doc_id", "term", "tf", "df", "score")
     )
+    if persisted is not None:
+        from osm2orc_spark.operators.cache import release_with
+
+        return release_with(out, persisted)
+    return out
 
 
 REPETITION_MAX_RATIO = 0.2  # flag docs whose duplicate-bigram share exceeds this
@@ -877,6 +898,15 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE(r14): repartition-before-fan-out tried and reverted — bigrams
     # feeds three consumer subtrees (df, cov, final join) with no
     # ReusedExchange, so the exchange multiplied (see text_tfidf_topk).
+    # NOTE(r15, VERDICT r14 #6): the tokenize_persist cutover that
+    # text_tfidf_topk adopted was tried here TWO ways at the x64 XL twin
+    # and lost both: persisting the exploded bigram fan min 8.98 vs 5.89s
+    # replicate (the r5 "wide exploded frames lose to recompute" rule),
+    # and persisting the narrow (doc_id, ngram, c) post-aggregate min
+    # 11.77 vs 6.78s — bigrams are ~unique within a doc, so the aggregate
+    # does not reduce the stream and the persist path just adds an
+    # exchange plus a corpus-sized cache build.  The replicated tokenize
+    # is the measured-right shape for this query at every SF tried.
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _toks().alias("t"))
     bigrams = toks.select(

@@ -1025,3 +1025,30 @@ def test_fanout_repart_gate_identity(spark, sf_correctness, name, monkeypatch):
     assert n_base == gated.count()
     assert base.exceptAll(gated.select(*base.columns)).count() == 0
     assert gated.select(*base.columns).exceptAll(base).count() == 0
+
+
+def test_tokenize_persist_identity(spark, sf_correctness, monkeypatch):
+    """text_tfidf_topk's corpus-scale persist cutover (r15, VERDICT r14
+    #6): the default gate-SF plan carries NO cache (replicated tokenize,
+    byte-identical to the r14 spelling — the driver's oracle hash rides
+    it), the forced-ON plan reads the tf fan from an InMemoryTableScan,
+    and both produce the same rows."""
+    from osm2orc_spark.operators.text import text_tfidf_topk
+
+    base = text_tfidf_topk(spark, sf_correctness)
+    default_plan = (
+        base._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" not in default_plan  # gate SF: replicate
+    n_base = base.count()
+    assert n_base > 0
+    monkeypatch.setattr(switches, "TOKENIZE_PERSIST_MIN_DOCS", 0)
+    forced = text_tfidf_topk(spark, sf_correctness)
+    forced_plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in forced_plan
+    try:
+        assert n_base == forced.count()
+        assert base.exceptAll(forced.select(*base.columns)).count() == 0
+        assert forced.select(*base.columns).exceptAll(base).count() == 0
+    finally:
+        spark.catalog.clearCache()
