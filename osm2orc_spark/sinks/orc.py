@@ -457,6 +457,7 @@ def write_orc(
     max_records_per_file: int | None = None,
     embed_metadata: bool = True,
     compression: str = "zlib",
+    extra_options: dict[str, str] | None = None,
 ) -> None:
     """Write an OSM DataFrame as ORC with reference-equivalent options.
 
@@ -480,6 +481,8 @@ def write_orc(
         writer = writer.option("orc.bloom.filter.columns", "tags")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    for k, v in (extra_options or {}).items():
+        writer = writer.option(k, v)
     writer.save(path)
 
     metadata = {"osm.schema.version": OSM_SCHEMA_VERSION}
