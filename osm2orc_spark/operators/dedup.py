@@ -89,11 +89,15 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     The documents file is small relative to the fan-out it feeds (each doc
     explodes to ~n_tokens shingle rows), so a single parquet split would
     serialize the whole pipeline on one core. Repartition by doc_id BEFORE
-    exploding: tiny shuffle, full parallelism downstream. At 100 TB the
-    read is already many splits and this repartition is a no-op cost-wise.
+    exploding: tiny shuffle, full parallelism downstream. Gated on the
+    scan's split count (r15, VERDICT #2 class): a many-split scan is
+    already parallel and must not pay a full-text shuffle — an explicit-N
+    repartition is an Exchange AQE can neither elide nor coalesce.
     """
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    from osm2orc_spark.operators import switches
+
+    docs = switches.fanout_repartition(
+        spark, sf_dir, load(spark, sf_dir, "documents"), "doc_id"
     )
     # Materialize the token array ONCE per row before the shingle lambda.
     # Inlining the split(...) expression into each element_at re-evaluates
@@ -922,9 +926,12 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token x 48)-row explode — the fan-out version shuffles 48x more rows
     for identical results (same trick as the MinHash columnar min-aggs).
     """
-    # Repartition before the per-token fan-out (see _shingles note).
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    # Repartition before the per-token fan-out (see _shingle_arrays note;
+    # r15: gated on the scan split count like every fan-out site).
+    from osm2orc_spark.operators import switches
+
+    docs = switches.fanout_repartition(
+        spark, sf_dir, load(spark, sf_dir, "documents"), "doc_id"
     )
     # Per-doc token dedup happens INSIDE the row (array_distinct) before
     # the explode: identical (doc_id, tok) set to explode+distinct, but
@@ -1315,8 +1322,12 @@ BOILER_DF_DIV = 25
     tags=("dedup", "curation"),
 )
 def dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    from osm2orc_spark.operators import switches
+
+    # Repartition before the chunk fan-out, gated on the scan split
+    # count (r15 — see _shingle_arrays).
+    docs = switches.fanout_repartition(
+        spark, sf_dir, load(spark, sf_dir, "documents"), "doc_id"
     )
     tokd = docs.select("doc_id", F.split(_norm_text(), " ").alias("t"))
     k = BOILER_CHUNK_TOKENS

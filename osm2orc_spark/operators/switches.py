@@ -482,7 +482,11 @@ SWITCHED_QUERIES: dict[str, dict] = {
         for name in _WINDOW_FAMILY_SWITCHED
     },
     "simhash_near_dup": {
-        "probes": ("simhash_flat_pairs", "table_rows:documents"),
+        "probes": (
+            "simhash_flat_pairs",
+            "table_rows:documents",
+            "scan_splits:documents",
+        ),
         "identity_tests": (
             "tests/test_switches.py::test_simhash_switch_identity",
         ),
@@ -549,14 +553,14 @@ SWITCHED_QUERIES: dict[str, dict] = {
         ),
     },
     "dedup_components": {
-        "probes": ("cc_n_edges",),
+        "probes": ("cc_n_edges", "scan_splits:documents"),
         "identity_tests": (
             "tests/test_guards.py::test_dedup_components_strategies_agree",
         ),
     },
     **{
         name: {
-            "probes": ("cc_n_edges",),
+            "probes": ("cc_n_edges", "scan_splits:documents"),
             "identity_tests": (
                 "tests/test_guards.py::test_dedup_components_strategies_agree",
             ),
@@ -564,6 +568,26 @@ SWITCHED_QUERIES: dict[str, dict] = {
         for name in (
             "curation_canonical_docs", "curation_training_mix",
             "curation_mix_report",
+        )
+    },
+    # r15 second wave of the fan-out gate: the shared
+    # _shingle_arrays/_simhash_df helpers and three standalone fan-out
+    # queries route their repartition through fanout_repartition, so
+    # every consumer fires the scan_splits probe.
+    **{
+        name: {
+            "probes": ("scan_splits:documents",),
+            "identity_tests": (
+                f"tests/test_switches.py::test_fanout_gate_r15_identity[{name}]",
+            ),
+        }
+        for name in (
+            "dedup_boilerplate_chunks", "dedup_containment_pairs",
+            "dedup_containment_ppjoin", "dedup_minhash_calibration",
+            "dedup_minhash_lsh", "dedup_minhash_lsh_dfcap",
+            "dedup_ngram_jaccard", "dedup_ppjoin",
+            "dupgraph_triangle_stats", "simhash_signature",
+            "text_ngram_vocab", "text_quality_classifier",
         )
     },
     # r15 (VERDICT #2): the repartition-before-fan-out trio — the
@@ -592,13 +616,13 @@ SWITCHED_QUERIES: dict[str, dict] = {
         ),
     },
     "curation_decontaminate": {
-        "probes": ("decon_flat_pairs",),
+        "probes": ("decon_flat_pairs", "scan_splits:documents"),
         "identity_tests": (
             "tests/test_decon_factored.py::test_registered_forced_factored_equals_flat[curation_decontaminate]",
         ),
     },
     "curation_contamination_report": {
-        "probes": ("decon_flat_pairs",),
+        "probes": ("decon_flat_pairs", "scan_splits:documents"),
         "identity_tests": (
             "tests/test_decon_factored.py::test_registered_forced_factored_equals_flat[curation_contamination_report]",
         ),

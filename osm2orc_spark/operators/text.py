@@ -817,12 +817,13 @@ NGRAM_VOCAB_K = 100  # vocabulary candidates kept
     tags=("text",),
 )
 def text_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Repartition before the bigram fan-out (r14 — see text_tfidf_topk).
-    docs = (
-        load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", _toks().alias("t"))
-    )
+    from osm2orc_spark.operators import switches
+
+    # Repartition before the bigram fan-out (r14), gated on the scan
+    # split count (r15 — see switches.fanout_repartition).
+    docs = switches.fanout_repartition(
+        spark, sf_dir, load(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", _toks().alias("t"))
     bigrams = docs.select(
         "doc_id",
         F.explode(
@@ -1090,12 +1091,13 @@ CLS_WEIGHT_RANGE = 2001  # weights in [-1000, 1000]
     tags=("text", "curation"),
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Repartition before the ngram fan-out (r14 — see text_tfidf_topk).
-    docs = (
-        load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", _toks().alias("t"))
-    )
+    from osm2orc_spark.operators import switches
+
+    # Repartition before the ngram fan-out (r14), gated on the scan
+    # split count (r15 — see switches.fanout_repartition).
+    docs = switches.fanout_repartition(
+        spark, sf_dir, load(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", _toks().alias("t"))
     ex = docs.select("doc_id", F.explode(_ngrams_uni_bi("t")).alias("ngram"))
     b = feature_bucket(F.col("ngram"), "qcls")
     w = (

@@ -989,6 +989,60 @@ FANOUT_GATED = [
     "dedup_spans_clean",
 ]
 
+# r15 second wave: the remaining unconditional repartition-before-fan-out
+# sites (the shared _shingle_arrays/_simhash_df helpers plus three
+# standalone queries) routed through the same gate.  Values are pinned
+# per query below; the REPARTITION_BY_NUM plan assertion lives at the
+# helper level (test_fanout_gate_r15_helpers) because most of these
+# queries persist the helper frame and the executed plan hides the
+# cached subtree behind InMemoryTableScan.
+FANOUT_GATED_R15 = [
+    "dedup_boilerplate_chunks",
+    "dedup_containment_pairs",
+    "dedup_containment_ppjoin",
+    "dedup_minhash_calibration",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_dfcap",
+    "dedup_ngram_jaccard",
+    "dedup_ppjoin",
+    "dupgraph_triangle_stats",
+    "simhash_signature",
+    "text_ngram_vocab",
+    "text_quality_classifier",
+]
+
+
+def test_fanout_gate_r15_helpers(spark, sf_correctness, monkeypatch):
+    """The gated helpers repartition at the single-split gate SF (gate
+    open) and add NO explicit repartition exchange when the gate is
+    forced closed (the many-split regime)."""
+    from osm2orc_spark.operators.dedup import _shingle_arrays, _simhash_df
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for helper in (_shingle_arrays, _simhash_df):
+        assert "REPARTITION_BY_NUM" in plan_of(helper(spark, sf_correctness))
+    monkeypatch.setattr(switches, "FANOUT_SPLIT_FACTOR", 0)
+    for helper in (_shingle_arrays, _simhash_df):
+        assert "REPARTITION_BY_NUM" not in plan_of(helper(spark, sf_correctness))
+
+
+@pytest.mark.parametrize("name", FANOUT_GATED_R15)
+def test_fanout_gate_r15_identity(spark, sf_correctness, name, monkeypatch):
+    """Registered query with the gate FORCED CLOSED equals the default
+    gate-open result (values, not just counts)."""
+    from osm2orc_spark.registry import all_queries
+
+    fn = all_queries()[name].fn
+    base = sorted(tuple(r) for r in fn(spark, sf_correctness).collect())
+    assert base
+    spark.catalog.clearCache()
+    monkeypatch.setattr(switches, "FANOUT_SPLIT_FACTOR", 0)
+    forced = sorted(tuple(r) for r in fn(spark, sf_correctness).collect())
+    spark.catalog.clearCache()
+    assert base == forced
+
 
 def test_scan_splits_probe(spark, sf_smoke):
     """The probe reports the planned scan's split count (driver-side
