@@ -574,8 +574,16 @@ def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
     Exploded-verify spelling — used where the verification universe IS a
     filtered shingle stream (the df-capped variant); the full-set callers
     go through ``_jaccard_pairs_arrays`` instead."""
-    cand = _band_candidates(_minhash_signatures(sh))
-    return _jaccard_pairs(cand, sh, JACCARD_THRESHOLD)
+    # Persist the narrow (doc_id, mh0..mh11) signature frame (r15): the
+    # band self-join consumes it TWICE (doc_a and doc_b sides), and
+    # Catalyst plans the explode+md5+permutation+groupBy subtree once
+    # per side — the hashing is the pipeline's dominant per-row cost, so
+    # one cached pass beats two replays (A/B at the registered
+    # full-set spelling: 6/6 stats favor persist; calibration already
+    # used this shape).
+    sigs = _minhash_signatures(sh).persist()
+    cand = _band_candidates(sigs)
+    return release_with(_jaccard_pairs(cand, sh, JACCARD_THRESHOLD), sigs)
 
 
 @register(
@@ -602,8 +610,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordered-arr and chunk caches).
     arrs = _shingle_arrays(spark, sf_dir).persist()
     sh = arrs.select("doc_id", F.explode("arr").alias("shingle"))
-    cand = _band_candidates(_minhash_signatures(sh))
-    return release_with(_jaccard_pairs_arrays(cand, arrs, JACCARD_THRESHOLD), arrs)
+    # Persist the narrow (doc_id, mh0..mh11) signature frame (r15): the
+    # band self-join consumes it TWICE (doc_a and doc_b sides), so the
+    # explode + md5 + 12-permutation + groupBy hashing subtree was
+    # replayed from the arrs cache once per side.  Lazy persist (no
+    # count barrier — the r14 eager-build verdicts stand): interleaved
+    # A/B, cleared caches per pass — sf0.1 min 0.800 vs 0.966 and 0.729
+    # vs 0.776, med 1.023 vs 1.218 and 0.874 vs 0.959 across two
+    # sessions; x64 twin min 4.83 vs 6.34.  Same shape as
+    # dedup_minhash_calibration's existing sigs persist.
+    sigs = _minhash_signatures(sh).persist()
+    cand = _band_candidates(sigs)
+    return release_with(
+        _jaccard_pairs_arrays(cand, arrs, JACCARD_THRESHOLD), arrs, sigs
+    )
 
 
 # ---------------------------------------------------------------------------
