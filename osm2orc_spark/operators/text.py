@@ -490,7 +490,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df; no ReusedExchange), so the repartition exchange multiplied
     # instead of helping (measured wash-to-worse at sf0.1).
     docs = load(spark, sf_dir, "documents")
-    persisted = None
+    tf_cached = None
     if switches.tokenize_persist(spark, sf_dir):
         # Corpus-scale cutover (r15, VERDICT r14 #6): persist the tf fan
         # so the tokenize runs ONCE, and — since the subtree is now
@@ -501,8 +501,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = switches.fanout_repartition(spark, sf_dir, docs, "doc_id").select(
             "doc_id", F.explode(_toks()).alias("term")
         )
-        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-        tf = persisted = tf.persist()
+        tf_cached = (
+            toks.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist()
+        )
+        tf = tf_cached
     else:
         toks = docs.select("doc_id", F.explode(_toks()).alias("term"))
         tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -521,10 +525,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOPK)
         .select("doc_id", "term", "tf", "df", "score")
     )
-    if persisted is not None:
+    if tf_cached is not None:
         from osm2orc_spark.operators.cache import release_with
 
-        return release_with(out, persisted)
+        return release_with(out, tf_cached)
     return out
 
 
