@@ -694,9 +694,19 @@ def _percentiles_ranged(spark: SparkSession, sf_dir: str, ev: DataFrame) -> Data
             "_vhi"
         ),
     )
-    q = F.when(F.col("_hi") == F.col("_lo"), F.col("_vlo")).otherwise(
-        F.col("_vlo") * (F.col("_hi").cast("double") - F.col("_pos"))
-        + F.col("_vhi") * (F.col("_pos") - F.col("_lo").cast("double"))
+    # Spark's Percentile ties guard (Percentile.getPercentile: "no
+    # interpolation needed because lower position and higher position
+    # has the same key"): equal neighbors must short-circuit because
+    # v*(hi-pos) + v*(pos-lo) is NOT the identity in IEEE arithmetic —
+    # 5e-324*0.5 + 5e-324*0.5 underflows to 0.0 (found by the
+    # bit-equality property test), and Spark returns the key itself.
+    q = (
+        F.when(F.col("_hi") == F.col("_lo"), F.col("_vlo"))
+        .when(F.col("_vlo") == F.col("_vhi"), F.col("_vlo"))
+        .otherwise(
+            F.col("_vlo") * (F.col("_hi").cast("double") - F.col("_pos"))
+            + F.col("_vhi") * (F.col("_pos") - F.col("_lo").cast("double"))
+        )
     )
     wide = per_p.groupBy("event_type").agg(
         *[
