@@ -192,6 +192,42 @@ _DUCK_SHINGLES = """
 """
 
 
+def _distribute_pairs(cand: DataFrame) -> DataFrame:
+    """Hash-distribute candidate (doc_a, doc_b) match rows by doc_a across
+    defaultParallelism partitions (the r14 fix for AQE's byte-blind
+    coalesce: pair rows carry ~16 BYTES, so a byte-based exchange packs
+    the expensive array_intersect verify into one or two tasks — measured
+    a 1.5 s one-task stage in dedup_containment_ppjoin at sf0.1, ~40% of
+    its wall).  doc_a is the SAME distribution the verify's first
+    equi-join needs at corpus scale (where arrs is too big to broadcast),
+    so the exchange is repurposed, not added."""
+    return cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "doc_a"
+    )
+
+
+def _distinct_pairs(cand: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs from raw candidate match rows via
+    ONE exchange (r15, guide §2.2 "shuffle less"): the doc_a
+    re-distribution the verify stage needs (``_distribute_pairs``) is
+    applied to the RAW match rows FIRST, and the pair-distinct then rides
+    it exchange-free — HashPartitioning(doc_a) satisfies the distinct
+    aggregate's ClusteredDistribution([doc_a, doc_b]) (partitioning
+    expressions are a subset of the grouping keys), and the downstream
+    doc_a equi-joins reuse the same partitioning.  The previous spelling
+    (``.distinct()`` then repartition inside the verify) paid TWO
+    exchanges over the same rows: map-side partial dedup before the
+    distinct's (doc_a, doc_b) exchange catches ~nothing here because a
+    pair's duplicate match rows come from DIFFERENT join keys (different
+    shingles / LSH bands), i.e. different upstream tasks — so both
+    spellings shuffle ~all raw match rows once, and this one skips the
+    second full exchange of the distinct pairs.  Per-key skew bound is
+    unchanged: a hot doc_a concentrates its raw match rows (at most the
+    pair multiplicity x its distinct partners, multiplicity <= bands or
+    prefix overlaps) on the key that already owned its verify work."""
+    return _distribute_pairs(cand).dropDuplicates(["doc_a", "doc_b"])
+
+
 def _pair_intersections(cand: DataFrame, arrs: DataFrame) -> DataFrame:
     """Attach (arr_a, na, arr_b, nb, n_inter) to candidate (doc_a, doc_b)
     pairs via two doc-keyed equi-joins against the per-doc shingle arrays
@@ -206,20 +242,11 @@ def _pair_intersections(cand: DataFrame, arrs: DataFrame) -> DataFrame:
     splits; the intersection work itself is the same O(|A|+|B|) per pair
     either way, just without the exchange between.
 
-    The candidate stream is re-distributed by doc_a BEFORE the joins
-    (r14): the pair-distinct exchange upstream carries ~16 BYTES per
-    pair, so AQE's byte-based coalescing packs it into one or two
-    partitions — and the verify (two joins + an array_intersect over
-    the full shingle arrays, the expensive per-ROW work of this whole
-    family) then runs single-task (measured: a 1.5 s one-task stage in
-    dedup_containment_ppjoin at sf0.1, ~40% of its wall).  Hashing by
-    doc_a restores task parallelism at byte-blind cost, and at corpus
-    scale it is the SAME doc_a distribution the first equi-join needs
-    anyway (where arrs is too big to broadcast), so the exchange is
-    repurposed, not added."""
-    cand = cand.repartition(
-        cand.sparkSession.sparkContext.defaultParallelism, "doc_a"
-    )
+    CONTRACT (r15): ``cand`` must already be hash-distributed by doc_a —
+    every caller routes through ``_distinct_pairs`` (or
+    ``_distribute_pairs`` for a pre-distinct stream), which carries the
+    r14 anti-single-task distribution; repartitioning again here would
+    re-shuffle the distinct pairs a second time for nothing."""
     a = arrs.selectExpr("doc_id AS doc_a", "arr AS arr_a", "n AS na")
     b = arrs.selectExpr("doc_id AS doc_b", "arr AS arr_b", "n AS nb")
     return (
@@ -349,11 +376,10 @@ def dedup_ngram_jaccard(
     sh = arrs.select("doc_id", F.explode("arr").alias("shingle"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    cand = (
+    cand = _distinct_pairs(
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
     return release_with(_jaccard_pairs_arrays(cand, arrs, JACCARD_THRESHOLD), arrs)
 
@@ -445,7 +471,7 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wall 2.55 -> 1.71s) and -72.3% on the 40x XL hot-shingle twin
     # (1.97M -> 0.55M; wall 17.6 -> 8.5s = 2.07x) — the cut GROWS with
     # corpus size because rank collisions get rarer as sets diverge.
-    cand = (
+    cand = _distinct_pairs(
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
@@ -462,7 +488,6 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(4) * (F.col("na") + F.col("nb"))
         )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     return release_with(
         _jaccard_pairs_arrays(cand, oarr, JACCARD_THRESHOLD), oarr, arrs
@@ -560,11 +585,10 @@ def _band_candidates(minhash: DataFrame) -> DataFrame:
     ).select("doc_id", "bv.band", "bv.band_val")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
-    return (
+    return _distinct_pairs(
         a.join(b, ["band", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
@@ -1737,12 +1761,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= MINHASH_DF_CAP)
         .select("doc_id", "shingle")
     )
-    cand = (
+    cand = _distinct_pairs(
         capped.select(F.col("doc_id").alias("doc_a"), "shingle")
         .join(capped.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
     scored = _pair_intersections(cand, arrs).select(
         "doc_a",
@@ -1845,8 +1868,8 @@ def dedup_containment_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("doc_p", "doc_f").alias("doc_a"),
             F.greatest("doc_p", "doc_f").alias("doc_b"),
         )
-        .distinct()
     )
+    cand = _distinct_pairs(cand)
     scored = _pair_intersections(cand, oarr).selectExpr(
         "doc_a",
         "doc_b",
@@ -2052,8 +2075,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", agree_expr.alias("n_agree"))
     )
+    # agree leaves the sb join hash-partitioned by doc_b; restore the
+    # doc_a distribution the verify contract needs (see _distribute_pairs).
     return release_with(
-        _pair_intersections(agree, arrs)
+        _pair_intersections(_distribute_pairs(agree), arrs)
         .select(
             "doc_a",
             "doc_b",

@@ -167,6 +167,35 @@ def test_dfcap_exclusion_is_df_joinback_not_forced_broadcast(spark, sf_correctne
         assert "CartesianProduct" not in plan, name
 
 
+def test_pair_distinct_rides_verify_distribution(spark, sf_correctness):
+    """r15: the candidate pair-distinct rides the verify stage's doc_a
+    repartition — HashPartitioning(doc_a) satisfies the distinct's
+    ClusteredDistribution([doc_a, doc_b]) and the verify joins' doc_a
+    clustering, so no exchange keyed by BOTH pair columns may survive
+    (the old spelling paid a (doc_a, doc_b) distinct exchange AND a
+    doc_a repartition over the same rows)."""
+    for name in (
+        "dedup_ppjoin",
+        "dedup_minhash_lsh",
+        "dedup_containment_ppjoin",
+        "dedup_containment_pairs",
+    ):
+        df = QUERIES[name].fn(spark, sf_correctness)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        offenders = [
+            line.strip()[:160]
+            for line in final.splitlines()
+            if "Exchange hashpartitioning" in line
+            and "doc_a" in line
+            and "doc_b" in line
+        ]
+        assert not offenders, f"{name}: pair-keyed exchange survived: {offenders}"
+        assert "REPARTITION_BY_NUM" in final, name  # the fused doc_a exchange
+        spark.catalog.clearCache()
+
+
 def test_aqe_splits_skewed_join_partitions(spark, sf_correctness):
     """AQE skew-join must kick in on a pathologically skewed key: one key
     holding ~99% of rows would otherwise pin the whole sort-merge join on
